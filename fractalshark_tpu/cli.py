@@ -1,0 +1,151 @@
+"""Headless command-line renderer.
+
+Flag surface mirrors the reference CLI
+(``FractalSharkCli/main.cpp:37-91``): choose an algorithm, a view source
+(builtin preset / locations file / center+zoom), iteration and AA
+overrides, and PNG and/or console output.
+
+Usage examples:
+    python -m fractalshark_tpu.cli --view 0 --render-algorithm Cpu64 \
+        --width 512 --height 512 --output-png out.png
+    python -m fractalshark_tpu.cli --center-x -0.75 --center-y 0.0 \
+        --zoom 2e3 --iterations 4096 --console-output ascii
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="fractalshark-tpu",
+        description="TPU-native deep-zoom Mandelbrot renderer")
+    p.add_argument("--render-algorithm", default="AUTO",
+                   help="algorithm name (reference-compatible, e.g. Cpu64, "
+                        "Tpu1x32, TpuHDRx32PerturbedLAv2, AUTO)")
+    p.add_argument("--view", type=int, default=None,
+                   help="builtin view preset index (0..32)")
+    p.add_argument("--locations-file", default=None,
+                   help="saved-locations text file")
+    p.add_argument("--location-index", type=int, default=0)
+    p.add_argument("--center-x", default=None, help="center real coordinate")
+    p.add_argument("--center-y", default=None, help="center imag coordinate")
+    p.add_argument("--zoom", default=None, help="zoom factor (decimal string)")
+    p.add_argument("--iterations", type=int, default=None)
+    p.add_argument("--antialiasing", type=int, default=None, choices=[1, 2, 3, 4])
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--output-png", default=None)
+    p.add_argument("--png-bit-depth", type=int, default=8, choices=[8, 16])
+    p.add_argument("--console-output", default="none",
+                   choices=["none", "ascii", "ansi"])
+    p.add_argument("--palette", default="Default",
+                   help="Basic|Default|Patriotic|Summer|Random")
+    p.add_argument("--palette-depth", type=int, default=8)
+    p.add_argument("--compression-error-exp-low", type=int, default=None)
+    p.add_argument("--stats", action="store_true",
+                   help="print iteration min/max/sum and timings as JSON")
+    p.add_argument("--save-location", default=None,
+                   help="append the rendered view to a locations file")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from fractalshark_tpu.engine.fractal import Fractal
+    from fractalshark_tpu.core.algorithms import get_algorithm
+    from fractalshark_tpu.core.highprecision import HighPrecision
+    from fractalshark_tpu.core.pointzoom import PointZoomBBConverter
+
+    try:
+        get_algorithm(args.render_algorithm)
+    except KeyError as e:
+        print(f"error: {e.args[0]}", file=sys.stderr)
+        return 2
+
+    f = Fractal(width=args.width, height=args.height,
+                algorithm=args.render_algorithm)
+
+    if args.locations_file:
+        from fractalshark_tpu.io.saved_location import load_locations
+        locs = load_locations(args.locations_file)
+        if not (0 <= args.location_index < len(locs)):
+            print(f"error: location index {args.location_index} out of range "
+                  f"({len(locs)} locations)", file=sys.stderr)
+            return 2
+        loc = locs[args.location_index]
+        f.set_view(loc.to_view())
+        f.num_iterations = loc.num_iterations
+        f.antialiasing = loc.antialiasing
+    elif args.center_x is not None:
+        if args.center_y is None or args.zoom is None:
+            print("error: --center-x requires --center-y and --zoom",
+                  file=sys.stderr)
+            return 2
+        zoom = HighPrecision(args.zoom, prec=64)
+        prec = max(64, abs(zoom.exponent2()) + 192)
+        f.set_view(PointZoomBBConverter(
+            pt_x=HighPrecision(args.center_x, prec=prec),
+            pt_y=HighPrecision(args.center_y, prec=prec),
+            zoom_factor=HighPrecision(args.zoom, prec=prec)))
+    else:
+        try:
+            f.set_view_preset(args.view if args.view is not None else 0)
+        except KeyError:
+            from fractalshark_tpu.core.views import num_views
+            print(f"error: no such view preset {args.view} "
+                  f"(valid: 0..{num_views() - 1})", file=sys.stderr)
+            return 2
+
+    if args.iterations is not None:
+        f.num_iterations = args.iterations
+    if args.antialiasing is not None:
+        f.antialiasing = args.antialiasing
+    f.palette.use_palette_type(args.palette)
+    f.palette.use_depth(args.palette_depth)
+
+    t0 = time.perf_counter()
+    if args.output_png:
+        f.save_png(args.output_png, bit_depth=args.png_bit_depth)
+        print(f"wrote {args.output_png}")
+    if args.console_output != "none":
+        print(f.render_to_console(ansi=(args.console_output == "ansi")))
+    if not args.output_png and args.console_output == "none":
+        f.calc_fractal()
+    elapsed = time.perf_counter() - t0
+
+    if args.stats:
+        stats = f.stats()
+        print(json.dumps({
+            "algorithm": f.resolve_algorithm().name,
+            "width": f.width, "height": f.height,
+            "iterations_budget": f.num_iterations,
+            "iter_min": stats["min"], "iter_max": stats["max"],
+            "iter_sum": stats["sum"],
+            "wall_s": round(elapsed, 4),
+            "per_pixel_s": round(f.benchmark.per_pixel_s, 4),
+            "backend": f.backend,
+        }))
+
+    if args.save_location:
+        from fractalshark_tpu.io.saved_location import (SavedLocation,
+                                                        serialize)
+        loc = SavedLocation(
+            width=f.width, height=f.height,
+            min_x=f.ptz.min_x, min_y=f.ptz.min_y,
+            max_x=f.ptz.max_x, max_y=f.ptz.max_y,
+            num_iterations=f.num_iterations,
+            antialiasing=f.antialiasing,
+            description="fractalshark-tpu")
+        with open(args.save_location, "a") as fh:
+            fh.write(serialize(loc) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,254 @@
+"""The central engine: view state, algorithm dispatch, render orchestration.
+
+TPU-native analogue of the reference ``class Fractal``
+(``FractalSharkLib/Fractal.h:56-525``): owns the high-precision view
+(PointZoomBBConverter), iteration budget, algorithm selection, palette,
+and dispatches renders to the kernel families.  The 60-way dispatch
+switch (``Fractal.cpp:1199-1530``) becomes a small family×dtype table.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fractalshark_tpu.core.algorithms import (
+    Family, RenderAlgorithm, auto_select, get_algorithm)
+from fractalshark_tpu.core.highprecision import HighPrecision
+from fractalshark_tpu.core.palette import FractalPalette
+from fractalshark_tpu.core.pointzoom import PointZoomBBConverter
+from fractalshark_tpu.core.precision import precision_from_view
+from fractalshark_tpu.core.views import get_view_preset
+from fractalshark_tpu.ops import escape
+from fractalshark_tpu.ops.coloring import (color_from_iters, iteration_stats,
+                                           rgba16_to_rgba8)
+from fractalshark_tpu.io.png import write_png
+
+
+@dataclass
+class BenchmarkData:
+    """Phase timers (reference BenchmarkData.h:28-46)."""
+    overall_s: float = 0.0
+    per_pixel_s: float = 0.0
+    ref_orbit_s: float = 0.0
+    la_generation_s: float = 0.0
+    extra: dict = field(default_factory=dict)
+
+
+class Fractal:
+    def __init__(self, width: int = 1024, height: int = 1024,
+                 view: int | PointZoomBBConverter = 0,
+                 algorithm: str = "AUTO",
+                 num_iterations: int | None = None,
+                 antialiasing: int = 1,
+                 backend: str | None = None):
+        self.width = width
+        self.height = height
+        self.antialiasing = antialiasing
+        self.palette = FractalPalette()
+        self.backend = backend or jax.default_backend()
+        self.algorithm_name = algorithm
+        self.num_iterations = num_iterations or 256
+        self.benchmark = BenchmarkData()
+        self._iters_cache = None  # last rendered iteration buffer (device)
+        self._orbit_cache = None  # RefOrbitCache, created lazily
+        if isinstance(view, PointZoomBBConverter):
+            self.ptz = view
+        else:
+            self.set_view_preset(view)
+
+    # ----------------------------------------------------------- navigation
+
+    def set_view_preset(self, index: int) -> None:
+        preset = get_view_preset(index)
+        self.ptz = preset.ptz.square_aspect_ratio(self.width, self.height)
+        self.num_iterations = preset.num_iterations
+        if preset.antialiasing > 1:
+            self.antialiasing = preset.antialiasing
+        self._iters_cache = None
+
+    def set_view(self, ptz: PointZoomBBConverter,
+                 square_aspect: bool = True) -> None:
+        self.ptz = (ptz.square_aspect_ratio(self.width, self.height)
+                    if square_aspect else ptz)
+        self._iters_cache = None
+
+    def zoom(self, scale: float) -> None:
+        self.ptz = self.ptz.zoomed_at_center(scale)
+        self._iters_cache = None
+
+    def zoom_at(self, screen_x: float, screen_y: float, scale: float) -> None:
+        cx = self.ptz.x_screen_to_calc(screen_x, self.width)
+        cy = self.ptz.y_screen_to_calc(screen_y, self.height)
+        self.ptz = self.ptz.zoomed_toward_point(cx, cy, scale)
+        self._iters_cache = None
+
+    def pan(self, dx_frac: float, dy_frac: float) -> None:
+        """Pan by a fraction of the current extent."""
+        ex = self.ptz.max_x - self.ptz.min_x
+        ey = self.ptz.max_y - self.ptz.min_y
+        self.ptz = self.ptz.panned(ex * HighPrecision(dx_frac),
+                                   ey * HighPrecision(dy_frac))
+        self._iters_cache = None
+
+    def resize(self, width: int, height: int) -> None:
+        self.width, self.height = width, height
+        self.ptz = self.ptz.square_aspect_ratio(width, height)
+        self._iters_cache = None
+
+    # ------------------------------------------------------------ algorithm
+
+    def resolve_algorithm(self) -> RenderAlgorithm:
+        alg = get_algorithm(self.algorithm_name)
+        if alg.family is Family.AUTO:
+            radius_exp = abs(self.ptz.radius.exponent2())
+            alg = auto_select(radius_exp,
+                              has_accelerator=(self.backend == "tpu"))
+        return alg
+
+    def required_precision(self, requires_reuse: bool = False) -> int:
+        return precision_from_view(self.ptz, requires_reuse)
+
+    # --------------------------------------------------------------- render
+
+    def calc_fractal(self) -> jnp.ndarray:
+        """Compute the iteration buffer [H*aa, W*aa] on device.
+
+        Dispatch mirrors Fractal::CalcFractalTypedIter
+        (Fractal.cpp:1199-1530), collapsed to family×dtype.
+        """
+        alg = self.resolve_algorithm()
+        t0 = time.perf_counter()
+        if alg.family is Family.DIRECT:
+            iters = self._calc_direct(alg)
+        elif alg.is_perturbed:
+            iters = self._calc_perturbed(alg)
+        else:
+            raise NotImplementedError(f"family {alg.family}")
+        iters.block_until_ready()
+        self.benchmark.per_pixel_s = time.perf_counter() - t0
+        self._iters_cache = iters
+        return iters
+
+    def _render_dims(self) -> tuple[int, int]:
+        return (self.width * self.antialiasing,
+                self.height * self.antialiasing)
+
+    def _calc_direct(self, alg: RenderAlgorithm) -> jnp.ndarray:
+        w, h = self._render_dims()
+        params = escape.PlainParams.from_view(
+            self.ptz, self.width, self.height, self.antialiasing)
+        n = self.num_iterations
+        if alg.dtype in ("f32", "f64"):
+            dt = jnp.float32 if alg.dtype == "f32" else jnp.float64
+            if self.backend == "tpu" and alg.dtype == "f32" and n < (1 << 31):
+                return escape.escape_pallas(params, w, h, n, dtype=dt)
+            return escape.escape_jax(params, w, h, n, dtype=dt)
+        if alg.dtype in ("2x32", "2x64", "4x32", "4x64"):
+            from fractalshark_tpu.ops import dblflt
+            return dblflt.escape_df(params, w, h, n, variant=alg.dtype,
+                                    backend=self.backend)
+        if alg.dtype in ("hdr32", "hdr64"):
+            from fractalshark_tpu.ops import hdr_escape
+            return hdr_escape.escape_hdr(
+                self.ptz, w, h, n,
+                sub_dtype=jnp.float32 if alg.dtype == "hdr32" else jnp.float64)
+        if alg.dtype == "hp":
+            return self._calc_cpu_high()
+        raise NotImplementedError(f"direct dtype {alg.dtype}")
+
+    def _calc_cpu_high(self) -> jnp.ndarray:
+        """CpuHigh: full arbitrary-precision per-pixel iteration on host.
+        Educational/oracle path (tiny images only)."""
+        w, h = self._render_dims()
+        prec = self.required_precision()
+        out = np.zeros((h, w), np.uint64)
+        four = HighPrecision(4, prec=prec)
+        dx = self.ptz.delta_x(self.width, self.antialiasing)
+        dy = self.ptz.delta_y(self.height, self.antialiasing)
+        for y in range(h):
+            cy = self.ptz.max_y - dy * HighPrecision(y)
+            for x in range(w):
+                cx = self.ptz.min_x + dx * HighPrecision(x)
+                zx, zy = cx, cy
+                i = 0
+                n = self.num_iterations
+                while i < n:
+                    zx2 = zx * zx
+                    zy2 = zy * zy
+                    if zx2 + zy2 > four:
+                        break
+                    zy = zx * zy * 2 + cy
+                    zx = zx2 - zy2 + cx
+                    i += 1
+                out[y, x] = i
+        return jnp.asarray(out)
+
+    def _calc_perturbed(self, alg: RenderAlgorithm) -> jnp.ndarray:
+        from fractalshark_tpu.engine.renderers import calc_perturbed
+        return calc_perturbed(self, alg)
+
+    # --------------------------------------------------------------- output
+
+    def color(self, iters=None) -> jnp.ndarray:
+        """Map the iteration buffer to RGBA16 [H, W, 4]."""
+        if iters is None:
+            iters = (self._iters_cache if self._iters_cache is not None
+                     else self.calc_fractal())
+        pal = np.roll(self.palette.current(), -self.palette.rotation, axis=0)
+        return color_from_iters(
+            iters, jnp.asarray(pal),
+            jnp.asarray(self.num_iterations, jnp.uint64),
+            jnp.asarray(self.palette.aux_depth, jnp.uint32),
+            antialiasing=self.antialiasing)
+
+    def stats(self, iters=None) -> dict:
+        if iters is None:
+            iters = (self._iters_cache if self._iters_cache is not None
+                     else self.calc_fractal())
+        return {k: int(v) for k, v in iteration_stats(iters).items()}
+
+    def render(self) -> jnp.ndarray:
+        t0 = time.perf_counter()
+        iters = self.calc_fractal()
+        rgba = self.color(iters)
+        rgba.block_until_ready()
+        self.benchmark.overall_s = time.perf_counter() - t0
+        return rgba
+
+    def save_png(self, path: str, bit_depth: int = 8) -> None:
+        rgba = np.asarray(self.render())
+        if bit_depth == 8:
+            write_png(path, rgba16_to_rgba8(rgba))
+        else:
+            write_png(path, rgba)
+
+    def render_to_console(self, max_width: int = 100, ansi: bool = True) -> str:
+        """ASCII/ANSI console render (reference RenderToConsole.cpp)."""
+        iters = np.asarray(self.calc_fractal())
+        h, w = iters.shape
+        step = max(1, w // max_width)
+        small = iters[::step * 2, ::step]  # chars are ~2x tall
+        n = self.num_iterations
+        glyphs = " .:-=+*#%@"
+        lines = []
+        for row in small:
+            if ansi:
+                cells = []
+                for v in row:
+                    if v >= n:
+                        cells.append("\x1b[40m \x1b[0m")
+                    else:
+                        hue = int(v) % 6
+                        cells.append(f"\x1b[4{hue + 1}m \x1b[0m")
+                lines.append("".join(cells))
+            else:
+                lines.append("".join(
+                    glyphs[min(int(v) * (len(glyphs) - 1) // max(1, n),
+                               len(glyphs) - 1)] if v < n else " "
+                    for v in row))
+        return "\n".join(lines)

@@ -1,0 +1,235 @@
+"""Plain (non-perturbed) escape-time kernels.
+
+Semantics match the reference CPU loop (``Fractal.cpp:2139-2183``,
+``CalcCpuHDR``) and the direct GPU kernels
+(``FractalSharkGpuLib/LowPrecisionKernels.cuh``):
+
+    z = c;  i = 0
+    while i < N:
+        if zx^2 + zy^2 > 4: break        # check BEFORE update
+        (zx, zy) = (zx^2 - zy^2 + cx, 2 zx zy + cy)
+        i += 1
+    iters = i                            # N if never escaped
+
+Pixel coordinates: cx = minX + x*dx, cy = maxY - y*dy with
+dx = (maxX-minX)/(W*aa), dy = (maxY-minY)/(H*aa)  (Fractal.cpp:2119-2152).
+
+Two implementations:
+
+* ``escape_jax`` — whole-image lockstep masked iteration (works on any
+  backend; used for f64 golden tests on CPU and as the f64 path on TPU).
+* ``escape_pallas`` — tiled Pallas TPU kernel; coordinates are generated
+  *inside* the kernel from SMEM scalars (zero HBM input traffic), each
+  tile exits as soon as all of its pixels have resolved.
+
+The iteration grid is never data-dependently shaped: tiles are static,
+exit is via masked ``while_loop`` (compare SURVEY.md §7 hard part (c)).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fractalshark_tpu.core.pointzoom import PointZoomBBConverter
+
+# Iterations per masked chunk between "all done?" re-checks.
+_INNER_STEPS = 8
+
+TILE_H = 256
+TILE_W = 256
+
+
+@dataclass(frozen=True)
+class PlainParams:
+    """Plain-render coordinate parameters, all exactly representable in
+    the target dtype. Derived from the high-precision view once per
+    render."""
+    min_x: float
+    max_y: float
+    dx: float
+    dy: float
+
+    @staticmethod
+    def from_view(ptz: PointZoomBBConverter, width: int, height: int,
+                  antialiasing: int = 1) -> "PlainParams":
+        return PlainParams(
+            min_x=float(ptz.min_x),
+            max_y=float(ptz.max_y),
+            dx=float(ptz.delta_x(width, antialiasing)),
+            dy=float(ptz.delta_y(height, antialiasing)),
+        )
+
+
+def _iter_dtype(max_iter: int):
+    return jnp.uint64 if max_iter >= (1 << 32) else jnp.uint32
+
+
+# --------------------------------------------------------------------------
+# Pure-JAX lockstep implementation (any backend, any dtype incl. f64)
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "dtype", "iter_dtype"))
+def _escape_jax_impl(min_x, max_y, dx, dy, max_iter, width, height,
+                     dtype, iter_dtype):
+    xs = jnp.arange(width, dtype=dtype)
+    ys = jnp.arange(height, dtype=dtype)
+    cx = (min_x + xs * dx)[None, :] * jnp.ones((height, 1), dtype)
+    cy = (max_y - ys * dy)[:, None] * jnp.ones((1, width), dtype)
+
+    four = jnp.asarray(4.0, dtype)
+    max_it = max_iter.astype(iter_dtype)
+
+    def chunk(state):
+        zx, zy, it, active = state
+
+        def step(_, s):
+            zx, zy, it, active = s
+            zx2 = zx * zx
+            zy2 = zy * zy
+            escaped = (zx2 + zy2) > four
+            hit_max = it >= max_it
+            cont = active & ~escaped & ~hit_max
+            nzy = 2.0 * zx * zy + cy
+            nzx = zx2 - zy2 + cx
+            zx = jnp.where(cont, nzx, zx)
+            zy = jnp.where(cont, nzy, zy)
+            it = it + cont.astype(iter_dtype)
+            active = cont
+            return zx, zy, it, active
+
+        return jax.lax.fori_loop(0, _INNER_STEPS, step, state)
+
+    def cond(state):
+        return jnp.any(state[3])
+
+    zx0 = cx
+    zy0 = cy
+    it0 = jnp.zeros((height, width), iter_dtype)
+    active0 = jnp.ones((height, width), bool)
+    _, _, iters, _ = jax.lax.while_loop(cond, chunk, (zx0, zy0, it0, active0))
+    return iters
+
+
+def escape_jax(params: PlainParams, width: int, height: int, max_iter: int,
+               dtype=jnp.float64):
+    """Lockstep masked escape iteration over the full image."""
+    iter_dtype = _iter_dtype(max_iter)
+    dtype = jnp.dtype(dtype)
+    return _escape_jax_impl(
+        jnp.asarray(params.min_x, dtype), jnp.asarray(params.max_y, dtype),
+        jnp.asarray(params.dx, dtype), jnp.asarray(params.dy, dtype),
+        jnp.asarray(max_iter, iter_dtype),
+        width, height, dtype, iter_dtype)
+
+
+# --------------------------------------------------------------------------
+# Pallas TPU kernel
+# --------------------------------------------------------------------------
+
+
+def _escape_kernel(scalar_ref, out_ref, *, tile_h, tile_w, dtype):
+    """One (tile_h, tile_w) tile. scalar_ref (SMEM, f32/f64[5]):
+    [min_x, max_y, dx, dy, max_iter]."""
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+
+    min_x = scalar_ref[0]
+    max_y = scalar_ref[1]
+    dx = scalar_ref[2]
+    dy = scalar_ref[3]
+    max_iter = scalar_ref[4].astype(jnp.int32)
+
+    row0 = (ti * tile_h).astype(dtype)
+    col0 = (tj * tile_w).astype(dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(dtype)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(dtype)
+    cx = min_x + (col0 + cols) * dx
+    cy = max_y - (row0 + rows) * dy
+
+    four = jnp.asarray(4.0, dtype)
+
+    # No boolean mask in the carry (bool vector carries fail to legalize
+    # in Mosaic): a pixel is live iff its counter equals the global step
+    # count k — `it` only advances while the pixel is live.
+    def cond(state):
+        k, _, _, it = state
+        live = (it == k).astype(jnp.int32)
+        return jnp.logical_and(k < max_iter, jnp.max(live) > 0)
+
+    def body(state):
+        def step(_, s):
+            k, zx, zy, it = s
+            zx2 = zx * zx
+            zy2 = zy * zy
+            cont = (it == k) & ((zx2 + zy2) <= four) & (k < max_iter)
+            nzy = 2.0 * zx * zy + cy
+            nzx = zx2 - zy2 + cx
+            zx = jnp.where(cont, nzx, zx)
+            zy = jnp.where(cont, nzy, zy)
+            it = it + cont.astype(jnp.int32)
+            return k + 1, zx, zy, it
+
+        # int32 loop bounds: under jax_enable_x64 a default (python-int)
+        # fori counter traces as i64, which Mosaic cannot legalize.
+        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(_INNER_STEPS),
+                                 step, state)
+
+    it0 = jnp.zeros((tile_h, tile_w), jnp.int32)
+    _, _, _, iters = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), cx, cy, it0))
+    out_ref[:] = iters.astype(jnp.uint32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "dtype", "tile_h", "tile_w", "interpret"))
+def _escape_pallas_impl(scalars, width, height, dtype,
+                        tile_h, tile_w, interpret):
+    grid = (pl.cdiv(height, tile_h), pl.cdiv(width, tile_w))
+    kernel = functools.partial(
+        _escape_kernel, tile_h=tile_h, tile_w=tile_w, dtype=dtype)
+    padded_h = grid[0] * tile_h
+    padded_w = grid[1] * tile_w
+    # NB: every BlockSpec needs an explicit index map — under
+    # jax_enable_x64 the auto-generated default map returns i64 indices,
+    # which Mosaic fails to legalize.
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((5,), lambda i, j: (jnp.int32(0),),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(
+            (tile_h, tile_w),
+            lambda i, j: (i, j),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((padded_h, padded_w), jnp.uint32),
+        interpret=interpret,
+    )(scalars)
+    return out[:height, :width]
+
+
+def escape_pallas(params: PlainParams, width: int, height: int,
+                  max_iter: int, dtype=jnp.float32,
+                  tile_h: int = TILE_H, tile_w: int = TILE_W,
+                  interpret: bool = False):
+    """Tiled Pallas escape kernel (f32 on TPU; f64 via interpret on CPU).
+
+    max_iter must fit int32 for this path; deeper budgets use the
+    perturbation/LA renderers where per-pixel counts stay small.
+    """
+    if max_iter >= (1 << 31):
+        raise ValueError("escape_pallas supports max_iter < 2^31")
+    dtype = jnp.dtype(dtype)
+    scalars = jnp.array(
+        [params.min_x, params.max_y, params.dx, params.dy, float(max_iter)],
+        dtype=dtype)
+    out = _escape_pallas_impl(scalars, width, height, dtype,
+                              tile_h, tile_w, interpret)
+    return out
