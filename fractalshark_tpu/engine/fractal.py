@@ -150,7 +150,8 @@ class Fractal:
             return escape.escape_jax(params, w, h, n, dtype=dt)
         if alg.dtype in ("2x32", "2x64", "4x32", "4x64"):
             from fractalshark_tpu.ops import dblflt
-            return dblflt.escape_df(params, w, h, n, variant=alg.dtype,
+            # pass the high-precision view: (hi, lo) splits must be exact
+            return dblflt.escape_df(self.ptz, w, h, n, variant=alg.dtype,
                                     backend=self.backend)
         if alg.dtype in ("hdr32", "hdr64"):
             from fractalshark_tpu.ops import hdr_escape
