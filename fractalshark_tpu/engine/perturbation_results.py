@@ -1,0 +1,228 @@
+"""Reference-orbit storage + compression.
+
+Re-design of the reference ``PerturbationResults``
+(``FractalSharkLib/PerturbationResults.h:59-367``): one reference orbit =
+the low-precision shadow (x_n, y_n) of the high-precision iteration
+z←z²+c at the orbit center, plus metadata {hi-precision center, period,
+max radius, iteration budget}.
+
+Orbit values are O(1) in magnitude, so they are stored as float64 numpy
+arrays and cast to the render dtype at device-upload time (the
+reference's type-erased variant zoo over {f32,f64,2x32,HDR×3} collapses
+to one canonical representation + casts).
+
+Compression (``PerturbationResults.h:370-394``, algorithm due to
+Zhuoran / fractalforums — SURVEY.md A.4): a compressor shadows the
+low-precision recurrence from the last stored anchor and stores an orbit
+point only when the relative reconstruction error exceeds
+2^-CompressionErrorExp. Decompression *recomputes* spans from anchors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from fractalshark_tpu.core.highprecision import HighPrecision
+
+ESCAPE_RADIUS_SQ = 256.0  # reference orbit escape (PeriodicityChecker.h:95)
+
+ORBIT_FORMAT_VERSION = "1.0"
+
+
+@dataclass
+class PerturbationResults:
+    # high-precision orbit center
+    center_x: HighPrecision
+    center_y: HighPrecision
+    # low-precision orbit shadow, uncompressed: z_0 .. z_{n-1}
+    orbit_x: np.ndarray
+    orbit_y: np.ndarray
+    max_radius: HighPrecision          # view half-height at creation
+    period: int = 0                    # 0 = no period detected
+    escaped_at: int = 0                # 0 = did not escape
+    max_iterations: int = 0            # budget the orbit was computed for
+    precision_bits: int = 0
+    compression_error_exp: int | None = None
+    # intermediate-precision reuse orbit (perturbed perturbation) — later
+    extra: dict = field(default_factory=dict)
+
+    # ------------------------------------------------------------- queries
+
+    def count_orbit_entries(self) -> int:
+        return len(self.orbit_x)
+
+    def get_complex(self, j: int) -> complex:
+        return complex(self.orbit_x[j], self.orbit_y[j])
+
+    def period_maybe_zero(self) -> int:
+        return self.period
+
+    def is_useful_for(self, ptz, num_iterations: int) -> bool:
+        """Usefulness test (RefOrbitCalc.cpp:2264-2288): the orbit center
+        must lie inside the view and the orbit must cover the budget
+        (or have ended naturally by period/escape)."""
+        inside = (ptz.min_x <= self.center_x <= ptz.max_x and
+                  ptz.min_y <= self.center_y <= ptz.max_y)
+        if not inside:
+            return False
+        if self.period > 0 or self.escaped_at > 0:
+            return True
+        return self.max_iterations >= num_iterations
+
+    # -------------------------------------------------------- device views
+
+    def max_ref_iteration(self) -> int:
+        return self.count_orbit_entries() - 1
+
+    def device_orbit(self, dtype=np.float64):
+        """Orbit arrays for device upload, with ONE extra wraparound
+        entry so kernels may read Z[j+1] at j == maxRefIteration before
+        the rebase test fires: Z[count] = Z[0] for periodic orbits
+        (z_{n+p} = z_n), else the last value repeated."""
+        x = self.orbit_x.astype(dtype, copy=False)
+        y = self.orbit_y.astype(dtype, copy=False)
+        if self.period > 0:
+            wx, wy = x[:1], y[:1]
+        else:
+            wx, wy = x[-1:], y[-1:]
+        return (np.concatenate([x, wx]), np.concatenate([y, wy]))
+
+    # ---------------------------------------------------------- compression
+
+    def compress(self, error_exp: int = 20) -> "CompressedOrbit":
+        return CompressedOrbit.from_uncompressed(self, error_exp)
+
+    # --------------------------------------------------------------- disk IO
+
+    def save(self, path: str) -> None:
+        """Own format: metadata JSON + raw orbit arrays (optionally
+        compressed). The reference persists orbits as mmap-backed files
+        with a text metadata header (PerturbationResults.h:84,142-156)."""
+        meta = {
+            "version": ORBIT_FORMAT_VERSION,
+            "center_x": self.center_x.to_string(),
+            "center_y": self.center_y.to_string(),
+            "max_radius": self.max_radius.to_string(),
+            "period": self.period,
+            "escaped_at": self.escaped_at,
+            "max_iterations": self.max_iterations,
+            "precision_bits": self.precision_bits,
+            "count": int(self.count_orbit_entries()),
+            "compression_error_exp": self.compression_error_exp,
+        }
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
+        np.savez(path + ".orbit.npz", x=self.orbit_x, y=self.orbit_y)
+
+    @staticmethod
+    def load(path: str) -> "PerturbationResults":
+        with open(path + ".meta.json") as f:
+            meta = json.load(f)
+        if meta["version"] != ORBIT_FORMAT_VERSION:
+            raise ValueError(f"orbit format version {meta['version']}")
+        prec = meta["precision_bits"] or 256
+        arrs = np.load(path + ".orbit.npz", mmap_mode=None)
+        return PerturbationResults(
+            center_x=HighPrecision(meta["center_x"], prec=prec),
+            center_y=HighPrecision(meta["center_y"], prec=prec),
+            orbit_x=arrs["x"], orbit_y=arrs["y"],
+            max_radius=HighPrecision(meta["max_radius"], prec=64),
+            period=meta["period"], escaped_at=meta["escaped_at"],
+            max_iterations=meta["max_iterations"],
+            precision_bits=meta["precision_bits"],
+            compression_error_exp=meta.get("compression_error_exp"),
+        )
+
+
+@dataclass
+class CompressedOrbit:
+    """SimpleCompression: stored anchors + their uncompressed indices.
+
+    Reconstruction re-iterates z←z²+c_low forward from the nearest
+    anchor (PerturbationResultsHelpers.h:51-161) — decompression is
+    recomputation, not decoding.
+    """
+    anchors_x: np.ndarray        # float64 [M]
+    anchors_y: np.ndarray
+    anchor_index: np.ndarray     # int64 [M] — uncompressed index of anchor
+    total_count: int             # uncompressed orbit length
+    cx_low: float                # low-precision center (recurrence constant)
+    cy_low: float
+    error_exp: int
+
+    @staticmethod
+    def from_uncompressed(res: PerturbationResults,
+                          error_exp: int = 20) -> "CompressedOrbit":
+        """Store z_i iff |shadow_i - z_i| * 2^errorExp >= |z_i|
+        (relative error test, PerturbationResults.cpp:2347-2381)."""
+        x = res.orbit_x
+        y = res.orbit_y
+        n = len(x)
+        cx = float(res.center_x)
+        cy = float(res.center_y)
+        threshold_scale = float(2.0 ** error_exp)
+        ax, ay, ai = [], [], []
+        # shadow recurrence state
+        zx, zy = 0.0, 0.0
+        have_anchor = False
+        for i in range(n):
+            tx, ty = x[i], y[i]
+            if have_anchor:
+                err = (zx - tx) ** 2 + (zy - ty) ** 2
+                mag = tx * tx + ty * ty
+                store = err * threshold_scale * threshold_scale >= mag
+            else:
+                store = True
+            if store:
+                ax.append(tx)
+                ay.append(ty)
+                ai.append(i)
+                zx, zy = tx, ty
+                have_anchor = True
+            # advance shadow: z ← z² + c
+            zx, zy = zx * zx - zy * zy + cx, 2.0 * zx * zy + cy
+        return CompressedOrbit(
+            anchors_x=np.asarray(ax), anchors_y=np.asarray(ay),
+            anchor_index=np.asarray(ai, np.int64), total_count=n,
+            cx_low=cx, cy_low=cy, error_exp=error_exp)
+
+    def compression_ratio(self) -> float:
+        return self.total_count / max(1, len(self.anchors_x))
+
+    def decompress(self) -> tuple[np.ndarray, np.ndarray]:
+        """Reconstruct the full orbit by recomputation from anchors."""
+        n = self.total_count
+        x = np.empty(n, np.float64)
+        y = np.empty(n, np.float64)
+        m = len(self.anchors_x)
+        for k in range(m):
+            start = int(self.anchor_index[k])
+            end = int(self.anchor_index[k + 1]) if k + 1 < m else n
+            zx = float(self.anchors_x[k])
+            zy = float(self.anchors_y[k])
+            for i in range(start, end):
+                x[i] = zx
+                y[i] = zy
+                zx, zy = (zx * zx - zy * zy + self.cx_low,
+                          2.0 * zx * zy + self.cy_low)
+        return x, y
+
+    def save(self, path: str) -> None:
+        np.savez(path,
+                 ax=self.anchors_x, ay=self.anchors_y,
+                 ai=self.anchor_index,
+                 meta=np.asarray([self.total_count, self.error_exp],
+                                 np.int64),
+                 c=np.asarray([self.cx_low, self.cy_low]))
+
+    @staticmethod
+    def load(path: str) -> "CompressedOrbit":
+        z = np.load(path)
+        return CompressedOrbit(
+            anchors_x=z["ax"], anchors_y=z["ay"], anchor_index=z["ai"],
+            total_count=int(z["meta"][0]), error_exp=int(z["meta"][1]),
+            cx_low=float(z["c"][0]), cy_low=float(z["c"][1]))

@@ -1,0 +1,207 @@
+"""Reference-orbit computation & cache.
+
+Host-side equivalent of ``RefOrbitCalc``
+(``FractalSharkLib/RefOrbitCalc.cpp``). The high-precision iteration
+z ← z² + c runs in *fixed-point binary on Python integers* (replacing
+MPIR): value = mant / 2^F with F = precision bits. Squarings are big-int
+multiplies; CPython's Karatsuba covers moderate precision, and a native
+module / the NTT TPU pipeline take over at scale.
+
+Semantics mirrored from the reference ST loop
+(``RefOrbitCalc.cpp:470-625``):
+
+* z starts at c; orbit entry i stores the low-precision shadow of z_i
+  *before* the update (orbit[0] = c).
+* periodicity (``PeriodicityChecker.h:46-76``): track dzdc (derivative
+  w.r.t. c, low precision HDR); period found when
+  max(|zx|,|zy|) < maxRadius * max(|dzdcX|,|dzdcY|) * 2, checked BEFORE
+  the dzdc update; the period equals the number of stored entries.
+* escape: |old_z + c|² > 256 (``RefOrbitCalc.cpp:619-624``).
+"""
+
+from __future__ import annotations
+
+import math
+import threading
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from fractalshark_tpu.core.hdr_host import HD
+from fractalshark_tpu.core.highprecision import HighPrecision
+from fractalshark_tpu.core.pointzoom import PointZoomBBConverter
+from fractalshark_tpu.core.precision import precision_from_view
+from fractalshark_tpu.engine.perturbation_results import PerturbationResults
+
+_CHUNK = 4096  # abort/progress check interval (AbortMonitor.h:22 uses 16384)
+
+
+def _fx_to_float(mant: int, fbits: int) -> float:
+    """Exact double shadow of mant / 2^fbits (round to nearest via top
+    54 bits)."""
+    if mant == 0:
+        return 0.0
+    neg = mant < 0
+    m = -mant if neg else mant
+    nb = m.bit_length()
+    if nb <= 54:
+        v = math.ldexp(m, -fbits)
+    else:
+        shift = nb - 54
+        top = (m >> shift) + ((m >> (shift - 1)) & 1)  # round-nearest-ish
+        v = math.ldexp(top, shift - fbits)
+    return -v if neg else v
+
+
+def compute_reference_orbit(center_x: HighPrecision,
+                            center_y: HighPrecision,
+                            max_iterations: int,
+                            max_radius: HighPrecision,
+                            periodicity: bool = True,
+                            precision_bits: int | None = None,
+                            abort_flag: threading.Event | None = None,
+                            progress_cb=None) -> PerturbationResults:
+    prec = precision_bits or max(center_x.prec, center_y.prec)
+    F = prec + 16
+
+    def to_fx(hp: HighPrecision) -> int:
+        # mant * 2^exp → round(mant * 2^(exp+F))
+        sh = hp.exp + F
+        return hp.mant << sh if sh >= 0 else _round_shift(hp.mant, -sh)
+
+    def _round_shift(m: int, s: int) -> int:
+        if s == 0:
+            return m
+        half = 1 << (s - 1)
+        return (m + half) >> s if m >= 0 else -((-m + half) >> s)
+
+    cxi = to_fx(center_x)
+    cyi = to_fx(center_y)
+    zx, zy = cxi, cyi
+
+    radius = HD.from_hp(max_radius)
+    dzdc_x = HD.from_float(1.0)
+    dzdc_y = HD.zero()
+
+    # The orbit starts with a zero entry (PerturbationResults.cpp:866-868
+    # "Add an empty entry at the start"): Z[0] = z_0 = 0 — required for
+    # the rebasing algebra (dz ← z_full, j ← 0 assumes Z[0] = 0).
+    xs: list[float] = [0.0]
+    ys: list[float] = [0.0]
+    period = 0
+    escaped_at = 0
+
+    half = 1 << (F - 1)
+
+    def sq(a: int) -> int:
+        return (a * a + half) >> F
+
+    t0 = time.perf_counter()
+    i = 0
+    while i < max_iterations:
+        if (i & (_CHUNK - 1)) == 0:
+            if abort_flag is not None and abort_flag.is_set():
+                break
+            if progress_cb is not None and i:
+                progress_cb(i, max_iterations, time.perf_counter() - t0)
+
+        lzx = _fx_to_float(zx, F)
+        lzy = _fx_to_float(zy, F)
+        xs.append(lzx)
+        ys.append(lzy)
+
+        if periodicity:
+            azx = HD.from_float(abs(lzx))
+            azy = HD.from_float(abs(lzy))
+            n2 = azy if azx.lt(azy) else azx
+            r0 = dzdc_y.abs() if dzdc_x.abs().lt(dzdc_y.abs()) else dzdc_x.abs()
+            n3 = (radius * r0).mul_pow2(1)
+            if n2.lt(n3):
+                period = len(xs)
+                break
+            ndx = (dzdc_x.mul_float(lzx) - dzdc_y.mul_float(lzy)).mul_pow2(1) \
+                + HD.from_float(1.0)
+            ndy = (dzdc_y.mul_float(lzx) + dzdc_x.mul_float(lzy)).mul_pow2(1)
+            dzdc_x, dzdc_y = ndx, ndy
+
+        # z ← z² + c  (zy first needs old zx)
+        zx2 = sq(zx)
+        zy2 = sq(zy)
+        zxzy = (zx * zy + half) >> F
+        zx = zx2 - zy2 + cxi
+        zy = (zxzy << 1) + cyi
+
+        # escape test on old z + c (reference RefOrbitCalc.cpp:619-624)
+        tx = lzx + _fx_to_float(cxi, F)
+        ty = lzy + _fx_to_float(cyi, F)
+        if tx * tx + ty * ty > 256.0:
+            escaped_at = len(xs)
+            break
+        i += 1
+
+    return PerturbationResults(
+        center_x=center_x, center_y=center_y,
+        orbit_x=np.asarray(xs, np.float64),
+        orbit_y=np.asarray(ys, np.float64),
+        max_radius=max_radius,
+        period=period, escaped_at=escaped_at,
+        max_iterations=max_iterations,
+        precision_bits=prec)
+
+
+@dataclass
+class RefOrbitCalc:
+    """Orbit cache + orchestration (RefOrbitCalc.h / .cpp).
+
+    The reference serializes access with a mutex (RefOrbitCalc.h:414)
+    and keys cache hits on a usefulness test (RefOrbitCalc.cpp:2264) —
+    same here.
+    """
+    cache: list[PerturbationResults] = field(default_factory=list)
+    lock: threading.Lock = field(default_factory=threading.Lock)
+    max_cached: int = 8
+    last_details: dict = field(default_factory=dict)
+
+    def get_and_create_useful_results(
+            self, ptz: PointZoomBBConverter, num_iterations: int,
+            periodicity: bool | None = None,
+            abort_flag: threading.Event | None = None) -> PerturbationResults:
+        if periodicity is None:
+            # auto: dzdc period detection false-positives when the view
+            # radius is O(1); enable only at depth
+            periodicity = ptz.radius.exponent2() < -10
+        with self.lock:
+            for res in reversed(self.cache):
+                if res.is_useful_for(ptz, num_iterations):
+                    self.last_details = {"cache_hit": True,
+                                         "orbit_len": res.count_orbit_entries(),
+                                         "period": res.period}
+                    return res
+        prec = precision_from_view(ptz) + 32
+        cx = ptz.pt_x.with_precision(prec)
+        cy = ptz.pt_y.with_precision(prec)
+        t0 = time.perf_counter()
+        res = compute_reference_orbit(
+            cx, cy, num_iterations, ptz.radius,
+            periodicity=periodicity, precision_bits=prec,
+            abort_flag=abort_flag)
+        dt = time.perf_counter() - t0
+        with self.lock:
+            self.cache.append(res)
+            if len(self.cache) > self.max_cached:
+                # evict oldest (OptimizeMemory, RefOrbitCalc.cpp:128)
+                self.cache.pop(0)
+            self.last_details = {
+                "cache_hit": False,
+                "orbit_len": res.count_orbit_entries(),
+                "period": res.period,
+                "escaped_at": res.escaped_at,
+                "precision_bits": prec,
+                "ref_orbit_s": dt,
+            }
+        return res
+
+    def clear(self) -> None:
+        with self.lock:
+            self.cache.clear()

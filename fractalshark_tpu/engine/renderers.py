@@ -1,0 +1,70 @@
+"""Perturbed-render orchestration: orbit acquisition → delta kernels.
+
+The analogue of the reference's CalcGpuPerturbationFractal* /
+CalcCpuPerturbationFractal* family (``Fractal.cpp:2230-2790``): fetch or
+compute a reference orbit (cached), build the per-pixel delta grid, run
+the dtype-appropriate delta kernel.  LA (LAv2) table acceleration plugs
+in here once built: LAv2 algorithms run {AT skip → LA stepping →
+perturbation tail}; until the LA table is attached they fall back to the
+pure perturbation tail (≡ the reference's PO mode with zero skip).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from fractalshark_tpu.core.algorithms import Family, LAMode, RenderAlgorithm
+from fractalshark_tpu.engine.reforbit import RefOrbitCalc
+from fractalshark_tpu.ops import perturb
+
+
+def get_orbit_calc(fractal) -> RefOrbitCalc:
+    if fractal._orbit_cache is None:
+        fractal._orbit_cache = RefOrbitCalc()
+    return fractal._orbit_cache
+
+
+def calc_perturbed(fractal, alg: RenderAlgorithm):
+    w, h = fractal._render_dims()
+    calc = get_orbit_calc(fractal)
+
+    t0 = time.perf_counter()
+    results = calc.get_and_create_useful_results(
+        fractal.ptz, fractal.num_iterations)
+    fractal.benchmark.ref_orbit_s = time.perf_counter() - t0
+    fractal.benchmark.extra.update(calc.last_details)
+
+    use_la = (alg.family is Family.PERTURB_LAV2 and
+              alg.la_mode in (LAMode.FULL, LAMode.LAO))
+    la = None
+    if use_la:
+        try:
+            from fractalshark_tpu.engine.la_reference import get_or_build_la
+        except ImportError:
+            get_or_build_la = None  # LA subsystem not built yet
+        if get_or_build_la is not None:
+            t0 = time.perf_counter()
+            la = get_or_build_la(fractal, results)
+            fractal.benchmark.la_generation_s = time.perf_counter() - t0
+
+    if la is not None:
+        from fractalshark_tpu.ops import la_kernel
+        sub = np.float32 if alg.dtype in ("f32", "hdr32", "2x32",
+                                          "hdr2x32") else np.float64
+        return la_kernel.la_perturb_render(
+            results, la, fractal.ptz, w, h, fractal.num_iterations,
+            sub_dtype=sub,
+            la_only=(alg.la_mode is LAMode.LAO))
+
+    if alg.dtype in ("f32", "f64"):
+        dt = np.float32 if alg.dtype == "f32" else np.float64
+        return perturb.perturb_render_float(
+            results, fractal.ptz, w, h, fractal.num_iterations, dtype=dt)
+    if alg.dtype in ("hdr32", "hdr64", "hdr2x32", "2x32"):
+        sub = np.float64 if alg.dtype == "hdr64" else np.float32
+        return perturb.perturb_render_hdr(
+            results, fractal.ptz, w, h, fractal.num_iterations,
+            sub_dtype=sub)
+    raise NotImplementedError(f"perturbed dtype {alg.dtype}")

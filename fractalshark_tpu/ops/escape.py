@@ -76,14 +76,14 @@ def _iter_dtype(max_iter: int):
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "dtype", "iter_dtype"))
-def _escape_jax_impl(min_x, max_y, dx, dy, max_iter, width, height,
-                     dtype, iter_dtype):
+def _escape_jax_impl(min_x, max_y, dx, dy, max_iter, radius_sq, width,
+                     height, dtype, iter_dtype):
     xs = jnp.arange(width, dtype=dtype)
     ys = jnp.arange(height, dtype=dtype)
     cx = (min_x + xs * dx)[None, :] * jnp.ones((height, 1), dtype)
     cy = (max_y - ys * dy)[:, None] * jnp.ones((1, width), dtype)
 
-    four = jnp.asarray(4.0, dtype)
+    four = radius_sq.astype(dtype)
     max_it = max_iter.astype(iter_dtype)
 
     def chunk(state):
@@ -118,14 +118,18 @@ def _escape_jax_impl(min_x, max_y, dx, dy, max_iter, width, height,
 
 
 def escape_jax(params: PlainParams, width: int, height: int, max_iter: int,
-               dtype=jnp.float64):
-    """Lockstep masked escape iteration over the full image."""
+               dtype=jnp.float64, escape_radius_sq: float = 4.0):
+    """Lockstep masked escape iteration over the full image.
+
+    escape_radius_sq: 4 for plain renders (Fractal.cpp:2168); pass 256
+    to mirror the perturbation renderers' escape test for comparisons."""
     iter_dtype = _iter_dtype(max_iter)
     dtype = jnp.dtype(dtype)
     return _escape_jax_impl(
         jnp.asarray(params.min_x, dtype), jnp.asarray(params.max_y, dtype),
         jnp.asarray(params.dx, dtype), jnp.asarray(params.dy, dtype),
         jnp.asarray(max_iter, iter_dtype),
+        jnp.asarray(escape_radius_sq, dtype),
         width, height, dtype, iter_dtype)
 
 
