@@ -91,3 +91,76 @@ class HD:
 
     def __repr__(self):
         return f"HD({self.m}*2^{self.e})"
+
+
+@dataclass(frozen=True, slots=True)
+class HDC:
+    """Host complex HDR: value = m * 2**e with m a python complex whose
+    Chebyshev norm is kept in [1,2) by reduce() (or 0).  Mirrors
+    HDRFloatComplex's shared-exponent layout for the LA table builder."""
+    m: complex
+    e: int
+
+    @staticmethod
+    def zero() -> "HDC":
+        return HDC(0j, 0)
+
+    @staticmethod
+    def from_complex(z: complex) -> "HDC":
+        return HDC(complex(z), 0).reduce()
+
+    def reduce(self) -> "HDC":
+        big = max(abs(self.m.real), abs(self.m.imag))
+        if big == 0.0:
+            return HDC(0j, 0)
+        _, e2 = math.frexp(big)
+        k = e2 - 1  # cheb(m) in [1,2) after scaling by 2^-k
+        return HDC(complex(math.ldexp(self.m.real, -k),
+                           math.ldexp(self.m.imag, -k)), self.e + k)
+
+    def __mul__(self, o: "HDC") -> "HDC":
+        return HDC(self.m * o.m, self.e + o.e).reduce()
+
+    def mul_hd(self, s: HD) -> "HDC":
+        return HDC(self.m * s.m, self.e + s.e).reduce()
+
+    def mul_float(self, s: float) -> "HDC":
+        return HDC(self.m * s, self.e).reduce()
+
+    def __add__(self, o: "HDC") -> "HDC":
+        if self.m == 0:
+            return o
+        if o.m == 0:
+            return self
+        big, small = (self, o) if self.e >= o.e else (o, self)
+        d = big.e - small.e
+        if d > 128:
+            return big
+        return HDC(big.m + complex(math.ldexp(small.m.real, -d),
+                                   math.ldexp(small.m.imag, -d)),
+                   big.e).reduce()
+
+    def __sub__(self, o: "HDC") -> "HDC":
+        return self + HDC(-o.m, o.e)
+
+    def cheb(self) -> HD:
+        return HD(max(abs(self.m.real), abs(self.m.imag)), self.e).reduce()
+
+    def norm_sqr(self) -> HD:
+        return HD(abs(self.m) ** 2, 2 * self.e).reduce()
+
+    def reciprocal(self) -> "HDC":
+        return HDC(1.0 / self.m, -self.e).reduce()
+
+    def to_complex(self) -> complex:
+        if self.m == 0:
+            return 0j
+        if self.e > 1000:
+            return complex(math.inf, math.inf)
+        if self.e < -1000:
+            return 0j
+        return complex(math.ldexp(self.m.real, self.e),
+                       math.ldexp(self.m.imag, self.e))
+
+    def __repr__(self):
+        return f"HDC({self.m}*2^{self.e})"

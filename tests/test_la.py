@@ -1,0 +1,139 @@
+"""LAv2 tests: table construction invariants + render agreement with
+the perturbation-only path (the reference pins LAv2 correctness the
+same way: CrummyTest renders views across algorithm pairs)."""
+
+import numpy as np
+import pytest
+
+from fractalshark_tpu.core.hdr_host import HD, HDC
+from fractalshark_tpu.core.pointzoom import PointZoomBBConverter
+from fractalshark_tpu.engine.la_reference import (LAParameters,
+                                                  LAReferenceHost,
+                                                  _composite, _new_node,
+                                                  _step)
+from fractalshark_tpu.engine.reforbit import RefOrbitCalc
+from fractalshark_tpu.ops import la_kernel, perturb
+
+
+@pytest.fixture(scope="module")
+def deep_view():
+    ptz = PointZoomBBConverter(
+        pt_x="-0.743643887037158704752191506114774",
+        pt_y="0.131825904205311970493132056385139",
+        zoom_factor="1e8", prec=512).square_aspect_ratio(32, 32)
+    calc = RefOrbitCalc()
+    res = calc.get_and_create_useful_results(ptz, 3000)
+    la = LAReferenceHost.generate(res.orbit_x, res.orbit_y,
+                                  HD.from_hp(res.max_radius))
+    return ptz, res, la
+
+
+def test_node_step_algebra():
+    """Step: ZCoeff *= 2z, CCoeff = 2z·CCoeff + 1 (LAInfoDeep.h:230-239),
+    thresholds shrink monotonically."""
+    p = LAParameters()
+    z1 = HDC.from_complex(0.5 + 0.25j)
+    node = _new_node(p, HDC.zero())
+    n1, _ = _step(p, node, z1)
+    # ZCoeff = 2*z1*1
+    np.testing.assert_allclose(
+        abs(n1.zcoeff.to_complex() - 2 * (0.5 + 0.25j)), 0, atol=1e-15)
+    # CCoeff = 2*z1*1 + 1
+    np.testing.assert_allclose(
+        abs(n1.ccoeff.to_complex() - (2 * (0.5 + 0.25j) + 1)), 0, atol=1e-15)
+    z2 = HDC.from_complex(-0.3 + 0.7j)
+    n2, _ = _step(p, n1, z2)
+    np.testing.assert_allclose(
+        abs(n2.zcoeff.to_complex() -
+            2 * (-0.3 + 0.7j) * n1.zcoeff.to_complex()), 0, atol=1e-14)
+    assert not n1.la_threshold.lt(n2.la_threshold)  # n2.thr <= n1.thr
+
+
+def test_composite_equals_stepping():
+    """Composite(A, B) must equal stepping A through B's covered orbit
+    points for the ZCoeff chain: ZCoeff_AB = ZCoeff_A' * ZCoeff_B."""
+    p = LAParameters()
+    orbit = [0.4 + 0.1j, -0.2 + 0.5j, 0.3 - 0.6j, 0.1 + 0.2j]
+    # node A covers orbit[1] (built at orbit[0], stepped through orbit[1])
+    a = _new_node(p, HDC.from_complex(orbit[0]))
+    a, _ = _step(p, a, HDC.from_complex(orbit[1]))
+    a.step_length = 2
+    # node B at orbit[2]... stepped through orbit[3]
+    b = _new_node(p, HDC.from_complex(orbit[2]))
+    b, _ = _step(p, b, HDC.from_complex(orbit[3]))
+    b.step_length = 2
+    ab, _ = _composite(p, a, b)
+    # step A through orbit[2], orbit[3] manually
+    a2, _ = _step(p, a, HDC.from_complex(orbit[2]))
+    a3, _ = _step(p, a2, HDC.from_complex(orbit[3]))
+    np.testing.assert_allclose(
+        abs(ab.zcoeff.to_complex() - a3.zcoeff.to_complex()), 0,
+        atol=1e-13 * abs(a3.zcoeff.to_complex()))
+    np.testing.assert_allclose(
+        abs(ab.ccoeff.to_complex() - a3.ccoeff.to_complex()), 0,
+        atol=1e-13 * abs(a3.ccoeff.to_complex()))
+
+
+def test_la_table_invariants(deep_view):
+    _, res, la = deep_view
+    assert la.is_valid
+    assert la.stage_count >= 1
+    max_ref = res.count_orbit_entries() - 1
+    # stage 0 step lengths partition [0, max_ref]
+    idx0 = la.stage_la_index[0]
+    count0 = la.stage_macro_it_count[0]
+    total = sum(la.las[idx0 + k].step_length for k in range(count0))
+    assert total == max_ref
+    # each higher stage also partitions the orbit
+    for s in range(1, la.stage_count):
+        idx = la.stage_la_index[s]
+        cnt = la.stage_macro_it_count[s]
+        total = sum(la.las[idx + k].step_length for k in range(cnt))
+        assert total == max_ref, (s, total, max_ref)
+        # and has fewer nodes than the stage below
+        assert cnt < la.stage_macro_it_count[s - 1]
+
+
+def test_la_render_matches_perturbation_exactly(deep_view):
+    ptz, res, la = deep_view
+    pert = np.asarray(perturb.perturb_render_hdr(
+        res, ptz, 32, 32, 3000, sub_dtype=np.float64))
+    lav = np.asarray(la_kernel.la_perturb_render(
+        res, la, ptz, 32, 32, 3000, sub_dtype=np.float64))
+    assert (lav == pert).mean() > 0.97
+
+
+def test_la_render_f32(deep_view):
+    ptz, res, la = deep_view
+    lav32 = np.asarray(la_kernel.la_perturb_render(
+        res, la, ptz, 32, 32, 3000, sub_dtype=np.float32))
+    lav64 = np.asarray(la_kernel.la_perturb_render(
+        res, la, ptz, 32, 32, 3000, sub_dtype=np.float64))
+    assert (lav32 == lav64).mean() > 0.85
+
+
+def test_lao_mode(deep_view):
+    """LA-only mode renders (no perturbation tail) — counts are close
+    to the full render where LA covers the escape, lower elsewhere."""
+    ptz, res, la = deep_view
+    full = np.asarray(la_kernel.la_perturb_render(
+        res, la, ptz, 32, 32, 3000, sub_dtype=np.float64))
+    lao = np.asarray(la_kernel.la_perturb_render(
+        res, la, ptz, 32, 32, 3000, sub_dtype=np.float64, la_only=True))
+    assert (lao <= full).all()
+    assert lao.max() > 0
+
+
+def test_engine_lav2_end_to_end():
+    from fractalshark_tpu.engine.fractal import Fractal
+    ptz = PointZoomBBConverter(
+        pt_x="-0.743643887037158704752191506114774",
+        pt_y="0.131825904205311970493132056385139",
+        zoom_factor="1e8", prec=512)
+    f = Fractal(width=24, height=24, view=ptz,
+                algorithm="GpuHDRx32PerturbedLAv2",
+                num_iterations=2500, backend="cpu")
+    iters = np.asarray(f.calc_fractal())
+    assert iters.shape == (24, 24)
+    assert f.benchmark.la_generation_s > 0
+    assert iters.max() > 800
