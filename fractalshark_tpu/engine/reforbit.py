@@ -162,6 +162,10 @@ class RefOrbitCalc:
     lock: threading.Lock = field(default_factory=threading.Lock)
     max_cached: int = 8
     last_details: dict = field(default_factory=dict)
+    # "host"  = fixed-point Python-int orbit (MT3-analogue)
+    # "device"= NTT bignum pipeline on TPU (GPU-orbit analogue,
+    #           RefOrbitCalc.cpp:2167)
+    orbit_backend: str = "host"
 
     def get_and_create_useful_results(
             self, ptz: PointZoomBBConverter, num_iterations: int,
@@ -182,10 +186,17 @@ class RefOrbitCalc:
         cx = ptz.pt_x.with_precision(prec)
         cy = ptz.pt_y.with_precision(prec)
         t0 = time.perf_counter()
-        res = compute_reference_orbit(
-            cx, cy, num_iterations, ptz.radius,
-            periodicity=periodicity, precision_bits=prec,
-            abort_flag=abort_flag)
+        if self.orbit_backend == "device":
+            from fractalshark_tpu.ops.bignum.orbit import (
+                compute_reference_orbit_device)
+            res = compute_reference_orbit_device(
+                cx, cy, num_iterations, ptz.radius,
+                periodicity=periodicity, abort_flag=abort_flag)
+        else:
+            res = compute_reference_orbit(
+                cx, cy, num_iterations, ptz.radius,
+                periodicity=periodicity, precision_bits=prec,
+                abort_flag=abort_flag)
         dt = time.perf_counter() - t0
         with self.lock:
             self.cache.append(res)

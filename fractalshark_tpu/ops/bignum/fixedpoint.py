@@ -1,0 +1,267 @@
+"""Fixed-point big-number arithmetic on 16-bit digit arrays (device).
+
+TPU-native counterpart of ``HpSharkFloat``
+(``HpSharkFloatLib/HpSharkFloat.h:243-321``) specialized to the z←z²+c
+iteration: numbers are **sign-magnitude fixed point**
+
+    value = sign · Σ d_i·2^(16·i) / 2^(16·FRAC)   (digits uint32 < 2^16)
+
+with INT_DIGITS = 2 integer digits (|z| bounded by the escape radius) —
+the reference instead carries a per-number exponent; a fixed exponent
+removes all normalization shifts from the hot loop (the reference's
+``FinalizeNormalize``/funnel-shift machinery, ``MultiplyNTT.cu:47-153``,
+``Add.cu:50``) at the cost of fixed precision, which is exactly what a
+reference orbit needs.
+
+Multiplication: 3-way shared-transform NTT (x², y², x·y from two forward
+transforms — mirrors ``RunNTT_3Way_Multiply``, ``MultiplyNTT.cu:2943``),
+CRT over two 31-bit primes, parallel carry propagation via a
+fixed-point-free while loop (the reference uses grid-wide sync passes).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fractalshark_tpu.core.highprecision import HighPrecision
+from fractalshark_tpu.ops.bignum import ntt as N
+from fractalshark_tpu.ops.bignum.u32 import add_carry, mul_full
+
+INT_DIGITS = 2          # 32 integer bits: |z²+c| < 256 plus headroom
+DIGIT_BITS = 16
+DIGIT_MASK = np.uint32(0xFFFF)
+
+_INV_P1_MOD_P2 = pow(N.P1, -1, N.P2)
+
+
+@dataclass(frozen=True)
+class FixedSpec:
+    """Shape/precision of one fixed-point format."""
+    digits: int              # D: total 16-bit digits
+    nfft: int                # transform size ≥ 2D
+
+    @property
+    def frac_digits(self) -> int:
+        return self.digits - INT_DIGITS
+
+    @property
+    def frac_bits(self) -> int:
+        return DIGIT_BITS * self.frac_digits
+
+    @staticmethod
+    def for_limbs(limbs32: int) -> "FixedSpec":
+        d = 2 * limbs32
+        nfft = 1 << (2 * d - 1).bit_length()
+        return FixedSpec(digits=d, nfft=nfft)
+
+
+# ----------------------------------------------------------- host converts
+
+
+def hp_to_digits(x: HighPrecision, spec: FixedSpec) -> tuple[int, np.ndarray]:
+    """(sign, digit array) of round(x · 2^frac_bits)."""
+    sh = x.exp + spec.frac_bits
+    mant = x.mant << sh if sh >= 0 else _round_shift(x.mant, -sh)
+    sign = -1 if mant < 0 else 1
+    mant = abs(mant)
+    out = np.zeros(spec.digits, np.uint32)
+    i = 0
+    while mant and i < spec.digits:
+        out[i] = mant & 0xFFFF
+        mant >>= 16
+        i += 1
+    if mant:
+        raise OverflowError("value exceeds fixed-point range")
+    return sign, out
+
+
+def _round_shift(m: int, s: int) -> int:
+    if s == 0:
+        return m
+    half = 1 << (s - 1)
+    return (m + half) >> s if m >= 0 else -((-m + half) >> s)
+
+
+def digits_to_int(digits: np.ndarray) -> int:
+    v = 0
+    for i, d in enumerate(np.asarray(digits).tolist()):
+        v += int(d) << (16 * i)
+    return v
+
+
+def digits_to_float(sign: int, digits: np.ndarray, spec: FixedSpec) -> float:
+    import math
+    v = digits_to_int(digits)
+    if v == 0:
+        return 0.0
+    nb = v.bit_length()
+    top = v >> max(0, nb - 56)
+    return sign * math.ldexp(top, max(0, nb - 56) - spec.frac_bits)
+
+
+# ------------------------------------------------------------ carry/borrow
+
+
+def carry_propagate(acc):
+    """Normalize an array of per-digit sums (each < 2^32) into canonical
+    16-bit digits: repeatedly move the overflow of digit i into digit
+    i+1 (the reference's grid-parallel carry passes)."""
+    def cond(a):
+        return jnp.max(a >> DIGIT_BITS) > 0
+
+    def body(a):
+        low = a & DIGIT_MASK
+        car = a >> DIGIT_BITS
+        car = jnp.concatenate(
+            [jnp.zeros((1,), jnp.uint32), car[:-1]])
+        return low + car
+
+    return jax.lax.while_loop(cond, body, acc)
+
+
+def borrow_propagate(acc):
+    """acc holds per-digit signed values as uint32 with wraparound
+    (a_i − b_i); ripple borrows until every digit is canonical."""
+    def cond(a):
+        return jnp.max(a >> DIGIT_BITS) > 0
+
+    def body(a):
+        low = a & DIGIT_MASK
+        # top bits set ⇒ this digit borrowed (wrapped negative)
+        borrow = (a >> DIGIT_BITS) & np.uint32(1)
+        # a digit that wrapped is ≥ 2^32 − 2^17: its low 16 bits are the
+        # correct digit; subtract the borrow from the next digit up
+        borrow_up = jnp.concatenate(
+            [jnp.zeros((1,), jnp.uint32), borrow[:-1]])
+        return low - borrow_up
+
+    return jax.lax.while_loop(cond, body, acc)
+
+
+def add_mag(a, b):
+    return carry_propagate(a + b)
+
+
+def sub_mag(a, b):
+    """|a| − |b| assuming a ≥ b (digitwise wraparound + borrow ripple)."""
+    return borrow_propagate(a - b)
+
+
+def cmp_mag(a, b):
+    """-1 / 0 / +1 comparison of magnitudes."""
+    diff = a != b
+    idx = jnp.where(diff, jnp.arange(a.shape[0], dtype=jnp.int32),
+                    -1).max()
+    safe = jnp.maximum(idx, 0)
+    av = a[safe]
+    bv = b[safe]
+    return jnp.where(idx < 0, 0,
+                     jnp.where(av > bv, 1, -1)).astype(jnp.int32)
+
+
+def signed_add(sa, a, sb, b):
+    """(sign, digits) of sa·a + sb·b (signs are ±1 int32)."""
+    same = sa == sb
+    c = cmp_mag(a, b)
+    big_a = c >= 0
+    mag_same = add_mag(a, b)
+    mag_diff = jnp.where(big_a, sub_mag(a, b), sub_mag(b, a))
+    mag = jnp.where(same, mag_same, mag_diff)
+    sign = jnp.where(same, sa, jnp.where(big_a, sa, sb))
+    is_zero = jnp.max(mag) == 0
+    return jnp.where(is_zero, 1, sign).astype(jnp.int32), mag
+
+
+def shift_left_one_bit(a):
+    """Multiply magnitude by 2."""
+    return carry_propagate(a << 1)
+
+
+# --------------------------------------------------------------- multiply
+
+
+def _pointwise(fa, fb, prime_idx):
+    p = (N.P1, N.P2)[prime_idx]
+    pprime, _, _ = N._MONT[p]
+    return N.mont_mul(fa, fb, p, pprime)
+
+
+def _crt_to_digit_sums(r1, r2, out_digits: int, nfft: int, round_digit: int):
+    """CRT-reconstruct convolution coefficients (mod p1, mod p2) into
+    per-digit accumulator sums, then carry-propagate to canonical digits.
+
+    rec = r1 + p1·((r2 − r1)·p1^-1 mod p2) < p1·p2 ≈ 2^62, carried as a
+    u32 (hi, lo) pair; its four 16-bit parts accumulate into digit lanes
+    k..k+3."""
+    p2 = np.uint32(N.P2)
+    pprime2, _, r2sq = N._MONT[N.P2]
+    # t = (r2 - r1) * inv_p1 mod p2 — via Montgomery: first reduce r1 mod p2
+    r1m = jnp.where(r1 >= p2, r1 - p2, r1)
+    diff = jnp.where(r2 >= r1m, r2 - r1m, r2 + p2 - r1m)
+    inv_mont = np.uint32((_INV_P1_MOD_P2 << 32) % N.P2)
+    t = N.mont_mul(diff, jnp.asarray(inv_mont), N.P2, pprime2)
+    # rec = r1 + p1 * t  (64-bit)
+    hi, lo = mul_full(t, jnp.asarray(np.uint32(N.P1)))
+    lo2, c = add_carry(lo, r1)
+    hi = hi + c
+
+    d0 = lo2 & DIGIT_MASK
+    d1 = lo2 >> 16
+    d2 = hi & DIGIT_MASK
+    d3 = hi >> 16
+
+    L = out_digits
+
+    def shifted(part, k):
+        return jnp.concatenate(
+            [jnp.zeros((k,), jnp.uint32), part[:max(0, L - k)]])[:L]
+
+    acc = (shifted(d0, 0) + shifted(d1, 1) +
+           shifted(d2, 2) + shifted(d3, 3))
+    if round_digit >= 0:
+        acc = acc.at[round_digit].add(np.uint32(1 << 15))
+    return carry_propagate(acc)
+
+
+def multiply_3way(ax, ay, spec: FixedSpec):
+    """Given magnitudes x, y (digit arrays of length spec.digits), return
+    the fixed-point-scaled magnitudes of (x², y², x·y) — two forward
+    transforms feed all three products (MultiplyNTT.cu:2943 3-way)."""
+    plan = N.make_plan(spec.nfft)
+    nf = spec.nfft
+    D = spec.digits
+    pad = nf - D
+
+    def fwd(v, pi):
+        p = (N.P1, N.P2)[pi]
+        vm = N.to_mont(jnp.concatenate(
+            [v, jnp.zeros((pad,), jnp.uint32)]), p)
+        return N.ntt_forward(vm, plan, pi)
+
+    results = []  # (xx, yy, xy) per prime
+    for pi in range(2):
+        fx = fwd(ax, pi)
+        fy = fwd(ay, pi)
+        xx = _pointwise(fx, fx, pi)
+        yy = _pointwise(fy, fy, pi)
+        xy = _pointwise(fx, fy, pi)
+        p = (N.P1, N.P2)[pi]
+        results.append(tuple(
+            N.from_mont(N.ntt_inverse(v, plan, pi), p)
+            for v in (xx, yy, xy)))
+
+    out = []
+    # product has 2D digits; the fixed-point result drops the low
+    # frac_digits (with round-to-nearest at the boundary) and keeps D.
+    F = spec.frac_digits
+    for k in range(3):
+        digits2d = _crt_to_digit_sums(results[0][k], results[1][k],
+                                      out_digits=2 * D, nfft=nf,
+                                      round_digit=F - 1)
+        out.append(digits2d[F:F + D])
+    return tuple(out)

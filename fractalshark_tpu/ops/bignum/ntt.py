@@ -1,0 +1,207 @@
+"""Number-theoretic transform over two 31-bit primes, uint32-only.
+
+TPU-native counterpart of the reference NTT engine
+(``HpSharkFloatLib/MultiplyNTT.cu``, plan builder
+``MultiplyNTTPlanBuilder.h:50-110``, Montgomery core
+``MontgomeryCoreConstexpr.h``). Differences by design:
+
+* the reference uses ONE 64-bit prime; TPU has no 64-bit integer
+  multiply, so we use TWO 31-bit NTT primes + CRT — all arithmetic
+  decomposes into exact u32/16-bit-half operations (u32.py);
+* transforms are iterative radix-2 Cooley–Tukey expressed as whole-array
+  reshapes/butterflies — each stage is a handful of elementwise vector
+  ops over the full coefficient array, which XLA maps onto the VPU
+  (the reference instead hand-schedules shared-memory tiles);
+* Montgomery domain (R = 2^32) throughout; root tables are precomputed
+  host-side with Python ints and shipped as constants.
+
+Primes: p1 = 15·2^27 + 1, p2 = 27·2^26 + 1 — both support transform
+sizes to 2^26, far beyond the 2^17 needed for 16384-limb operands.
+CRT capacity p1·p2 ≈ 2^61.9 against worst-case convolution coefficients
+of 2·Nfft·(2^16-1)^2 < 2^50 at Nfft = 2^17.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fractalshark_tpu.ops.bignum.u32 import mul_full, mul_lo
+
+P1 = 2013265921  # 15 * 2^27 + 1
+P2 = 1811939329  # 27 * 2^26 + 1
+G1 = 31          # primitive root mod P1
+G2 = 13          # primitive root mod P2
+
+DIGIT_BITS = 16
+
+
+def _mont_const(p: int) -> tuple[int, int, int]:
+    """(p' = -p^-1 mod 2^32, R mod p, R^2 mod p)."""
+    pinv = pow(p, -1, 1 << 32)
+    pprime = ((1 << 32) - pinv) % (1 << 32)
+    r = (1 << 32) % p
+    r2 = (r * r) % p
+    return pprime, r, r2
+
+
+@dataclass(frozen=True)
+class NTTPlan:
+    """Host-precomputed plan for one transform size."""
+    n: int                   # transform size (power of 2)
+    stages: int
+    # per prime: twiddle tables in Montgomery form, bit-rev permutation
+    tw_fwd: tuple            # (np.uint32[n//2], np.uint32[n//2])
+    tw_inv: tuple
+    n_inv_mont: tuple        # montgomery form of n^-1, per prime
+    perm: np.ndarray         # bit-reversal permutation [n]
+
+
+def _build_tables(p: int, g: int, n: int):
+    """Twiddles w^k (forward) and w^-k (inverse), Montgomery form,
+    grouped per stage in the layout the vectorized butterflies use."""
+    pprime, r, r2 = _mont_const(p)
+    w = pow(g, (p - 1) // n, p)
+    winv = pow(w, p - 2, p)
+
+    def mont(x):
+        return (x << 32) % p
+
+    fwd = np.zeros(n // 2, np.uint32)
+    inv = np.zeros(n // 2, np.uint32)
+    wk, wik = 1, 1
+    for k in range(n // 2):
+        fwd[k] = mont(wk)
+        inv[k] = mont(wik)
+        wk = wk * w % p
+        wik = wik * winv % p
+    n_inv = pow(n, p - 2, p)
+    return fwd, inv, np.uint32(mont(n_inv))
+
+
+@functools.lru_cache(maxsize=16)
+def make_plan(n: int) -> NTTPlan:
+    assert n & (n - 1) == 0, "transform size must be a power of two"
+    stages = n.bit_length() - 1
+    f1, i1, ninv1 = _build_tables(P1, G1, n)
+    f2, i2, ninv2 = _build_tables(P2, G2, n)
+    idx = np.arange(n)
+    rev = np.zeros(n, np.int32)
+    for i in range(n):
+        rev[i] = int(format(i, f"0{stages}b")[::-1], 2)
+    return NTTPlan(n=n, stages=stages,
+                   tw_fwd=(f1, f2), tw_inv=(i1, i2),
+                   n_inv_mont=(ninv1, ninv2), perm=rev)
+
+
+# ------------------------------------------------------------ modular ops
+
+
+def mont_redc(hi, lo, p: int, pprime: int):
+    """Montgomery reduction of the 64-bit value (hi,lo) < p·2^32:
+    returns (hi·2^32 + lo)·2^-32 mod p, in [0, p)."""
+    m = mul_lo(lo, np.uint32(pprime))
+    mp_hi, mp_lo = mul_full(m, np.uint32(p))
+    # lo + mp_lo ≡ 0 (mod 2^32); carry out iff lo != 0
+    carry = (lo != 0).astype(jnp.uint32)
+    t = hi + mp_hi + carry
+    return jnp.where(t >= np.uint32(p), t - np.uint32(p), t)
+
+
+def mont_mul(a, b, p: int, pprime: int):
+    hi, lo = mul_full(a, b)
+    return mont_redc(hi, lo, p, pprime)
+
+
+def mod_add(a, b, p: int):
+    s = a + b
+    return jnp.where(s >= np.uint32(p), s - np.uint32(p), s)
+
+
+def mod_sub(a, b, p: int):
+    return jnp.where(a >= b, a - b, a + np.uint32(p) - b)
+
+
+_MONT = {P1: _mont_const(P1), P2: _mont_const(P2)}
+
+
+def to_mont(x, p: int):
+    pprime, _, r2 = _MONT[p]
+    return mont_mul(x, jnp.asarray(np.uint32(r2)), p, pprime)
+
+
+def from_mont(x, p: int):
+    pprime, _, _ = _MONT[p]
+    return mont_redc(jnp.zeros_like(x), x, p, pprime)
+
+
+# ------------------------------------------------------------- transforms
+
+
+def _dif_forward(x, tw, p: int):
+    """Radix-2 decimation-in-frequency NTT: natural-order input →
+    BIT-REVERSED output (no permutation pass; the convolution's
+    pointwise product is order-agnostic).
+
+    Stage s ∈ [0, stages): blocks of bs = n>>s, halves hm = bs/2,
+    butterfly (a, b) → (a+b, (a−b)·w^(k·2^s)).
+    Each stage is a reshape + elementwise vector math — VPU-friendly.
+    """
+    pprime, _, _ = _MONT[p]
+    n = x.shape[-1]
+    stages = n.bit_length() - 1
+    tw_j = jnp.asarray(tw)
+    y = x
+    for s in range(stages):
+        hm = n >> (s + 1)
+        k = jnp.arange(hm, dtype=jnp.int32)
+        w = tw_j[k << s]                     # w^(k·2^s), Montgomery
+        y2 = y.reshape(y.shape[:-1] + (1 << s, 2, hm))
+        a = y2[..., 0, :]
+        b = y2[..., 1, :]
+        t = mod_add(a, b, p)
+        u = mont_mul(mod_sub(a, b, p), w, p, pprime)
+        y = jnp.stack([t, u], axis=-2).reshape(x.shape)
+    return y
+
+
+def _dit_inverse(x, tw, p: int):
+    """Radix-2 decimation-in-time inverse NTT: BIT-REVERSED input →
+    natural-order output. Stage s: blocks of bs = 2^(s+1), butterfly
+    (a, b·w^(-k·2^(stages-1-s))) → (a+u, a−u). Unscaled (no n^-1)."""
+    pprime, _, _ = _MONT[p]
+    n = x.shape[-1]
+    stages = n.bit_length() - 1
+    tw_j = jnp.asarray(tw)
+    y = x
+    for s in range(stages):
+        hm = 1 << s
+        k = jnp.arange(hm, dtype=jnp.int32)
+        w = tw_j[k << (stages - 1 - s)]
+        y2 = y.reshape(y.shape[:-1] + (n >> (s + 1), 2, hm))
+        a = y2[..., 0, :]
+        b = y2[..., 1, :]
+        u = mont_mul(b, w, p, pprime)
+        t0 = mod_add(a, u, p)
+        t1 = mod_sub(a, u, p)
+        y = jnp.stack([t0, t1], axis=-2).reshape(x.shape)
+    return y
+
+
+def ntt_forward(x, plan: NTTPlan, prime_idx: int):
+    """Forward NTT (output bit-reversed, Montgomery form)."""
+    p = (P1, P2)[prime_idx]
+    return _dif_forward(x, plan.tw_fwd[prime_idx], p)
+
+
+def ntt_inverse(x, plan: NTTPlan, prime_idx: int):
+    """Inverse NTT of a bit-reversed-order spectrum; scaled by n^-1."""
+    p = (P1, P2)[prime_idx]
+    pprime, _, _ = _MONT[p]
+    y = _dit_inverse(x, plan.tw_inv[prime_idx], p)
+    ninv = jnp.asarray(plan.n_inv_mont[prime_idx])
+    return mont_mul(y, ninv, p, pprime)
