@@ -58,6 +58,17 @@ def calc_perturbed(fractal, alg: RenderAlgorithm):
             sub_dtype=sub,
             la_only=(alg.la_mode is LAMode.LAO))
 
+    if alg.family is Family.PERTURB_BLA:
+        from fractalshark_tpu.engine.bla import get_or_build_bla
+        from fractalshark_tpu.ops import bla_kernel
+        t0 = time.perf_counter()
+        bla = get_or_build_bla(results)
+        fractal.benchmark.extra["bla_build_s"] = time.perf_counter() - t0
+        sub = np.float32 if alg.dtype in ("f32", "hdr32") else np.float64
+        return bla_kernel.bla_perturb_render(
+            results, bla, fractal.ptz, w, h, fractal.num_iterations,
+            sub_dtype=sub)
+
     if alg.dtype in ("f32", "f64"):
         dt = np.float32 if alg.dtype == "f32" else np.float64
         return perturb.perturb_render_float(
