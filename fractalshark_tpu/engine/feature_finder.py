@@ -1,0 +1,241 @@
+"""Feature Finder: periodic-point (minibrot) detection + Newton–Raphson
+/ Halley refinement at high precision.
+
+Rebuild of ``FractalSharkLib/FeatureFinder.{h,cpp}`` (interface
+``FeatureFinder.h:48-249``) and the high-precision orbit evaluator
+``MpirOrbitEval.h:18-43`` (``EvaluateCriticalOrbitAndDerivs``):
+
+* Phase A — candidate period: the dzdc periodicity test on the orbit of
+  the view center (same math as ``PeriodicityChecker.h:46-76``).
+* Phase B — refinement: Newton (c ← c − z_p/dzdc) or Halley (using the
+  second derivative d2) on the critical orbit, at full precision, until
+  the relative step falls below 2^-RelStepTol (2^-40 default,
+  ``FeatureFinder.h:58``) — iterated with precision-doubling behavior.
+* Checkpoint/resume of the refinement state (NRCheckpointData,
+  ``FeatureFinder.h:25-39``).
+
+The inner orbit evaluation is the same fixed-point big-int loop as the
+host reference orbit; a TPU backend can drop in via the NTT pipeline
+(the reference's NRInnerLoopBackend selects MPIR-MT vs GPU the same
+way).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass, field
+
+from fractalshark_tpu.core.highprecision import HighPrecision
+from fractalshark_tpu.core.hdr_host import HD
+from fractalshark_tpu.core.pointzoom import PointZoomBBConverter
+
+REL_STEP_TOL_BITS = 40  # FeatureFinder.h:58 (2^-40)
+
+
+@dataclass
+class FeatureSummary:
+    """Found-feature record (FeatureSummary.h)."""
+    center_x: HighPrecision
+    center_y: HighPrecision
+    period: int
+    size_estimate: HD            # ~ minibrot scale
+    residual_exp2: int           # log2 |z_period| at the nucleus
+    nr_iterations: int
+    wall_s: float
+    diagnostics: dict = field(default_factory=dict)
+
+    def zoom_factor(self) -> HighPrecision:
+        """Zoom that frames the feature (a few× its size)."""
+        e = -self.size_estimate.e + 4
+        return HighPrecision.from_mant_exp(1, e, prec=64)
+
+
+def evaluate_critical_orbit_and_derivs(cx: HighPrecision,
+                                       cy: HighPrecision,
+                                       period: int,
+                                       prec: int,
+                                       with_d2: bool = False):
+    """Iterate z ← z² + c from z = c for `period − 1` updates, tracking
+    dzdc (and optionally d2 for Halley), all at `prec` bits fixed point.
+
+    Returns (z, dzdc[, d2]) as (sign-int fixed-point) HighPrecision
+    pairs. Matches EvaluateCriticalOrbitAndDerivsST
+    (MpirOrbitEval.cpp): dzdc' = 2·z·dzdc + 1, d2' = 2·(dzdc² + z·d2),
+    both updated BEFORE z (using current z).
+    """
+    F = prec + 16
+    half = 1 << (F - 1)
+
+    def to_fx(hp):
+        sh = hp.exp + F
+        if sh >= 0:
+            return hp.mant << sh
+        h2 = 1 << (-sh - 1)
+        return (hp.mant + h2) >> (-sh) if hp.mant >= 0 else \
+            -((-hp.mant + h2) >> (-sh))
+
+    def m(a, b):
+        return (a * b + half) >> F
+
+    cxi = to_fx(cx)
+    cyi = to_fx(cy)
+    zx, zy = cxi, cyi
+    dx_, dy_ = 1 << F, 0          # dzdc = 1
+    d2x, d2y = 0, 0
+
+    one = 1 << F
+    for _ in range(period - 1):
+        if with_d2:
+            # d2' = 2 (dzdc² + z·d2)
+            t1x = m(dx_, dx_) - m(dy_, dy_)
+            t1y = 2 * m(dx_, dy_)
+            t2x = m(zx, d2x) - m(zy, d2y)
+            t2y = m(zx, d2y) + m(zy, d2x)
+            d2x = 2 * (t1x + t2x)
+            d2y = 2 * (t1y + t2y)
+        # dzdc' = 2 z dzdc + 1
+        ndx = 2 * (m(zx, dx_) - m(zy, dy_)) + one
+        ndy = 2 * (m(zx, dy_) + m(zy, dx_))
+        dx_, dy_ = ndx, ndy
+        # z ← z² + c
+        zx, zy = m(zx, zx) - m(zy, zy) + cxi, 2 * m(zx, zy) + cyi
+
+    def fx_to_hp(v):
+        return HighPrecision.from_mant_exp(v, -F, prec=prec)
+
+    out = (fx_to_hp(zx), fx_to_hp(zy), fx_to_hp(dx_), fx_to_hp(dy_))
+    if with_d2:
+        out += (fx_to_hp(d2x), fx_to_hp(d2y))
+    return out
+
+
+def _cdiv(ax, ay, bx, by):
+    """High-precision complex division (ax+i·ay)/(bx+i·by)."""
+    den = bx * bx + by * by
+    return (ax * bx + ay * by) / den, (ay * bx - ax * by) / den
+
+
+@dataclass
+class NRCheckpoint:
+    """Serializable refinement state (NRCheckpointData,
+    FeatureFinder.h:25-39)."""
+    cx: str
+    cy: str
+    period: int
+    step_index: int
+    prec: int
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.__dict__, f)
+
+    @staticmethod
+    def load(path: str) -> "NRCheckpoint":
+        with open(path) as f:
+            return NRCheckpoint(**json.load(f))
+
+
+def refine_periodic_point(cx: HighPrecision, cy: HighPrecision,
+                          period: int, prec: int,
+                          max_steps: int = 64,
+                          method: str = "newton",
+                          checkpoint_path: str | None = None,
+                          start_step: int = 0):
+    """Phase-B refinement (RefinePeriodicPoint_WithMPF,
+    FeatureFinder.h:237): drive z_period(c) → 0."""
+    t0 = time.perf_counter()
+    cx = cx.with_precision(prec)
+    cy = cy.with_precision(prec)
+    steps = start_step
+    last_step_exp = 0
+    for _ in range(start_step, max_steps):
+        use_d2 = method == "halley"
+        ev = evaluate_critical_orbit_and_derivs(cx, cy, period, prec,
+                                                with_d2=use_d2)
+        zx, zy, dx_, dy_ = ev[:4]
+        if method == "halley" and len(ev) == 6:
+            d2x, d2y = ev[4], ev[5]
+            # Halley: step = z·dz / (dz² − z·d2/2)
+            num_x = zx * dx_ - zy * dy_
+            num_y = zx * dy_ + zy * dx_
+            dz2x = dx_ * dx_ - dy_ * dy_
+            dz2y = dx_ * dy_ * 2
+            zd2x = (zx * d2x - zy * d2y).mul_pow2(-1)
+            zd2y = (zx * d2y + zy * d2x).mul_pow2(-1)
+            den_x = dz2x - zd2x
+            den_y = dz2y - zd2y
+            sx, sy = _cdiv(num_x, num_y, den_x, den_y)
+        else:
+            sx, sy = _cdiv(zx, zy, dx_, dy_)
+        cx = cx - sx
+        cy = cy - sy
+        steps += 1
+        if checkpoint_path:
+            NRCheckpoint(cx=cx.to_string(), cy=cy.to_string(),
+                         period=period, step_index=steps,
+                         prec=prec).save(checkpoint_path)
+        mags = [v.exponent2() for v in (sx, sy) if not v.is_zero()]
+        step_mag = max(mags) if mags else -(10 ** 9)
+        c_mag = max(cx.exponent2(), cy.exponent2())
+        last_step_exp = step_mag
+        # converged: |step| < |c|·2^-RelStepTol, or step below precision
+        if (sx.is_zero() and sy.is_zero()) or \
+                step_mag < c_mag - REL_STEP_TOL_BITS - prec // 2:
+            break
+    # residual + size estimate from the final derivatives
+    zx, zy, dx_, dy_ = evaluate_critical_orbit_and_derivs(
+        cx, cy, period, prec)[:4]
+    res_exp = max(zx.exponent2() if not zx.is_zero() else -prec,
+                  zy.exponent2() if not zy.is_zero() else -prec)
+    dmag = HD.from_hp((dx_ * dx_ + dy_ * dy_).sqrt())
+    size = HD(2.0, 0) * HD(1.0 / dmag.m, -dmag.e) if dmag.m else HD.zero()
+    return FeatureSummary(
+        center_x=cx, center_y=cy, period=period,
+        size_estimate=size.reduce(), residual_exp2=res_exp,
+        nr_iterations=steps, wall_s=time.perf_counter() - t0,
+        diagnostics={"last_step_exp2": last_step_exp, "method": method})
+
+
+def find_period_candidate(cx: HighPrecision, cy: HighPrecision,
+                          radius: HighPrecision, max_period: int,
+                          prec: int | None = None) -> int:
+    """Phase A: the dzdc periodicity test along the orbit of (cx, cy)
+    (Evaluate_FindPeriod, FeatureFinder.h:155; same math as the
+    reference-orbit PeriodicityChecker). Returns 0 if none found."""
+    from fractalshark_tpu.engine.reforbit import compute_reference_orbit
+    prec = prec or max(cx.prec, cy.prec)
+    res = compute_reference_orbit(cx, cy, max_period, radius,
+                                  periodicity=True, precision_bits=prec)
+    return res.period
+
+
+def find_periodic_point(ptz: PointZoomBBConverter, max_period: int,
+                        method: str = "newton",
+                        checkpoint_path: str | None = None
+                        ) -> FeatureSummary | None:
+    """End-to-end feature find at the view center
+    (Fractal::TryFindPeriodicPoint flow, SURVEY.md §3.4)."""
+    from fractalshark_tpu.core.precision import precision_from_view
+    prec = precision_from_view(ptz) + 64
+    cx = ptz.pt_x.with_precision(prec)
+    cy = ptz.pt_y.with_precision(prec)
+    period = find_period_candidate(cx, cy, ptz.radius, max_period, prec)
+    if period == 0:
+        return None
+    # the orbit's zero seed entry inflates the count by 1
+    period = max(1, period - 1)
+    return refine_periodic_point(cx, cy, period, prec, method=method,
+                                 checkpoint_path=checkpoint_path)
+
+
+def resume_refinement(checkpoint_path: str, max_steps: int = 64,
+                      method: str = "newton") -> FeatureSummary:
+    ck = NRCheckpoint.load(checkpoint_path)
+    return refine_periodic_point(
+        HighPrecision(ck.cx, prec=ck.prec),
+        HighPrecision(ck.cy, prec=ck.prec),
+        ck.period, ck.prec, max_steps=max_steps, method=method,
+        checkpoint_path=checkpoint_path, start_step=ck.step_index)

@@ -52,14 +52,17 @@ class Fractal:
         self.palette = FractalPalette()
         self.backend = backend or jax.default_backend()
         self.algorithm_name = algorithm
-        self.num_iterations = num_iterations or 256
+        self.num_iterations = 256
         self.benchmark = BenchmarkData()
         self._iters_cache = None  # last rendered iteration buffer (device)
         self._orbit_cache = None  # RefOrbitCache, created lazily
         if isinstance(view, PointZoomBBConverter):
-            self.ptz = view
+            self.ptz = view.square_aspect_ratio(width, height)
         else:
             self.set_view_preset(view)
+        if num_iterations is not None:
+            # an explicit budget overrides the preset's default
+            self.num_iterations = num_iterations
 
     # ----------------------------------------------------------- navigation
 
@@ -99,6 +102,28 @@ class Fractal:
         self.width, self.height = width, height
         self.ptz = self.ptz.square_aspect_ratio(width, height)
         self._iters_cache = None
+
+    # --------------------------------------------------------- feature find
+
+    def try_find_periodic_point(self, max_period: int | None = None,
+                                method: str = "newton",
+                                checkpoint_path: str | None = None):
+        """Find + refine a minibrot near the view center
+        (Fractal::TryFindPeriodicPoint, Fractal.cpp:1847)."""
+        from fractalshark_tpu.engine.feature_finder import \
+            find_periodic_point
+        return find_periodic_point(
+            self.ptz, max_period or min(self.num_iterations, 1_000_000),
+            method=method, checkpoint_path=checkpoint_path)
+
+    def zoom_to_feature(self, feature, frame_scale: float = 8.0) -> None:
+        """Recenter on a found feature, framed a few× its size."""
+        size = feature.size_estimate
+        zoom = HighPrecision.from_mant_exp(
+            int(frame_scale * 16), -size.e - 4, prec=64)
+        self.set_view(PointZoomBBConverter(
+            pt_x=feature.center_x, pt_y=feature.center_y,
+            zoom_factor=zoom))
 
     # ------------------------------------------------------------ algorithm
 
