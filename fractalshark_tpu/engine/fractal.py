@@ -253,6 +253,73 @@ class Fractal:
         else:
             write_png(path, rgba)
 
+    # -------------------------------------------------------- orbit persist
+
+    def save_ref_orbit(self, path: str, compression: str = "simple") -> None:
+        """Persist the last-used reference orbit
+        (Fractal::SaveRefOrbit, Fractal.h:231-240). `compression`:
+        "none" | "simple" (own format) | "imagina" (.im binary)."""
+        from fractalshark_tpu.engine.renderers import get_orbit_calc
+        calc = get_orbit_calc(self)
+        if not calc.cache:
+            raise RuntimeError("no reference orbit computed yet")
+        results = calc.cache[-1]
+        if compression == "imagina":
+            from fractalshark_tpu.io.imagina import save_orbit_im
+            save_orbit_im(path, results)
+        else:
+            results.save(path)
+
+    def load_ref_orbit(self, path: str, imagina: bool | None = None):
+        """Load an orbit (and adopt its recommended view/iterations —
+        RecommendedSettings, RefOrbitCalc.cpp:3483)."""
+        from fractalshark_tpu.engine.renderers import get_orbit_calc
+        if imagina is None:
+            imagina = path.endswith(".im")
+        if imagina:
+            from fractalshark_tpu.io.imagina import load_orbit_im
+            f = load_orbit_im(path)
+            results = f.results
+            if results is None:
+                raise ValueError("location-only .im file: no orbit data")
+            zoom = (HighPrecision(2) /
+                    HighPrecision.from_mant_exp(
+                        int(f.half_h.m * (1 << 52)), f.half_h.e - 52,
+                        prec=max(64, -f.half_h.e + 128)))
+            self.set_view(PointZoomBBConverter(
+                pt_x=f.center_x, pt_y=f.center_y, zoom_factor=zoom))
+            self.num_iterations = min(f.iteration_limit, 1 << 62)
+        else:
+            from fractalshark_tpu.engine.perturbation_results import \
+                PerturbationResults
+            results = PerturbationResults.load(path)
+        calc = get_orbit_calc(self)
+        with calc.lock:
+            calc.cache.append(results)
+        return results
+
+    @staticmethod
+    def diff_ref_orbits(a, b, count: int | None = None) -> dict:
+        """Numeric comparison of two orbits (Fractal::DiffRefOrbits,
+        Fractal.h:232-235)."""
+        n = count or min(a.count_orbit_entries(), b.count_orbit_entries())
+        dx = np.abs(a.orbit_x[:n] - b.orbit_x[:n])
+        dy = np.abs(a.orbit_y[:n] - b.orbit_y[:n])
+        return {
+            "compared": n,
+            "max_abs_dx": float(dx.max()) if n else 0.0,
+            "max_abs_dy": float(dy.max()) if n else 0.0,
+            "first_diff": int(np.argmax((dx > 0) | (dy > 0))) if
+            ((dx > 0) | (dy > 0)).any() else -1,
+            "period_match": a.period == b.period,
+        }
+
+    def save_iters_as_text(self, path: str) -> None:
+        """Dump the iteration buffer as text (Fractal::SaveItersAsText)."""
+        iters = (self._iters_cache if self._iters_cache is not None
+                 else self.calc_fractal())
+        np.savetxt(path, np.asarray(iters), fmt="%d")
+
     def render_to_console(self, max_width: int = 100, ansi: bool = True) -> str:
         """ASCII/ANSI console render (reference RenderToConsole.cpp)."""
         iters = np.asarray(self.calc_fractal())

@@ -1,0 +1,112 @@
+"""Imagina .im orbit format + engine orbit persistence tests (mirrors
+reference TestReferenceSave / TestImaginaLoad in CrummyTest)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from fractalshark_tpu.core.highprecision import HighPrecision
+from fractalshark_tpu.core.pointzoom import PointZoomBBConverter
+from fractalshark_tpu.engine.fractal import Fractal
+from fractalshark_tpu.engine.reforbit import compute_reference_orbit
+from fractalshark_tpu.io.imagina import (SHARKS_MAGIC, _read_mpf,
+                                         _write_mpf, load_orbit_im,
+                                         save_orbit_im)
+
+
+def test_mpf_stream_round_trip():
+    vals = ["0", "1", "-2.5", "0.1",
+            "-1.76339917706675269585422012081849339487476471507552e-01",
+            "1e-300", "123456789.987654321"]
+    for v in vals:
+        x = HighPrecision(v, prec=512)
+        buf = bytearray()
+        _write_mpf(buf, x)
+        back, off = _read_mpf(bytes(buf), 0, 512)
+        assert off == len(buf)
+        assert (back - x).is_zero() or \
+            abs((back - x).exponent2() - x.exponent2()) > 400, v
+
+
+@pytest.fixture(scope="module")
+def orbit():
+    return compute_reference_orbit(
+        HighPrecision("-0.743643887037158704752191506114774", prec=256),
+        HighPrecision("0.131825904205311970493132056385139", prec=256),
+        2000, HighPrecision("1e-9", prec=64), periodicity=True,
+        precision_bits=256)
+
+
+def test_im_round_trip(tmp_path, orbit):
+    p = str(tmp_path / "orbit.im")
+    save_orbit_im(p, orbit)
+    with open(p, "rb") as f:
+        magic = struct.unpack("<Q", f.read(8))[0]
+    assert magic == SHARKS_MAGIC
+
+    back = load_orbit_im(p)
+    assert (back.center_x - orbit.center_x).is_zero()
+    assert (back.center_y - orbit.center_y).is_zero()
+    assert back.results is not None
+    res = back.results
+    assert res.count_orbit_entries() == orbit.count_orbit_entries()
+    assert res.period == orbit.period
+    # decompressed orbit reproduces the original within the compression
+    # tolerance (relative 2^-20)
+    n = res.count_orbit_entries()
+    mag = np.hypot(orbit.orbit_x[:n], orbit.orbit_y[:n]) + 1e-30
+    err = np.hypot(res.orbit_x[:n] - orbit.orbit_x[:n],
+                   res.orbit_y[:n] - orbit.orbit_y[:n]) / mag
+    assert err.max() < 2.0 ** -18
+
+
+def test_engine_save_load_render(tmp_path, orbit):
+    """Save an orbit from one engine, load into another, render — the
+    perturbation render must match (TestReferenceSave flow)."""
+    ptz = PointZoomBBConverter(
+        pt_x="-0.743643887037158704752191506114774",
+        pt_y="0.131825904205311970493132056385139",
+        zoom_factor="1e8", prec=512)
+    f1 = Fractal(width=24, height=24, view=ptz,
+                 algorithm="GpuHDRx32PerturbedLAv2PO",
+                 num_iterations=1500, backend="cpu")
+    it1 = np.asarray(f1.calc_fractal())
+    p = str(tmp_path / "o.im")
+    f1.save_ref_orbit(p, compression="imagina")
+    from fractalshark_tpu.engine.renderers import get_orbit_calc
+    saved = get_orbit_calc(f1).cache[-1]
+
+    f2 = Fractal(width=24, height=24, view=ptz,
+                 algorithm="GpuHDRx32PerturbedLAv2PO",
+                 num_iterations=1500, backend="cpu")
+    loaded = f2.load_ref_orbit(p)
+    it2 = np.asarray(f2.calc_fractal())
+    # compression error can flip a few boundary pixels only
+    assert (it1 == it2).mean() > 0.97
+
+    d = Fractal.diff_ref_orbits(saved, loaded)
+    assert d["period_match"]
+    assert d["max_abs_dx"] < 1e-5
+
+
+def test_own_format_save_load(tmp_path):
+    ptz = PointZoomBBConverter(pt_x="-0.6", pt_y="0.45", zoom_factor="1e3")
+    f = Fractal(width=16, height=16, view=ptz, algorithm="Cpu64PerturbedBLA",
+                num_iterations=300, backend="cpu")
+    f.calc_fractal()
+    p = str(tmp_path / "own")
+    f.save_ref_orbit(p, compression="none")
+    loaded = f.load_ref_orbit(p, imagina=False)
+    assert loaded.count_orbit_entries() > 0
+
+
+def test_save_iters_as_text(tmp_path):
+    f = Fractal(width=8, height=8, view=0, algorithm="Cpu64",
+                num_iterations=32, backend="cpu")
+    f.calc_fractal()
+    p = str(tmp_path / "iters.txt")
+    f.save_iters_as_text(p)
+    arr = np.loadtxt(p)
+    assert arr.shape == (8, 8)
+    assert arr.max() <= 32
