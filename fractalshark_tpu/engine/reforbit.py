@@ -162,10 +162,12 @@ class RefOrbitCalc:
     lock: threading.Lock = field(default_factory=threading.Lock)
     max_cached: int = 8
     last_details: dict = field(default_factory=dict)
-    # "host"  = fixed-point Python-int orbit (MT3-analogue)
+    # "auto"  = native if buildable, else host
+    # "native"= C++/GMP mpn fixed-point evaluator (MT3-CPU analogue)
+    # "host"  = fixed-point Python-int orbit (portable fallback)
     # "device"= NTT bignum pipeline on TPU (GPU-orbit analogue,
     #           RefOrbitCalc.cpp:2167)
-    orbit_backend: str = "host"
+    orbit_backend: str = "auto"
 
     def get_and_create_useful_results(
             self, ptz: PointZoomBBConverter, num_iterations: int,
@@ -186,12 +188,22 @@ class RefOrbitCalc:
         cx = ptz.pt_x.with_precision(prec)
         cy = ptz.pt_y.with_precision(prec)
         t0 = time.perf_counter()
-        if self.orbit_backend == "device":
+        backend = self.orbit_backend
+        if backend == "auto":
+            from fractalshark_tpu.engine import native_orbit
+            backend = "native" if native_orbit.available() else "host"
+        if backend == "device":
             from fractalshark_tpu.ops.bignum.orbit import (
                 compute_reference_orbit_device)
             res = compute_reference_orbit_device(
                 cx, cy, num_iterations, ptz.radius,
                 periodicity=periodicity, abort_flag=abort_flag)
+        elif backend == "native":
+            from fractalshark_tpu.engine.native_orbit import (
+                compute_reference_orbit_native)
+            res = compute_reference_orbit_native(
+                cx, cy, num_iterations, ptz.radius,
+                periodicity=periodicity, precision_bits=prec)
         else:
             res = compute_reference_orbit(
                 cx, cy, num_iterations, ptz.radius,
@@ -205,6 +217,7 @@ class RefOrbitCalc:
                 self.cache.pop(0)
             self.last_details = {
                 "cache_hit": False,
+                "backend": backend,
                 "orbit_len": res.count_orbit_entries(),
                 "period": res.period,
                 "escaped_at": res.escaped_at,

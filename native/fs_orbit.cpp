@@ -1,0 +1,207 @@
+// Native host reference-orbit evaluator.
+//
+// The TPU framework's counterpart of the reference's MPIR-backed CPU
+// orbit paths (RefOrbitCalc ST/MT, RefOrbitCalc.cpp:470-625): iterate
+// z <- z^2 + c in fixed-point on GMP's low-level mpn limb API, with the
+// dzdc periodicity test and |old_z + c|^2 > 256 escape, emitting the
+// per-iteration f64 shadow (normalized: top bits + exponent).
+//
+// Built as a plain shared library (no Python headers) and called via
+// ctypes. GMP prototypes are declared locally against the stable mpn
+// ABI of the system libgmp.so.10 (no gmp.h needed in this image).
+//
+// Sign convention: sign-magnitude; limb arrays little-endian, L limbs
+// of 64 bits with ONE integer limb (value = mag / 2^(64*(L-1))).
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+
+extern "C" {
+typedef unsigned long mp_limb_t;
+typedef long mp_size_t;
+mp_limb_t __gmpn_add_n(mp_limb_t *, const mp_limb_t *, const mp_limb_t *, mp_size_t);
+mp_limb_t __gmpn_sub_n(mp_limb_t *, const mp_limb_t *, const mp_limb_t *, mp_size_t);
+void __gmpn_sqr(mp_limb_t *, const mp_limb_t *, mp_size_t);
+void __gmpn_mul_n(mp_limb_t *, const mp_limb_t *, const mp_limb_t *, mp_size_t);
+int __gmpn_cmp(const mp_limb_t *, const mp_limb_t *, mp_size_t);
+mp_limb_t __gmpn_lshift(mp_limb_t *, const mp_limb_t *, mp_size_t, unsigned int);
+}
+
+namespace {
+
+struct HDd {  // double mantissa + int64 exponent (host HDR scalar)
+    double m;
+    int64_t e;
+};
+
+static HDd hd_reduce(HDd x) {
+    if (x.m == 0.0) return {0.0, 0};
+    int ee;
+    double mm = std::frexp(x.m, &ee);
+    return {mm * 2.0, x.e + ee - 1};
+}
+
+static HDd hd_from_double(double v) { return hd_reduce({v, 0}); }
+
+static HDd hd_mul_f(HDd a, double s) { return hd_reduce({a.m * s, a.e}); }
+
+static HDd hd_add(HDd a, HDd b) {
+    if (a.m == 0.0) return b;
+    if (b.m == 0.0) return a;
+    if (a.e < b.e) { HDd t = a; a = b; b = t; }
+    int64_t d = a.e - b.e;
+    if (d > 128) return a;
+    return hd_reduce({a.m + std::ldexp(b.m, (int)-d), a.e});
+}
+
+static bool hd_lt_abs(HDd a, HDd b) {  // |a| < |b|
+    a = hd_reduce({std::fabs(a.m), a.e});
+    b = hd_reduce({std::fabs(b.m), b.e});
+    if (a.m == 0.0) return b.m != 0.0;
+    if (b.m == 0.0) return false;
+    if (a.e != b.e) return a.e < b.e;
+    return a.m < b.m;
+}
+
+// f64 shadow of a sign-magnitude fixed-point number (frac = 64*(L-1) bits)
+static double shadow(const mp_limb_t *v, int sign, mp_size_t L) {
+    mp_size_t top = L - 1;
+    while (top >= 0 && v[top] == 0) top--;
+    if (top < 0) return 0.0;
+    // use up to 128 bits from the top
+    double hi = (double)v[top];
+    double lo = top > 0 ? (double)v[top - 1] : 0.0;
+    double m = hi + std::ldexp(lo, -64);
+    int64_t e = 64 * (top - (L - 1));
+    return sign * std::ldexp(m, (int)e);
+}
+
+// magnitude helpers ---------------------------------------------------------
+
+static bool is_zero(const mp_limb_t *a, mp_size_t L) {
+    for (mp_size_t i = 0; i < L; i++)
+        if (a[i]) return false;
+    return true;
+}
+
+// r = |a| +- |b| with signs; sign-magnitude add. r may alias a.
+static void signed_add(mp_limb_t *r, int &rs,
+                       const mp_limb_t *a, int as,
+                       const mp_limb_t *b, int bs, mp_size_t L) {
+    if (as == bs) {
+        __gmpn_add_n(r, a, b, L);  // carry out impossible by headroom
+        rs = as;
+        return;
+    }
+    int c = __gmpn_cmp(a, b, L);
+    if (c == 0) {
+        std::memset(r, 0, L * sizeof(mp_limb_t));
+        rs = 1;
+    } else if (c > 0) {
+        __gmpn_sub_n(r, a, b, L);
+        rs = as;
+    } else {
+        __gmpn_sub_n(r, b, a, L);
+        rs = bs;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns number of orbit entries written (including the zero seed).
+// out_x/out_y must hold max_iter + 2 doubles.
+// status: 0 = budget exhausted, 1 = period found, 2 = escaped.
+int64_t fs_reference_orbit(const mp_limb_t *cx_mag, int cx_sign,
+                           const mp_limb_t *cy_mag, int cy_sign,
+                           int64_t nlimbs, int64_t max_iter,
+                           double radius_m, int64_t radius_e,
+                           int periodicity,
+                           double *out_x, double *out_y,
+                           int32_t *status_out) {
+    const mp_size_t L = (mp_size_t)nlimbs;
+    std::vector<mp_limb_t> zx(cx_mag, cx_mag + L), zy(cy_mag, cy_mag + L);
+    int sx = cx_sign, sy = cy_sign;
+    std::vector<mp_limb_t> t2(2 * L + 2), x2(L), y2(L), xy2(L), tmp(L);
+
+    const double cxf = shadow(cx_mag, cx_sign, L);
+    const double cyf = shadow(cy_mag, cy_sign, L);
+
+    HDd radius = hd_reduce({radius_m, radius_e});
+    HDd dzdc_x = hd_from_double(1.0);
+    HDd dzdc_y = {0.0, 0};
+
+    int64_t count = 0;
+    out_x[count] = 0.0;  // zero seed entry (PerturbationResults.cpp:866)
+    out_y[count] = 0.0;
+    count++;
+
+    int32_t status = 0;
+    for (int64_t i = 0; i < max_iter; i++) {
+        const double lzx = shadow(zx.data(), sx, L);
+        const double lzy = shadow(zy.data(), sy, L);
+        out_x[count] = lzx;
+        out_y[count] = lzy;
+        count++;
+
+        if (periodicity) {
+            HDd azx = hd_from_double(std::fabs(lzx));
+            HDd azy = hd_from_double(std::fabs(lzy));
+            HDd n2 = hd_lt_abs(azx, azy) ? azy : azx;
+            HDd r0x = hd_reduce({std::fabs(dzdc_x.m), dzdc_x.e});
+            HDd r0y = hd_reduce({std::fabs(dzdc_y.m), dzdc_y.e});
+            HDd r0 = hd_lt_abs(r0x, r0y) ? r0y : r0x;
+            HDd n3 = hd_reduce({radius.m * r0.m, radius.e + r0.e + 1});
+            if (hd_lt_abs(n2, n3)) {
+                status = 1;
+                break;
+            }
+            // dzdc' = 2*(z*dzdc) + 1  (PeriodicityChecker.h:46-76)
+            HDd ndx = hd_add(hd_mul_f(dzdc_x, lzx),
+                             hd_mul_f(dzdc_y, -lzy));
+            ndx.e += 1;
+            ndx = hd_add(ndx, hd_from_double(1.0));
+            HDd ndy = hd_add(hd_mul_f(dzdc_y, lzx),
+                             hd_mul_f(dzdc_x, lzy));
+            ndy.e += 1;
+            dzdc_x = ndx;
+            dzdc_y = ndy;
+        }
+
+        // x2 = zx^2 >> F, y2 = zy^2 >> F, xy2 = 2*zx*zy >> F
+        // (F = 64*(L-1) bits: take limbs [L-1 .. 2L-2])
+        __gmpn_sqr(t2.data(), zx.data(), L);
+        std::memcpy(x2.data(), t2.data() + (L - 1), L * sizeof(mp_limb_t));
+        __gmpn_sqr(t2.data(), zy.data(), L);
+        std::memcpy(y2.data(), t2.data() + (L - 1), L * sizeof(mp_limb_t));
+        __gmpn_mul_n(t2.data(), zx.data(), zy.data(), L);
+        std::memcpy(xy2.data(), t2.data() + (L - 1), L * sizeof(mp_limb_t));
+        mp_limb_t cl = __gmpn_lshift(xy2.data(), xy2.data(), L, 1);
+        (void)cl;  // headroom in the integer limb absorbs the doubling
+
+        // new zx = x2 - y2 + cx ; new zy = sign(zx*zy)*xy2 + cy
+        int s1;
+        signed_add(tmp.data(), s1, x2.data(), 1, y2.data(), -1, L);
+        int nsx;
+        signed_add(zx.data(), nsx, tmp.data(), s1, cx_mag, cx_sign, L);
+        int sxy = sx * sy;
+        int nsy;
+        signed_add(zy.data(), nsy, xy2.data(), sxy, cy_mag, cy_sign, L);
+        sx = nsx;
+        sy = nsy;
+
+        const double tx = lzx + cxf;
+        const double ty = lzy + cyf;
+        if (tx * tx + ty * ty > 256.0) {
+            status = 2;
+            break;
+        }
+    }
+    *status_out = status;
+    return count;
+}
+
+}  // extern "C"

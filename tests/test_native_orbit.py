@@ -1,0 +1,61 @@
+"""Native (C++/GMP mpn) reference-orbit evaluator tests: differential
+against the Python fixed-point path."""
+
+import numpy as np
+import pytest
+
+from fractalshark_tpu.core.highprecision import HighPrecision
+from fractalshark_tpu.engine import native_orbit as NO
+from fractalshark_tpu.engine.reforbit import (RefOrbitCalc,
+                                              compute_reference_orbit)
+
+pytestmark = pytest.mark.skipif(not NO.available(),
+                                reason="native toolchain/libgmp missing")
+
+
+def test_native_matches_python_orbit():
+    cx = HighPrecision("-0.743643887037158704752191506114774", prec=256)
+    cy = HighPrecision("0.131825904205311970493132056385139", prec=256)
+    rad = HighPrecision("1e-9", prec=64)
+    nat = NO.compute_reference_orbit_native(cx, cy, 2000, rad,
+                                            precision_bits=256)
+    host = compute_reference_orbit(cx, cy, 2000, rad, periodicity=True,
+                                   precision_bits=256)
+    assert nat.count_orbit_entries() == host.count_orbit_entries()
+    assert nat.period == host.period
+    n = nat.count_orbit_entries()
+    assert np.abs(nat.orbit_x[:n] - host.orbit_x[:n]).max() < 1e-14
+    assert np.abs(nat.orbit_y[:n] - host.orbit_y[:n]).max() < 1e-14
+
+
+def test_native_escape():
+    nat = NO.compute_reference_orbit_native(
+        HighPrecision("3.0", prec=128), HighPrecision("0", prec=128),
+        50, HighPrecision("0.01"), precision_bits=128)
+    assert nat.escaped_at > 0
+    assert nat.count_orbit_entries() <= 5
+
+
+def test_native_negative_coords():
+    # exercises all sign combinations in the signed fixed-point adds
+    for cxs, cys in [("-0.5", "-0.6"), ("0.3", "-0.4"),
+                     ("-0.1", "0.7"), ("0.25", "0.55")]:
+        nat = NO.compute_reference_orbit_native(
+            HighPrecision(cxs, prec=192), HighPrecision(cys, prec=192),
+            300, HighPrecision("1e-6"), precision_bits=192)
+        host = compute_reference_orbit(
+            HighPrecision(cxs, prec=192), HighPrecision(cys, prec=192),
+            300, HighPrecision("1e-6"), periodicity=True,
+            precision_bits=192)
+        assert nat.count_orbit_entries() == host.count_orbit_entries()
+        n = nat.count_orbit_entries()
+        assert np.abs(nat.orbit_x[:n] - host.orbit_x[:n]).max() < 1e-13
+
+
+def test_auto_backend_prefers_native():
+    from fractalshark_tpu.core.pointzoom import PointZoomBBConverter
+    calc = RefOrbitCalc()  # default "auto"
+    ptz = PointZoomBBConverter(pt_x="-0.6", pt_y="0.4", zoom_factor="1e6",
+                               prec=256)
+    calc.get_and_create_useful_results(ptz, 500)
+    assert calc.last_details["backend"] == "native"
