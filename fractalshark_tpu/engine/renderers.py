@@ -58,6 +58,14 @@ def calc_perturbed(fractal, alg: RenderAlgorithm):
             sub_dtype=sub,
             la_only=(alg.la_mode is LAMode.LAO))
 
+    if alg.family is Family.PERTURB_SCALED:
+        from fractalshark_tpu.ops import scaled
+        iters, stats = scaled.perturb_render_scaled(
+            results, fractal.ptz, w, h, fractal.num_iterations,
+            return_stats=True)
+        fractal.benchmark.extra.update(stats)
+        return iters
+
     if alg.family is Family.PERTURB_BLA:
         from fractalshark_tpu.engine.bla import get_or_build_bla
         from fractalshark_tpu.ops import bla_kernel
