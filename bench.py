@@ -1,11 +1,16 @@
 """Benchmark driver — prints ONE JSON line for the round harness.
 
-Primary metric this round: plain escape-time throughput (Mpix/s) on
-View #0 at 2048×2048 / 2048 iterations via the Pallas f32 kernel on the
-real TPU chip. Baseline for shallow views (BASELINE.md): 1 Gpix/s.
+Headline metric: plain escape-time throughput (Mpix/s) on View #0 via
+the Pallas f32 kernel (baseline 1 Gpix/s, BASELINE.md). The `extra`
+dict carries companion metrics as subsystems mature:
 
-As deeper subsystems land (perturbation, LAv2, NTT reference orbit) this
-script grows companion metrics; the headline line stays last.
+* perturb_mpix_s  — HDR-f32 perturbation render on the 1e8 deep view
+* la_mpix_s       — LAv2 render on the same view
+* ntt_ms_per_iter — on-device NTT reference-orbit iteration (4096 limbs)
+* native_orbit_it_s — C++/GMP host orbit rate at view-5 precision
+
+Each part is individually fault-isolated so one failure cannot take
+down the headline line.
 """
 
 import json
@@ -13,19 +18,18 @@ import sys
 import time
 
 
-def main() -> int:
+def _headline(extra):
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from fractalshark_tpu.core.views import get_view_preset
     from fractalshark_tpu.ops import escape
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
-
     size = 4096 if on_tpu else 512
     max_iter = 512 if on_tpu else 256
-
     v = get_view_preset(0)
     ptz = v.ptz.square_aspect_ratio(size, size)
     params = escape.PlainParams.from_view(ptz, size, size)
@@ -37,45 +41,152 @@ def main() -> int:
         else:
             out = escape.escape_jax(params, size, size, max_iter,
                                     dtype=jnp.float32)
-        # force a real host readback: through the axon tunnel,
-        # block_until_ready alone can return before device work completes
-        import numpy as np
         return int(np.asarray(out[-1, -1]))
 
-    import numpy as np
-
-    run()  # compile
+    run()
     n_rep = 5
     t0 = time.perf_counter()
     for _ in range(n_rep):
         run()
     dt = (time.perf_counter() - t0) / n_rep
-
-    # effective iteration throughput matters more than pixels; report both
-    # (sum on host: 64-bit device→scalar conversion is unsupported on
-    # some TPU runtimes)
-    if on_tpu:
-        out = escape.escape_pallas(params, size, size, max_iter,
-                                   dtype=jnp.float32)
-    else:
-        out = escape.escape_jax(params, size, size, max_iter,
-                                dtype=jnp.float32)
-    total_iters = int(np.asarray(out).astype(np.uint64).sum())
     mpix_s = size * size / dt / 1e6
-    giter_s = total_iters / dt / 1e9
-
-    result = {
+    extra["backend"] = backend
+    extra["escape_wall_s"] = round(dt, 4)
+    return {
         "metric": f"plain_escape_f32_view0_{size}x{size}_{max_iter}it",
         "value": round(mpix_s, 2),
         "unit": "Mpix/s",
-        "vs_baseline": round(mpix_s / 1000.0, 4),  # baseline: 1 Gpix/s
-        "extra": {
-            "backend": backend,
-            "wall_s": round(dt, 4),
-            "giter_per_s": round(giter_s, 3),
-        },
+        "vs_baseline": round(mpix_s / 1000.0, 4),
     }
-    print(json.dumps(result))
+
+
+def _deep_view(size):
+    from fractalshark_tpu.core.pointzoom import PointZoomBBConverter
+    return PointZoomBBConverter(
+        pt_x="-0.743643887037158704752191506114774",
+        pt_y="0.131825904205311970493132056385139",
+        zoom_factor="1e8", prec=512).square_aspect_ratio(size, size)
+
+
+def _perturb_and_la(extra):
+    import numpy as np
+
+    from fractalshark_tpu.engine.reforbit import RefOrbitCalc
+    from fractalshark_tpu.ops import perturb
+
+    # kept small: first-time TPU compiles through the remote tunnel cost
+    # minutes and the compilation cache cannot persist them
+    size = 128
+    budget = 1000
+    ptz = _deep_view(size)
+    calc = RefOrbitCalc()
+    t0 = time.perf_counter()
+    res = calc.get_and_create_useful_results(ptz, budget)
+    extra["ref_orbit_s"] = round(time.perf_counter() - t0, 3)
+    extra["ref_orbit_backend"] = calc.last_details.get("backend")
+
+    def timed(fn):
+        out = fn()
+        np.asarray(out[-1, -1])
+        t0 = time.perf_counter()
+        out = fn()
+        v = int(np.asarray(out[-1, -1]))
+        return time.perf_counter() - t0, v
+
+    dt, _ = timed(lambda: perturb.perturb_render_hdr(
+        res, ptz, size, size, budget, sub_dtype=np.float32))
+    extra["perturb_mpix_s"] = round(size * size / dt / 1e6, 2)
+
+    from fractalshark_tpu.core.hdr_host import HD
+    from fractalshark_tpu.engine.la_reference import LAReferenceHost
+    from fractalshark_tpu.ops import la_kernel
+    t0 = time.perf_counter()
+    la = LAReferenceHost.generate(res.orbit_x, res.orbit_y,
+                                  HD.from_hp(res.max_radius))
+    extra["la_build_s"] = round(time.perf_counter() - t0, 3)
+    dt, _ = timed(lambda: la_kernel.la_perturb_render(
+        res, la, ptz, size, size, budget, sub_dtype=np.float32))
+    extra["la_mpix_s"] = round(size * size / dt / 1e6, 2)
+
+
+def _ntt(extra):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fractalshark_tpu.ops.bignum import fixedpoint as FP
+    from fractalshark_tpu.ops.bignum.orbit import orbit_chunk
+    from fractalshark_tpu.core.highprecision import HighPrecision
+
+    limbs = 1024
+    steps = 32
+    spec = FP.FixedSpec.for_limbs(limbs)
+    prec = spec.frac_bits - 20
+    cx = HighPrecision("-0.743643887037158704752191506114774", prec=prec)
+    cy = HighPrecision("0.131825904205311970493132056385139", prec=prec)
+    scx, dcx = FP.hp_to_digits(cx, spec)
+    scy, dcy = FP.hp_to_digits(cy, spec)
+    args = (jnp.int32(scx), jnp.asarray(dcx), jnp.int32(scy),
+            jnp.asarray(dcy))
+    st, sh = orbit_chunk(*args, args[0], args[1], args[2], args[3],
+                         spec=spec, steps=steps)
+    np.asarray(sh[1][0, 0])
+    t0 = time.perf_counter()
+    st, sh = orbit_chunk(*args, args[0], args[1], args[2], args[3],
+                         spec=spec, steps=steps)
+    np.asarray(sh[1][-1, -1])
+    dt = time.perf_counter() - t0
+    extra["ntt_limbs"] = limbs
+    extra["ntt_ms_per_iter"] = round(dt / steps * 1e3, 3)
+
+
+def _native(extra):
+    from fractalshark_tpu.core.precision import precision_from_view
+    from fractalshark_tpu.core.views import get_view_preset
+    from fractalshark_tpu.engine import native_orbit as NO
+
+    if not NO.available():
+        return
+    v = get_view_preset(5)
+    ptz = v.ptz.square_aspect_ratio(64, 64)
+    prec = precision_from_view(ptz) + 32
+    t0 = time.perf_counter()
+    res = NO.compute_reference_orbit_native(
+        ptz.pt_x.with_precision(prec), ptz.pt_y.with_precision(prec),
+        200000, ptz.radius, precision_bits=prec)
+    dt = time.perf_counter() - t0
+    extra["native_orbit_prec_bits"] = prec
+    extra["native_orbit_it_s"] = int(res.count_orbit_entries() / dt)
+
+
+def main() -> int:
+    import os
+    budget_s = float(os.environ.get("FRACTALSHARK_BENCH_BUDGET_S", "240"))
+    t_start = time.perf_counter()
+    extra = {}
+    parts = [("native", _native), ("ntt", _ntt),
+             ("perturb/la", _perturb_and_la)]
+    headline = None
+    try:
+        headline = _headline(extra)
+    except Exception as e:  # noqa: BLE001
+        extra["headline_error"] = repr(e)[:200]
+    # rough first-compile cost of each part through the remote-compile
+    # tunnel; a part only starts if it plausibly fits the remaining budget
+    est_s = {"native": 5, "ntt": 120, "perturb/la": 300}
+    for name, fn in parts:
+        remaining = budget_s - (time.perf_counter() - t_start)
+        if remaining < est_s.get(name, 60):
+            extra[f"{name}_skipped"] = "bench time budget exhausted"
+            continue
+        try:
+            fn(extra)
+        except Exception as e:  # noqa: BLE001
+            extra[f"{name}_error"] = repr(e)[:200]
+    if headline is None:
+        headline = {"metric": "plain_escape_f32_view0",
+                    "value": 0.0, "unit": "Mpix/s", "vs_baseline": 0.0}
+    headline["extra"] = extra
+    print(json.dumps(headline))
     return 0
 
 

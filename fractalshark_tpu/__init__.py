@@ -27,6 +27,22 @@ if os.environ.get("FRACTALSHARK_NO_X64", "0") != "1":
 
     jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: first-time TPU compiles of the deep-zoom
+# kernels are expensive (minutes through a remote-compile tunnel);
+# caching makes every later process start warm.
+if os.environ.get("FRACTALSHARK_NO_COMPILE_CACHE", "0") != "1":
+    import jax
+
+    _cache_dir = os.environ.get(
+        "FRACTALSHARK_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/fractalshark_tpu_jax"))
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        pass
+
 __version__ = "0.1.0"
 
 from fractalshark_tpu.core.highprecision import HighPrecision  # noqa: E402
