@@ -51,7 +51,43 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print iteration min/max/sum and timings as JSON")
     p.add_argument("--save-location", default=None,
                    help="append the rendered view to a locations file")
+    p.add_argument("--interactive", action="store_true",
+                   help="ANSI console REPL driven by the command catalog "
+                        "(hotkeys: h for help)")
     return p
+
+
+def interactive_loop(f) -> int:
+    """Console front-end over the portable command catalog — the
+    headless sibling of the reference GUIs (both route through the same
+    shared handlers)."""
+    from fractalshark_tpu.core.commands import (PortableCommandHandlers,
+                                                find_command_for_key)
+
+    handlers = PortableCommandHandlers(f)
+    print(f.render_to_console(ansi=True))
+    print("command keys: h=help z/Z=zoom b=back a=autozoom f=feature "
+          "i/I=iters s=save png x=exit")
+    while True:
+        try:
+            line = input("> ").strip()
+        except EOFError:
+            return 0
+        if not line:
+            continue
+        key = line[0]
+        cmd = find_command_for_key(key.lower(), shift=key.isupper())
+        alive = handlers.dispatch(cmd)
+        for m in handlers.messages:
+            print(m)
+        handlers.messages.clear()
+        if not alive:
+            return 0
+        if cmd:
+            print(f.render_to_console(ansi=True))
+            print(f"zoom 2^{f.ptz.zoom_factor.exponent2()} "
+                  f"iters {f.num_iterations} "
+                  f"alg {f.resolve_algorithm().name}")
 
 
 def main(argv=None) -> int:
@@ -108,6 +144,9 @@ def main(argv=None) -> int:
         f.antialiasing = args.antialiasing
     f.palette.use_palette_type(args.palette)
     f.palette.use_depth(args.palette_depth)
+
+    if args.interactive:
+        return interactive_loop(f)
 
     t0 = time.perf_counter()
     if args.output_png:
