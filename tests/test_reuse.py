@@ -1,0 +1,89 @@
+"""Perturbed-perturbation (orbit reuse) tests — the reference pins this
+with TestPerturbedPerturb in CrummyTest."""
+
+import numpy as np
+import pytest
+
+from fractalshark_tpu.core.highprecision import HighPrecision
+from fractalshark_tpu.engine.reforbit import compute_reference_orbit
+from fractalshark_tpu.engine.reuse import (CompressedReuseOrbit,
+                                           compute_reference_orbit_reused,
+                                           compute_reference_orbit_with_reuse,
+                                           reuse_precision)
+
+CX = "-0.743643887037158704752191506114774"
+CY = "0.131825904205311970493132056385139"
+
+
+@pytest.fixture(scope="module")
+def cached():
+    cx = HighPrecision(CX, prec=400)
+    cy = HighPrecision(CY, prec=400)
+    return compute_reference_orbit_with_reuse(
+        cx, cy, 2000, HighPrecision("1e-9", prec=64), periodicity=True,
+        precision_bits=400)
+
+
+def test_reuse_precision_formula():
+    r9 = HighPrecision("1e-9")
+    assert reuse_precision(r9) == abs(r9.exponent2()) + 800
+    r100 = HighPrecision("1e-100")
+    assert reuse_precision(r100) == abs(r100.exponent2()) + 800
+    assert 1120 < reuse_precision(r100) < 1140
+
+
+def test_reuse_arrays_match_orbit(cached):
+    reuse = cached.extra["reuse_orbit"]
+    assert reuse.count() == cached.count_orbit_entries()
+    # intermediate values shadow the low-precision orbit
+    F = reuse.frac_bits
+    for i in (1, 5, 100, reuse.count() - 1):
+        v = reuse.zx[i] / 2.0 ** F
+        assert abs(v - cached.orbit_x[i]) < 1e-12
+
+
+def test_reused_orbit_matches_direct(cached):
+    """An orbit at a nearby center computed via the cached intermediate
+    orbit must equal the directly-computed one."""
+    reuse = cached.extra["reuse_orbit"]
+    ncx = HighPrecision(CX, prec=400) + HighPrecision("3e-11", prec=400)
+    ncy = HighPrecision(CY, prec=400) - HighPrecision("2e-11", prec=400)
+    rad = HighPrecision("1e-10", prec=64)
+    reused = compute_reference_orbit_reused(reuse, ncx, ncy, 2000, rad)
+    direct = compute_reference_orbit(ncx, ncy, 2000, rad,
+                                     periodicity=True, precision_bits=400)
+    n = min(reused.count_orbit_entries(), direct.count_orbit_entries())
+    assert n > 500
+    np.testing.assert_allclose(reused.orbit_x[:n], direct.orbit_x[:n],
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(reused.orbit_y[:n], direct.orbit_y[:n],
+                               rtol=0, atol=1e-12)
+    assert reused.period == direct.period
+
+
+def test_reused_orbit_escaping_center(cached):
+    """Reuse from an interior orbit toward an escaping nearby center."""
+    reuse = cached.extra["reuse_orbit"]
+    ncx = HighPrecision(CX, prec=400) + HighPrecision("5e-8", prec=400)
+    ncy = HighPrecision(CY, prec=400)
+    rad = HighPrecision("1e-10", prec=64)
+    reused = compute_reference_orbit_reused(reuse, ncx, ncy, 2000, rad,
+                                            periodicity=False)
+    direct = compute_reference_orbit(ncx, ncy, 2000, rad,
+                                     periodicity=False, precision_bits=400)
+    n = min(reused.count_orbit_entries(), direct.count_orbit_entries())
+    np.testing.assert_allclose(reused.orbit_x[:n], direct.orbit_x[:n],
+                               rtol=0, atol=1e-10)
+
+
+def test_intermediate_compression_round_trip(cached):
+    reuse = cached.extra["reuse_orbit"]
+    comp = CompressedReuseOrbit.from_reuse(reuse, error_exp=400)
+    assert comp.compression_ratio() > 2
+    back = comp.decompress()
+    assert back.count() == reuse.count()
+    F = reuse.frac_bits
+    # reconstruction error below 2^-(400-guard) relative
+    for i in (1, 50, 500, reuse.count() - 1):
+        err = abs(back.zx[i] - reuse.zx[i]) / max(1, abs(reuse.zx[i]))
+        assert err < 2.0 ** -380, i
