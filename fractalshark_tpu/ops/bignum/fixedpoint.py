@@ -231,36 +231,35 @@ def _crt_to_digit_sums(r1, r2, out_digits: int, nfft: int, round_digit: int):
 def multiply_3way(ax, ay, spec: FixedSpec):
     """Given magnitudes x, y (digit arrays of length spec.digits), return
     the fixed-point-scaled magnitudes of (x², y², x·y) — two forward
-    transforms feed all three products (MultiplyNTT.cu:2943 3-way)."""
+    transforms feed all three products (MultiplyNTT.cu:2943 3-way).
+
+    All residue systems and all products ride batched whole-array
+    passes: ONE [4, n] forward (x, y × two primes) and ONE [6, n]
+    inverse (xx, yy, xy × two primes)."""
     plan = N.make_plan(spec.nfft)
     nf = spec.nfft
     D = spec.digits
     pad = nf - D
 
-    def fwd(v, pi):
-        p = (N.P1, N.P2)[pi]
-        vm = N.to_mont(jnp.concatenate(
-            [v, jnp.zeros((pad,), jnp.uint32)]), p)
-        return N.ntt_forward(vm, plan, pi)
-
-    results = []  # (xx, yy, xy) per prime
-    for pi in range(2):
-        fx = fwd(ax, pi)
-        fy = fwd(ay, pi)
-        xx = _pointwise(fx, fx, pi)
-        yy = _pointwise(fy, fy, pi)
-        xy = _pointwise(fx, fy, pi)
-        p = (N.P1, N.P2)[pi]
-        results.append(tuple(
-            N.from_mont(N.ntt_inverse(v, plan, pi), p)
-            for v in (xx, yy, xy)))
+    v = jnp.concatenate([ax, jnp.zeros((pad,), jnp.uint32)])
+    w = jnp.concatenate([ay, jnp.zeros((pad,), jnp.uint32)])
+    # rows: [x@p1, x@p2, y@p1, y@p2] — digits < 2^16 < p, no reduction
+    stacked = jnp.stack([v, v, w, w])
+    f = N.batched_forward(N.batched_to_mont(stacked, 4), plan)
+    fx1, fx2, fy1, fy2 = f[0], f[1], f[2], f[3]
+    # rows: [xx@p1, xx@p2, yy@p1, yy@p2, xy@p1, xy@p2]
+    a_ops = jnp.stack([fx1, fx2, fy1, fy2, fx1, fx2])
+    b_ops = jnp.stack([fx1, fx2, fy1, fy2, fy1, fy2])
+    p_col, pp_col = N._row_consts(6)
+    prod = N._mont_mul_rows(a_ops, b_ops, p_col, pp_col)
+    inv = N.batched_from_mont(N.batched_inverse(prod, plan), 6)
 
     out = []
     # product has 2D digits; the fixed-point result drops the low
     # frac_digits (with round-to-nearest at the boundary) and keeps D.
     F = spec.frac_digits
     for k in range(3):
-        digits2d = _crt_to_digit_sums(results[0][k], results[1][k],
+        digits2d = _crt_to_digit_sums(inv[2 * k], inv[2 * k + 1],
                                       out_digits=2 * D, nfft=nf,
                                       round_digit=F - 1)
         out.append(digits2d[F:F + D])

@@ -205,3 +205,107 @@ def ntt_inverse(x, plan: NTTPlan, prime_idx: int):
     y = _dit_inverse(x, plan.tw_inv[prime_idx], p)
     ninv = jnp.asarray(plan.n_inv_mont[prime_idx])
     return mont_mul(y, ninv, p, pprime)
+
+
+# ----------------------------------------------- prime-batched transforms
+# All rows transform in ONE whole-array pass: row r uses prime r % 2.
+# Per-prime constants broadcast as [R, 1] columns — one VPU sweep covers
+# both residue systems (and, for the inverse, all three products), which
+# is how the TPU wants this workload batched.
+
+
+def _row_consts(rows: int):
+    ps = np.empty((rows, 1), np.uint32)
+    pps = np.empty((rows, 1), np.uint32)
+    for r in range(rows):
+        p = (P1, P2)[r % 2]
+        ps[r, 0] = p
+        pps[r, 0] = _MONT[p][0]
+    return jnp.asarray(ps), jnp.asarray(pps)
+
+
+def _mont_mul_rows(a, b, p_col, pp_col):
+    hi, lo = mul_full(a, b)
+    m = mul_lo(lo, pp_col)
+    mp_hi, mp_lo = mul_full(m, p_col)
+    carry = (lo != 0).astype(jnp.uint32)
+    t = hi + mp_hi + carry
+    return jnp.where(t >= p_col, t - p_col, t)
+
+
+def _mod_add_rows(a, b, p_col):
+    s = a + b
+    return jnp.where(s >= p_col, s - p_col, s)
+
+
+def _mod_sub_rows(a, b, p_col):
+    return jnp.where(a >= b, a - b, a + p_col - b)
+
+
+def _stack_tw(plan: NTTPlan, rows: int, inverse: bool) -> np.ndarray:
+    tw = plan.tw_inv if inverse else plan.tw_fwd
+    return np.stack([tw[r % 2] for r in range(rows)])
+
+
+def batched_forward(x, plan: NTTPlan):
+    """x: uint32[R, n] Montgomery, row r in prime r%2's field.
+    One DIF pass over all rows."""
+    rows, n = x.shape
+    p_col, pp_col = _row_consts(rows)
+    tw = jnp.asarray(_stack_tw(plan, rows, inverse=False))
+    stages = n.bit_length() - 1
+    y = x
+    for s in range(stages):
+        hm = n >> (s + 1)
+        k = jnp.arange(hm, dtype=jnp.int32)
+        w = tw[:, :][:, (k << s)]                       # [R, hm]
+        y2 = y.reshape(rows, 1 << s, 2, hm)
+        a = y2[:, :, 0, :]
+        b = y2[:, :, 1, :]
+        t = _mod_add_rows(a, b, p_col[:, :, None])
+        u = _mont_mul_rows(_mod_sub_rows(a, b, p_col[:, :, None]),
+                           w[:, None, :], p_col[:, :, None],
+                           pp_col[:, :, None])
+        y = jnp.stack([t, u], axis=-2).reshape(rows, n)
+    return y
+
+
+def batched_inverse(x, plan: NTTPlan):
+    rows, n = x.shape
+    p_col, pp_col = _row_consts(rows)
+    tw = jnp.asarray(_stack_tw(plan, rows, inverse=True))
+    stages = n.bit_length() - 1
+    y = x
+    for s in range(stages):
+        hm = 1 << s
+        k = jnp.arange(hm, dtype=jnp.int32)
+        w = tw[:, (k << (stages - 1 - s))]              # [R, hm]
+        y2 = y.reshape(rows, n >> (s + 1), 2, hm)
+        a = y2[:, :, 0, :]
+        b = y2[:, :, 1, :]
+        u = _mont_mul_rows(b, w[:, None, :], p_col[:, :, None],
+                           pp_col[:, :, None])
+        t0 = _mod_add_rows(a, u, p_col[:, :, None])
+        t1 = _mod_sub_rows(a, u, p_col[:, :, None])
+        y = jnp.stack([t0, t1], axis=-2).reshape(rows, n)
+    ninv = jnp.asarray(np.stack(
+        [np.full(1, plan.n_inv_mont[r % 2], np.uint32)
+         for r in range(rows)]))
+    return _mont_mul_rows(y, ninv, p_col, pp_col)
+
+
+def batched_to_mont(x, rows: int):
+    p_col, pp_col = _row_consts(rows)
+    r2 = jnp.asarray(np.stack(
+        [np.full(1, np.uint32(_MONT[(P1, P2)[r % 2]][2]), np.uint32)
+         for r in range(rows)]))
+    return _mont_mul_rows(x, r2, p_col, pp_col)
+
+
+def batched_from_mont(x, rows: int):
+    p_col, pp_col = _row_consts(rows)
+    m = mul_lo(x, pp_col)
+    mp_hi, _ = mul_full(m, p_col)
+    carry = (x != 0).astype(jnp.uint32)
+    t = mp_hi + carry
+    return jnp.where(t >= p_col, t - p_col, t)
