@@ -247,18 +247,38 @@ def _stack_tw(plan: NTTPlan, rows: int, inverse: bool) -> np.ndarray:
     return np.stack([tw[r % 2] for r in range(rows)])
 
 
+@functools.lru_cache(maxsize=64)
+def _stage_tw(n: int, rows: int, inverse: bool):
+    """Per-stage twiddle vectors, precomputed on host so no device
+    gathers happen inside the stage loop. Returns a tuple of
+    uint32[rows, hm] jnp arrays, one per stage."""
+    plan = make_plan(n)
+    stages = n.bit_length() - 1
+    tw = plan.tw_inv if inverse else plan.tw_fwd
+    out = []
+    for s in range(stages):
+        if inverse:
+            hm = 1 << s
+            idx = (np.arange(hm) << (stages - 1 - s))
+        else:
+            hm = n >> (s + 1)
+            idx = (np.arange(hm) << s)
+        out.append(jnp.asarray(
+            np.stack([tw[r % 2][idx] for r in range(rows)])))
+    return tuple(out)
+
+
 def batched_forward(x, plan: NTTPlan):
     """x: uint32[R, n] Montgomery, row r in prime r%2's field.
-    One DIF pass over all rows."""
+    One DIF pass over all rows; twiddles are per-stage constants."""
     rows, n = x.shape
     p_col, pp_col = _row_consts(rows)
-    tw = jnp.asarray(_stack_tw(plan, rows, inverse=False))
+    tws = _stage_tw(n, rows, inverse=False)
     stages = n.bit_length() - 1
     y = x
     for s in range(stages):
-        hm = n >> (s + 1)
-        k = jnp.arange(hm, dtype=jnp.int32)
-        w = tw[:, :][:, (k << s)]                       # [R, hm]
+        w = tws[s]                                      # [R, hm]
+        hm = w.shape[1]
         y2 = y.reshape(rows, 1 << s, 2, hm)
         a = y2[:, :, 0, :]
         b = y2[:, :, 1, :]
@@ -273,13 +293,12 @@ def batched_forward(x, plan: NTTPlan):
 def batched_inverse(x, plan: NTTPlan):
     rows, n = x.shape
     p_col, pp_col = _row_consts(rows)
-    tw = jnp.asarray(_stack_tw(plan, rows, inverse=True))
+    tws = _stage_tw(n, rows, inverse=True)
     stages = n.bit_length() - 1
     y = x
     for s in range(stages):
-        hm = 1 << s
-        k = jnp.arange(hm, dtype=jnp.int32)
-        w = tw[:, (k << (stages - 1 - s))]              # [R, hm]
+        w = tws[s]                                      # [R, hm]
+        hm = w.shape[1]
         y2 = y.reshape(rows, n >> (s + 1), 2, hm)
         a = y2[:, :, 0, :]
         b = y2[:, :, 1, :]
