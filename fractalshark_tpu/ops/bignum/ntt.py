@@ -250,8 +250,10 @@ def _stack_tw(plan: NTTPlan, rows: int, inverse: bool) -> np.ndarray:
 @functools.lru_cache(maxsize=64)
 def _stage_tw(n: int, rows: int, inverse: bool):
     """Per-stage twiddle vectors, precomputed on host so no device
-    gathers happen inside the stage loop. Returns a tuple of
-    uint32[rows, hm] jnp arrays, one per stage."""
+    gathers happen inside the stage loop. Returns a tuple of NUMPY
+    uint32[rows, hm] arrays, one per stage (numpy, not jnp: jnp
+    constants created under one trace must not be cached across
+    traces)."""
     plan = make_plan(n)
     stages = n.bit_length() - 1
     tw = plan.tw_inv if inverse else plan.tw_fwd
@@ -263,8 +265,7 @@ def _stage_tw(n: int, rows: int, inverse: bool):
         else:
             hm = n >> (s + 1)
             idx = (np.arange(hm) << s)
-        out.append(jnp.asarray(
-            np.stack([tw[r % 2][idx] for r in range(rows)])))
+        out.append(np.stack([tw[r % 2][idx] for r in range(rows)]))
     return tuple(out)
 
 
@@ -277,7 +278,7 @@ def batched_forward(x, plan: NTTPlan):
     stages = n.bit_length() - 1
     y = x
     for s in range(stages):
-        w = tws[s]                                      # [R, hm]
+        w = jnp.asarray(tws[s])                         # [R, hm]
         hm = w.shape[1]
         y2 = y.reshape(rows, 1 << s, 2, hm)
         a = y2[:, :, 0, :]
@@ -297,7 +298,7 @@ def batched_inverse(x, plan: NTTPlan):
     stages = n.bit_length() - 1
     y = x
     for s in range(stages):
-        w = tws[s]                                      # [R, hm]
+        w = jnp.asarray(tws[s])                         # [R, hm]
         hm = w.shape[1]
         y2 = y.reshape(rows, n >> (s + 1), 2, hm)
         a = y2[:, :, 0, :]
