@@ -47,6 +47,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Basic|Default|Patriotic|Summer|Random")
     p.add_argument("--palette-depth", type=int, default=8)
     p.add_argument("--compression-error-exp-low", type=int, default=None)
+    p.add_argument("--perturbation-alg", default="Auto",
+                   choices=["Auto", "ST", "MT", "Native", "GPU", "TPU"],
+                   help="reference-orbit backend (reference flag parity: "
+                        "Auto picks native C++ when available; GPU/TPU = "
+                        "on-device NTT pipeline; ST/MT = Python host)")
+    p.add_argument("--commit-cap-bytes", type=int, default=None,
+                   help="soft memory budget for planned device buffers")
     p.add_argument("--stats", action="store_true",
                    help="print iteration min/max/sum and timings as JSON")
     p.add_argument("--save-location", default=None,
@@ -144,6 +151,16 @@ def main(argv=None) -> int:
         f.antialiasing = args.antialiasing
     f.palette.use_palette_type(args.palette)
     f.palette.use_depth(args.palette_depth)
+
+    if args.perturbation_alg != "Auto":
+        from fractalshark_tpu.engine.renderers import get_orbit_calc
+        backend = {"ST": "host", "MT": "host", "Native": "native",
+                   "GPU": "device", "TPU": "device"}[args.perturbation_alg]
+        get_orbit_calc(f).orbit_backend = backend
+    if args.commit_cap_bytes:
+        from fractalshark_tpu.utils.aux import MemoryBudget
+        budget = MemoryBudget(args.commit_cap_bytes)
+        budget.reserve(f.width * f.height * f.antialiasing ** 2 * 4)
 
     if args.interactive:
         return interactive_loop(f)

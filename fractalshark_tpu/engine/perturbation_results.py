@@ -116,16 +116,22 @@ class PerturbationResults:
         }
         with open(path + ".meta.json", "w") as f:
             json.dump(meta, f)
-        np.savez(path + ".orbit.npz", x=self.orbit_x, y=self.orbit_y)
+        # .npy (not npz) so orbits can be memory-mapped on load — the
+        # GrowableVector file-backing analogue (Vectors.h:38-177): the
+        # file IS the orbit store
+        np.save(path + ".orbit.x.npy", self.orbit_x)
+        np.save(path + ".orbit.y.npy", self.orbit_y)
 
     @staticmethod
-    def load(path: str) -> "PerturbationResults":
+    def load(path: str, mmap: bool = False) -> "PerturbationResults":
         with open(path + ".meta.json") as f:
             meta = json.load(f)
         if meta["version"] != ORBIT_FORMAT_VERSION:
             raise ValueError(f"orbit format version {meta['version']}")
         prec = meta["precision_bits"] or 256
-        arrs = np.load(path + ".orbit.npz", mmap_mode=None)
+        mode = "r" if mmap else None
+        arrs = {"x": np.load(path + ".orbit.x.npy", mmap_mode=mode),
+                "y": np.load(path + ".orbit.y.npy", mmap_mode=mode)}
         return PerturbationResults(
             center_x=HighPrecision(meta["center_x"], prec=prec),
             center_y=HighPrecision(meta["center_y"], prec=prec),
