@@ -83,6 +83,16 @@ def calc_perturbed(fractal, alg: RenderAlgorithm):
             results, fractal.ptz, w, h, fractal.num_iterations, dtype=dt)
     if alg.dtype in ("hdr32", "hdr64", "hdr2x32", "2x32"):
         sub = np.float64 if alg.dtype == "hdr64" else np.float32
+        if fractal.backend == "tpu" and sub == np.float32:
+            # VMEM-resident Pallas kernel (~40× the XLA gather path);
+            # returns None when the orbit exceeds its VMEM budget
+            from fractalshark_tpu.ops.perturb_pallas import \
+                perturb_render_pallas
+            out = perturb_render_pallas(
+                results, fractal.ptz, w, h, fractal.num_iterations)
+            if out is not None:
+                fractal.benchmark.extra["kernel"] = "pallas"
+                return out
         return perturb.perturb_render_hdr(
             results, fractal.ptz, w, h, fractal.num_iterations,
             sub_dtype=sub)

@@ -32,7 +32,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-MIN_BIG_EXPONENT = jnp.int32(-(2 ** 31) // 8)  # INT32_MIN >> 3
+# INT32_MIN >> 3 — numpy (not jnp) so Pallas kernels don't capture it
+# as a traced constant
+MIN_BIG_EXPONENT = np.int32(-(2 ** 31) // 8)
 EXPONENT_DIFF_IGNORED = 120
 
 _F32_BIAS = 127
