@@ -74,10 +74,11 @@ def _perturb_and_la(extra):
     from fractalshark_tpu.engine.reforbit import RefOrbitCalc
     from fractalshark_tpu.ops import perturb
 
-    # kept small: first-time TPU compiles through the remote tunnel cost
-    # minutes and the compilation cache cannot persist them
-    size = 128
-    budget = 1000
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    size = 512 if on_tpu else 128
+    budget = 3000 if on_tpu else 1000
     ptz = _deep_view(size)
     calc = RefOrbitCalc()
     t0 = time.perf_counter()
@@ -91,11 +92,21 @@ def _perturb_and_la(extra):
         t0 = time.perf_counter()
         out = fn()
         v = int(np.asarray(out[-1, -1]))
-        return time.perf_counter() - t0, v
+        return time.perf_counter() - t0, int(np.asarray(out).astype(
+            np.int64).sum())
 
-    dt, _ = timed(lambda: perturb.perturb_render_hdr(
-        res, ptz, size, size, budget, sub_dtype=np.float32))
+    if on_tpu:
+        from fractalshark_tpu.ops.perturb_pallas import \
+            perturb_render_pallas
+        dt, tot = timed(lambda: perturb_render_pallas(
+            res, ptz, size, size, budget))
+        extra["perturb_kernel"] = "pallas"
+    else:
+        dt, tot = timed(lambda: perturb.perturb_render_hdr(
+            res, ptz, size, size, budget, sub_dtype=np.float32))
+        extra["perturb_kernel"] = "xla"
     extra["perturb_mpix_s"] = round(size * size / dt / 1e6, 2)
+    extra["perturb_gpxit_s"] = round(tot / dt / 1e9, 3)
 
     from fractalshark_tpu.core.hdr_host import HD
     from fractalshark_tpu.engine.la_reference import LAReferenceHost
@@ -104,9 +115,10 @@ def _perturb_and_la(extra):
     la = LAReferenceHost.generate(res.orbit_x, res.orbit_y,
                                   HD.from_hp(res.max_radius))
     extra["la_build_s"] = round(time.perf_counter() - t0, 3)
+    la_size = 128  # XLA LA kernel: keep the compile small
     dt, _ = timed(lambda: la_kernel.la_perturb_render(
-        res, la, ptz, size, size, budget, sub_dtype=np.float32))
-    extra["la_mpix_s"] = round(size * size / dt / 1e6, 2)
+        res, la, ptz, la_size, la_size, budget, sub_dtype=np.float32))
+    extra["la_mpix_s"] = round(la_size * la_size / dt / 1e6, 2)
 
 
 def _ntt(extra):
@@ -160,7 +172,7 @@ def _native(extra):
 
 def main() -> int:
     import os
-    budget_s = float(os.environ.get("FRACTALSHARK_BENCH_BUDGET_S", "240"))
+    budget_s = float(os.environ.get("FRACTALSHARK_BENCH_BUDGET_S", "480"))
     t_start = time.perf_counter()
     extra = {}
     parts = [("native", _native), ("ntt", _ntt),
@@ -172,7 +184,7 @@ def main() -> int:
         extra["headline_error"] = repr(e)[:200]
     # rough first-compile cost of each part through the remote-compile
     # tunnel; a part only starts if it plausibly fits the remaining budget
-    est_s = {"native": 5, "ntt": 120, "perturb/la": 300}
+    est_s = {"native": 5, "ntt": 150, "perturb/la": 400}
     for name, fn in parts:
         remaining = budget_s - (time.perf_counter() - t_start)
         if remaining < est_s.get(name, 60):

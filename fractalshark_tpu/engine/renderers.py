@@ -53,6 +53,14 @@ def calc_perturbed(fractal, alg: RenderAlgorithm):
         from fractalshark_tpu.ops import la_kernel
         sub = np.float32 if alg.dtype in ("f32", "hdr32", "2x32",
                                           "hdr2x32") else np.float64
+        if (fractal.backend == "tpu" and sub == np.float32 and
+                alg.la_mode is not LAMode.LAO):
+            from fractalshark_tpu.ops.la_pallas import la_render_pallas
+            out = la_render_pallas(
+                results, la, fractal.ptz, w, h, fractal.num_iterations)
+            if out is not None:
+                fractal.benchmark.extra["kernel"] = "pallas-lav2"
+                return out
         return la_kernel.la_perturb_render(
             results, la, fractal.ptz, w, h, fractal.num_iterations,
             sub_dtype=sub,

@@ -50,7 +50,10 @@ def _lav2_impl(orbit_x, orbit_y, dc_re, dc_im, dc_e,
                at_step=0):
     shape = dc_re.shape
     dtype = dc_re.dtype
-    n = jnp.int64(max_iter)
+    # iteration counters: i32 when the budget allows (i64 is emulated
+    # and slow on TPU; budgets >= 2^31 use the 64-bit path)
+    it_t = jnp.int64 if max_iter >= (1 << 31) else jnp.int32
+    n = it_t(max_iter)
     dc = HDRComplex(dc_re, dc_im, dc_e)
     dc_cheb = hdr.reduce(hdr.chebychev_norm(dc))
     two56 = HDR(jnp.full(shape, 1.0, dtype), jnp.full(shape, 8, jnp.int32))
@@ -70,7 +73,7 @@ def _lav2_impl(orbit_x, orbit_y, dc_re, dc_im, dc_e,
         stage_valid_arr = jnp.zeros((1,) + shape, bool)
 
     # ---------------- AT head skip (ATInfo.h:157-188) ------------------
-    it0 = jnp.zeros(shape, jnp.int64)
+    it0 = jnp.zeros(shape, it_t)
     dz0 = hdr.complex_zero(shape, dtype)
     if at_args is not None and at_step > 0:
         (at_thrc, at_sqr_esc, at_refc, at_cc, at_invzc) = at_args
@@ -125,7 +128,7 @@ def _lav2_impl(orbit_x, orbit_y, dc_re, dc_im, dc_e,
             (jnp.int32(0), z0.re, z0.im, z0.e, at_ok, steps_taken))
         zend = HDRComplex(zr, zi, ze)
         dz_at = hdr.reduce_complex(hdr.complex_mul(zend, bc_c(at_invzc)))
-        it0 = jnp.where(at_ok, cnt.astype(jnp.int64) * at_step, it0)
+        it0 = jnp.where(at_ok, cnt.astype(it_t) * at_step, it0)
         dz0 = HDRComplex(jnp.where(at_ok, dz_at.re, dz0.re),
                          jnp.where(at_ok, dz_at.im, dz0.im),
                          jnp.where(at_ok, dz_at.e, dz0.e))
@@ -158,7 +161,7 @@ def _lav2_impl(orbit_x, orbit_y, dc_re, dc_im, dc_e,
         j_eff = jnp.where(entering, ref_iter, j)
         node = jnp.clip(la_index + j_eff, 0, step_length.shape[0] - 1)
 
-        l = step_length[node]
+        l = step_length[node].astype(it_t)
         ref = _gather_complex(ref_m, ref_e, node)
         thr = _gather_hdr(thr_m, thr_e, node)
         # newdz = dz*(2*Ref + dz)   (LAInfoDeep::Prepare)
@@ -280,7 +283,8 @@ def la_perturb_render(results, la, ptz: PointZoomBBConverter,
         jnp.asarray(arrs["cc_m"]), jnp.asarray(arrs["cc_e"]),
         jnp.asarray(arrs["thr_m"]), jnp.asarray(arrs["thr_e"]),
         jnp.asarray(arrs["thrc_m"]), jnp.asarray(arrs["thrc_e"]),
-        jnp.asarray(arrs["step_length"]),
+        jnp.asarray(arrs["step_length"].astype(
+            np.int64 if max_iter >= (1 << 31) else np.int32)),
         jnp.asarray(arrs["next_stage_la_index"]),
         jnp.asarray(arrs["stage_la_index"]),
         jnp.asarray(arrs["stage_macro_it_count"]),
