@@ -115,10 +115,18 @@ def _perturb_and_la(extra):
     la = LAReferenceHost.generate(res.orbit_x, res.orbit_y,
                                   HD.from_hp(res.max_radius))
     extra["la_build_s"] = round(time.perf_counter() - t0, 3)
-    la_size = 128  # XLA LA kernel: keep the compile small
-    dt, _ = timed(lambda: la_kernel.la_perturb_render(
-        res, la, ptz, la_size, la_size, budget, sub_dtype=np.float32))
-    extra["la_mpix_s"] = round(la_size * la_size / dt / 1e6, 2)
+    if on_tpu:
+        from fractalshark_tpu.ops.la_pallas import la_render_pallas
+        dt, _ = timed(lambda: la_render_pallas(
+            res, la, ptz, size, size, budget))
+        extra["la_kernel"] = "pallas"
+        extra["la_mpix_s"] = round(size * size / dt / 1e6, 2)
+    else:
+        la_size = 128  # XLA LA kernel: keep the compile small
+        dt, _ = timed(lambda: la_kernel.la_perturb_render(
+            res, la, ptz, la_size, la_size, budget, sub_dtype=np.float32))
+        extra["la_kernel"] = "xla"
+        extra["la_mpix_s"] = round(la_size * la_size / dt / 1e6, 2)
 
 
 def _ntt(extra):
@@ -129,7 +137,7 @@ def _ntt(extra):
     from fractalshark_tpu.ops.bignum.orbit import orbit_chunk
     from fractalshark_tpu.core.highprecision import HighPrecision
 
-    limbs = 1024
+    limbs = 4096
     steps = 32
     spec = FP.FixedSpec.for_limbs(limbs)
     prec = spec.frac_bits - 20
