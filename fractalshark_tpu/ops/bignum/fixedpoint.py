@@ -243,16 +243,18 @@ def multiply_3way(ax, ay, spec: FixedSpec):
 
     v = jnp.concatenate([ax, jnp.zeros((pad,), jnp.uint32)])
     w = jnp.concatenate([ay, jnp.zeros((pad,), jnp.uint32)])
-    # rows: [x@p1, x@p2, y@p1, y@p2] — digits < 2^16 < p, no reduction
+    # rows: [x@p1, x@p2, y@p1, y@p2] — digits < 2^16 < p, no reduction.
+    # Plain-domain Shoup transforms (6 mults/butterfly); the pointwise
+    # Montgomery REDC's R^-1 is cancelled in the inverse's scaling.
     stacked = jnp.stack([v, v, w, w])
-    f = N.batched_forward(N.batched_to_mont(stacked, 4), plan)
+    f = N.shoup_forward(stacked, nf)
     fx1, fx2, fy1, fy2 = f[0], f[1], f[2], f[3]
     # rows: [xx@p1, xx@p2, yy@p1, yy@p2, xy@p1, xy@p2]
     a_ops = jnp.stack([fx1, fx2, fy1, fy2, fx1, fx2])
     b_ops = jnp.stack([fx1, fx2, fy1, fy2, fy1, fy2])
     p_col, pp_col = N._row_consts(6)
     prod = N._mont_mul_rows(a_ops, b_ops, p_col, pp_col)
-    inv = N.batched_from_mont(N.batched_inverse(prod, plan), 6)
+    inv = N.shoup_inverse_scaled(prod, nf, extra_scale_r=True)
 
     out = []
     # product has 2D digits; the fixed-point result drops the low
