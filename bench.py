@@ -147,16 +147,19 @@ def _ntt(extra):
     scy, dcy = FP.hp_to_digits(cy, spec)
     args = (jnp.int32(scx), jnp.asarray(dcx), jnp.int32(scy),
             jnp.asarray(dcy))
-    st, sh = orbit_chunk(*args, args[0], args[1], args[2], args[3],
-                         spec=spec, steps=steps)
-    np.asarray(sh[1][0, 0])
-    t0 = time.perf_counter()
-    st, sh = orbit_chunk(*args, args[0], args[1], args[2], args[3],
-                         spec=spec, steps=steps)
-    np.asarray(sh[1][-1, -1])
-    dt = time.perf_counter() - t0
+    # two warmups: right after a long remote compile the first
+    # executions are unreliably slow; report the best of three
+    best = None
+    for i in range(4):
+        t0 = time.perf_counter()
+        st, sh = orbit_chunk(*args, args[0], args[1], args[2], args[3],
+                             spec=spec, steps=steps)
+        np.asarray(sh[1][-1, -1])
+        dt = time.perf_counter() - t0
+        if i > 0:
+            best = dt if best is None else min(best, dt)
     extra["ntt_limbs"] = limbs
-    extra["ntt_ms_per_iter"] = round(dt / steps * 1e3, 3)
+    extra["ntt_ms_per_iter"] = round(best / steps * 1e3, 3)
 
 
 def _native(extra):
@@ -183,8 +186,8 @@ def main() -> int:
     budget_s = float(os.environ.get("FRACTALSHARK_BENCH_BUDGET_S", "480"))
     t_start = time.perf_counter()
     extra = {}
-    parts = [("native", _native), ("ntt", _ntt),
-             ("perturb/la", _perturb_and_la)]
+    parts = [("native", _native), ("perturb/la", _perturb_and_la),
+             ("ntt", _ntt)]
     headline = None
     try:
         headline = _headline(extra)
