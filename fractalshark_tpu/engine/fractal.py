@@ -173,11 +173,14 @@ class Fractal:
             if self.backend == "tpu" and alg.dtype == "f32" and n < (1 << 31):
                 return escape.escape_pallas(params, w, h, n, dtype=dt)
             return escape.escape_jax(params, w, h, n, dtype=dt)
-        if alg.dtype in ("2x32", "2x64", "4x32", "4x64"):
+        if alg.dtype in ("2x32", "2x64"):
             from fractalshark_tpu.ops import dblflt
             # pass the high-precision view: (hi, lo) splits must be exact
             return dblflt.escape_df(self.ptz, w, h, n, variant=alg.dtype,
                                     backend=self.backend)
+        if alg.dtype in ("4x32", "4x64"):
+            from fractalshark_tpu.ops import quadflt
+            return quadflt.escape_qf(self.ptz, w, h, n, variant=alg.dtype)
         if alg.dtype in ("hdr32", "hdr64"):
             from fractalshark_tpu.ops import hdr_escape
             return hdr_escape.escape_hdr(
