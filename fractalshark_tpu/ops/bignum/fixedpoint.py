@@ -247,14 +247,20 @@ def multiply_3way(ax, ay, spec: FixedSpec):
     # Plain-domain Shoup transforms (6 mults/butterfly); the pointwise
     # Montgomery REDC's R^-1 is cancelled in the inverse's scaling.
     stacked = jnp.stack([v, v, w, w])
-    f = N.shoup_forward(stacked, nf)
+    # four-step wins once the flat form's sub-lane stages dominate;
+    # below that the two transposes cost more than they save
+    four_step = nf >= 65536
+    f = (N.fourstep_forward(stacked, nf) if four_step
+         else N.shoup_forward(stacked, nf))
     fx1, fx2, fy1, fy2 = f[0], f[1], f[2], f[3]
     # rows: [xx@p1, xx@p2, yy@p1, yy@p2, xy@p1, xy@p2]
     a_ops = jnp.stack([fx1, fx2, fy1, fy2, fx1, fx2])
     b_ops = jnp.stack([fx1, fx2, fy1, fy2, fy1, fy2])
     p_col, pp_col = N._row_consts(6)
     prod = N._mont_mul_rows(a_ops, b_ops, p_col, pp_col)
-    inv = N.shoup_inverse_scaled(prod, nf, extra_scale_r=True)
+    inv = (N.fourstep_inverse_scaled(prod, nf, extra_scale_r=True)
+           if four_step
+           else N.shoup_inverse_scaled(prod, nf, extra_scale_r=True))
 
     out = []
     # product has 2D digits; the fixed-point result drops the low

@@ -419,6 +419,180 @@ def shoup_inverse_scaled(x, n: int, extra_scale_r: bool = True):
     return _shoup_mul(y, jnp.asarray(sc), jnp.asarray(scp), p_col)
 
 
+# ------------------------------------------------- four-step transforms
+# Bailey's four-step factorization n = n1·n2: two batches of SHORT
+# axis-0 transforms around a twiddle-matrix multiply and a transpose.
+# On TPU this is the decisive layout: every butterfly pairs SUBLANES of
+# [.., n1, n2] arrays (the 128-lane minor dim is never subdivided), so
+# all stage reshapes are free leading-dim views — unlike the flat
+# radix-2 form whose last 7 stages shuffle within lanes.
+# Output order is "scrambled" (bit-reversed k1/k2, transposed), which
+# the convolution's pointwise product doesn't care about as long as the
+# inverse mirrors the exact chain.
+
+
+def _split_n(n: int) -> tuple[int, int]:
+    s = n.bit_length() - 1
+    n1 = 1 << (s // 2)
+    return n1, n // n1
+
+
+def _bitrev(k: int, bits: int) -> int:
+    return int(format(k, f"0{bits}b")[::-1], 2)
+
+
+@functools.lru_cache(maxsize=64)
+def _fourstep_consts(n: int, rows: int):
+    """Per-row constants for the four-step transform of size n:
+    inner-stage twiddles (lengths n1 and n2) and the rev-aware twiddle
+    matrices T1 / T1inv, all as (value, shoup) numpy pairs."""
+    n1, n2 = _split_n(n)
+
+    def stage_tws(m: int, inverse: bool):
+        stages = m.bit_length() - 1
+        per_stage = []
+        roots = []
+        for r in range(rows):
+            p = (P1, P2)[r % 2]
+            g = (G1, G2)[r % 2]
+            wm = pow(g, (p - 1) // m, p)
+            if inverse:
+                wm = pow(wm, p - 2, p)
+            tw = np.empty(m // 2, np.uint64)
+            wk = 1
+            for k in range(m // 2):
+                tw[k] = wk
+                wk = wk * wm % p
+            roots.append(tw)
+        for s in range(stages):
+            if inverse:
+                hm = 1 << s
+                idx = (np.arange(hm) << (stages - 1 - s))
+            else:
+                hm = m >> (s + 1)
+                idx = (np.arange(hm) << s)
+            w_rows = np.stack([roots[r][idx] for r in range(rows)])
+            wp_rows = np.empty_like(w_rows)
+            for r in range(rows):
+                p = (P1, P2)[r % 2]
+                wp_rows[r] = (w_rows[r].astype(object) << 32) // p
+            per_stage.append((w_rows.astype(np.uint32),
+                              wp_rows.astype(np.uint32)))
+        return tuple(per_stage)
+
+    bits1 = n1.bit_length() - 1
+    rev1 = np.array([_bitrev(k, bits1) for k in range(n1)])
+    t1 = np.empty((rows, n1, n2), np.uint32)
+    t1p = np.empty((rows, n1, n2), np.uint32)
+    t1i = np.empty((rows, n1, n2), np.uint32)
+    t1ip = np.empty((rows, n1, n2), np.uint32)
+    for r in range(rows):
+        p = (P1, P2)[r % 2]
+        g = (G1, G2)[r % 2]
+        wn = pow(g, (p - 1) // n, p)
+        wni = pow(wn, p - 2, p)
+        for row in range(n1):
+            k1 = int(rev1[row])
+            base = pow(wn, k1, p)
+            basei = pow(wni, k1, p)
+            v = 1
+            vi = 1
+            for i2 in range(n2):
+                t1[r, row, i2] = v
+                t1p[r, row, i2] = (v << 32) // p
+                t1i[r, row, i2] = vi
+                t1ip[r, row, i2] = (vi << 32) // p
+                v = v * base % p
+                vi = vi * basei % p
+    # final scaling constant: n^-1 (·R) per row
+    return {
+        "n1": n1, "n2": n2,
+        "tw1_f": stage_tws(n1, False), "tw1_i": stage_tws(n1, True),
+        "tw2_f": stage_tws(n2, False), "tw2_i": stage_tws(n2, True),
+        "t1": (t1, t1p), "t1i": (t1i, t1ip),
+    }
+
+
+def _axis0_dif(y, tws, p_col):
+    """DIF over axis 1 of [R, m, n2] (natural → bit-reversed rows)."""
+    rows, m, lanes = y.shape
+    stages = m.bit_length() - 1
+    for s in range(stages):
+        hm = m >> (s + 1)
+        w = jnp.asarray(tws[s][0]).reshape(rows, 1, hm, 1)
+        wp = jnp.asarray(tws[s][1]).reshape(rows, 1, hm, 1)
+        y4 = y.reshape(rows, 1 << s, 2, hm, lanes)
+        a = y4[:, :, 0]
+        b = y4[:, :, 1]
+        pc = p_col[:, :, None, None]
+        t = _mod_add_rows(a, b, pc)
+        u = _shoup_mul(_mod_sub_rows(a, b, pc), w, wp, pc)
+        y = jnp.stack([t, u], axis=2).reshape(rows, m, lanes)
+    return y
+
+
+def _axis0_dit(y, tws, p_col):
+    """DIT over axis 1 of [R, m, n2] (bit-reversed rows → natural)."""
+    rows, m, lanes = y.shape
+    stages = m.bit_length() - 1
+    for s in range(stages):
+        hm = 1 << s
+        w = jnp.asarray(tws[s][0]).reshape(rows, 1, hm, 1)
+        wp = jnp.asarray(tws[s][1]).reshape(rows, 1, hm, 1)
+        y4 = y.reshape(rows, m >> (s + 1), 2, hm, lanes)
+        a = y4[:, :, 0]
+        b = y4[:, :, 1]
+        pc = p_col[:, :, None, None]
+        u = _shoup_mul(b, w, wp, pc)
+        t0 = _mod_add_rows(a, u, pc)
+        t1 = _mod_sub_rows(a, u, pc)
+        y = jnp.stack([t0, t1], axis=2).reshape(rows, m, lanes)
+    return y
+
+
+def fourstep_forward(x, n: int):
+    """Plain-domain four-step forward: [R, n] → scrambled spectra
+    [R, n] (internally [R, n2, n1])."""
+    rows = x.shape[0]
+    c = _fourstep_consts(n, rows)
+    n1, n2 = c["n1"], c["n2"]
+    p_col, _ = _row_consts(rows)
+    a = x.reshape(rows, n1, n2)
+    b = _axis0_dif(a, c["tw1_f"], p_col)
+    t1, t1p = c["t1"]
+    b = _shoup_mul(b, jnp.asarray(t1), jnp.asarray(t1p),
+                   p_col[:, :, None])
+    bt = jnp.transpose(b, (0, 2, 1))          # [R, n2, n1]
+    e = _axis0_dif(bt, c["tw2_f"], p_col)
+    return e.reshape(rows, n)
+
+
+def fourstep_inverse_scaled(x, n: int, extra_scale_r: bool = True):
+    """Inverse of fourstep_forward, scaled by n^-1 (·R optionally)."""
+    rows = x.shape[0]
+    c = _fourstep_consts(n, rows)
+    n1, n2 = c["n1"], c["n2"]
+    p_col, _ = _row_consts(rows)
+    e = x.reshape(rows, n2, n1)
+    bt = _axis0_dit(e, c["tw2_i"], p_col)
+    b = jnp.transpose(bt, (0, 2, 1))          # [R, n1, n2]
+    t1i, t1ip = c["t1i"]
+    b = _shoup_mul(b, jnp.asarray(t1i), jnp.asarray(t1ip),
+                   p_col[:, :, None])
+    a = _axis0_dit(b, c["tw1_i"], p_col)
+    y = a.reshape(rows, n)
+    sc = np.empty((rows, 1), np.uint32)
+    scp = np.empty((rows, 1), np.uint32)
+    for r in range(rows):
+        p = (P1, P2)[r % 2]
+        v = pow(n, p - 2, p)
+        if extra_scale_r:
+            v = (v << 32) % p
+        sc[r, 0] = v
+        scp[r, 0] = (v << 32) // p
+    return _shoup_mul(y, jnp.asarray(sc), jnp.asarray(scp), p_col)
+
+
 def batched_to_mont(x, rows: int):
     p_col, pp_col = _row_consts(rows)
     r2 = jnp.asarray(np.stack(
