@@ -143,18 +143,29 @@ def refine_periodic_point(cx: HighPrecision, cy: HighPrecision,
                           max_steps: int = 64,
                           method: str = "newton",
                           checkpoint_path: str | None = None,
-                          start_step: int = 0):
+                          start_step: int = 0,
+                          backend: str = "host"):
     """Phase-B refinement (RefinePeriodicPoint_WithMPF,
-    FeatureFinder.h:237): drive z_period(c) → 0."""
+    FeatureFinder.h:237): drive z_period(c) → 0.
+
+    backend: "host" (fixed-point big ints) or "device" (the NTT
+    pipeline's NR mode — the NRInnerLoopBackend GPU analogue,
+    FeatureFinder.h NRInnerLoopBackend)."""
     t0 = time.perf_counter()
     cx = cx.with_precision(prec)
     cy = cy.with_precision(prec)
     steps = start_step
     last_step_exp = 0
     for _ in range(start_step, max_steps):
-        use_d2 = method == "halley"
-        ev = evaluate_critical_orbit_and_derivs(cx, cy, period, prec,
-                                                with_d2=use_d2)
+        use_d2 = method == "halley" and backend == "host"
+        if backend == "device":
+            from fractalshark_tpu.ops.bignum.orbit import \
+                evaluate_critical_orbit_and_derivs_device
+            ev = evaluate_critical_orbit_and_derivs_device(
+                cx, cy, period, prec)
+        else:
+            ev = evaluate_critical_orbit_and_derivs(cx, cy, period, prec,
+                                                    with_d2=use_d2)
         zx, zy, dx_, dy_ = ev[:4]
         if method == "halley" and len(ev) == 6:
             d2x, d2y = ev[4], ev[5]

@@ -228,6 +228,46 @@ def _crt_to_digit_sums(r1, r2, out_digits: int, nfft: int, round_digit: int):
     return carry_propagate(acc)
 
 
+def multiply_nr(ax, ay, adx, ady, spec: FixedSpec):
+    """NR-mode multiply: alongside (x², y², x·y), the four cross
+    products with the derivative (x·dx, x·dy, y·dx, y·dy — the
+    reference's W0..W3, ``MultiplyNTT.cu:3536-3543``), all sharing ONE
+    [8, n] forward and ONE [14, n] inverse pass."""
+    nf = spec.nfft
+    D = spec.digits
+    pad = nf - D
+
+    def padv(v):
+        return jnp.concatenate([v, jnp.zeros((pad,), jnp.uint32)])
+
+    vx, vy, vdx, vdy = padv(ax), padv(ay), padv(adx), padv(ady)
+    stacked = jnp.stack([vx, vx, vy, vy, vdx, vdx, vdy, vdy])
+    four_step = nf >= 65536
+    f = (N.fourstep_forward(stacked, nf) if four_step
+         else N.shoup_forward(stacked, nf))
+    fx = (f[0], f[1])
+    fy = (f[2], f[3])
+    fdx = (f[4], f[5])
+    fdy = (f[6], f[7])
+    pairs = [(fx, fx), (fy, fy), (fx, fy),           # xx, yy, xy
+             (fx, fdx), (fx, fdy), (fy, fdx), (fy, fdy)]  # W0..W3
+    a_ops = jnp.stack([a[pi] for (a, b) in pairs for pi in range(2)])
+    b_ops = jnp.stack([b[pi] for (a, b) in pairs for pi in range(2)])
+    p_col, pp_col = N._row_consts(14)
+    prod = N._mont_mul_rows(a_ops, b_ops, p_col, pp_col)
+    inv = (N.fourstep_inverse_scaled(prod, nf, extra_scale_r=True)
+           if four_step
+           else N.shoup_inverse_scaled(prod, nf, extra_scale_r=True))
+    F = spec.frac_digits
+    out = []
+    for k in range(7):
+        digits2d = _crt_to_digit_sums(inv[2 * k], inv[2 * k + 1],
+                                      out_digits=2 * D, nfft=nf,
+                                      round_digit=F - 1)
+        out.append(digits2d[F:F + D])
+    return tuple(out)
+
+
 def multiply_3way(ax, ay, spec: FixedSpec):
     """Given magnitudes x, y (digit arrays of length spec.digits), return
     the fixed-point-scaled magnitudes of (x², y², x·y) — two forward

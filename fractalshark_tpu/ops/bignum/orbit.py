@@ -82,6 +82,77 @@ def _shadow_to_f64(sign, win, base, spec: FP.FixedSpec) -> np.ndarray:
     return sign * weights * np.exp2(exp.astype(np.float64))
 
 
+@functools.partial(jax.jit, static_argnames=("spec", "steps"))
+def orbit_nr_chunk(sx, x, sy, y, sdx, dx, sdy, dy,
+                   scx, cx, scy, cy, *, spec: FP.FixedSpec, steps: int):
+    """NR-mode orbit chunk: z ← z² + c AND dzdc ← 2·z·dzdc + 1, both at
+    full precision on device (the reference's NR kernel variant with
+    W0..W3 products, KernelHpSharkReferenceOrbit_cu.h:59-92). Returns
+    the final (z, dzdc) state — the host runs the cheap Newton step."""
+    one_s, one_d = FP.hp_to_digits(
+        HighPrecision(1, prec=spec.frac_bits), spec)
+    one = jnp.asarray(one_d)
+
+    def body(state, _):
+        sx, x, sy, y, sdx, dx, sdy, dy = state
+        xx, yy, xy, xdx, xdy, ydx, ydy = FP.multiply_nr(x, y, dx, dy,
+                                                        spec)
+        # dzdc' = 2(z·dzdc) + 1 BEFORE z update (MpirOrbitEval order):
+        # re: 2(x·dx − y·dy) + 1 ; im: 2(x·dy + y·dx)
+        s1, m1 = FP.signed_add(sx * sdx, FP.shift_left_one_bit(xdx),
+                               -sy * sdy, FP.shift_left_one_bit(ydy))
+        nsdx, ndx = FP.signed_add(s1, m1, jnp.int32(one_s), one)
+        nsdy, ndy = FP.signed_add(sx * sdy, FP.shift_left_one_bit(xdy),
+                                  sy * sdx, FP.shift_left_one_bit(ydx))
+        # z ← z² + c
+        s2, m2 = FP.signed_add(jnp.int32(1), xx, jnp.int32(-1), yy)
+        nsx, nx = FP.signed_add(s2, m2, scx, cx)
+        nsy, ny = FP.signed_add(sx * sy, FP.shift_left_one_bit(xy),
+                                scy, cy)
+        return (nsx, nx, nsy, ny, nsdx, ndx, nsdy, ndy), None
+
+    state, _ = jax.lax.scan(body, (sx, x, sy, y, sdx, dx, sdy, dy),
+                            None, length=steps)
+    return state
+
+
+def evaluate_critical_orbit_and_derivs_device(cx: HighPrecision,
+                                              cy: HighPrecision,
+                                              period: int,
+                                              precision_bits: int,
+                                              chunk_steps: int = 256):
+    """Device counterpart of feature_finder's host evaluator: returns
+    (z_x, z_y, dzdc_x, dzdc_y) as HighPrecision after period−1 updates
+    from z = c, dzdc = 1 (EvaluateCriticalOrbitAndDerivs_GPU analogue,
+    KernelInvoke.h:148-169)."""
+    limbs = 1 << max(3, (-(-(precision_bits + 80) // 32)
+                         - 1).bit_length())
+    spec = FP.FixedSpec.for_limbs(limbs)
+    scx_i, cxd = FP.hp_to_digits(cx, spec)
+    scy_i, cyd = FP.hp_to_digits(cy, spec)
+    one_s, one_d = FP.hp_to_digits(HighPrecision(1, prec=64), spec)
+    state = (jnp.int32(scx_i), jnp.asarray(cxd),
+             jnp.int32(scy_i), jnp.asarray(cyd),
+             jnp.int32(one_s), jnp.asarray(one_d),
+             jnp.int32(1), jnp.asarray(np.zeros(spec.digits, np.uint32)))
+    remaining = period - 1
+    while remaining > 0:
+        steps = min(chunk_steps, remaining)
+        state = orbit_nr_chunk(*state,
+                               jnp.int32(scx_i), jnp.asarray(cxd),
+                               jnp.int32(scy_i), jnp.asarray(cyd),
+                               spec=spec, steps=steps)
+        remaining -= steps
+
+    def to_hp(sign, digits):
+        v = FP.digits_to_int(np.asarray(digits))
+        return HighPrecision.from_mant_exp(
+            int(sign) * v, -spec.frac_bits, prec=precision_bits)
+
+    sx, x, sy, y, sdx, dxd, sdy, dyd = state
+    return (to_hp(sx, x), to_hp(sy, y), to_hp(sdx, dxd), to_hp(sdy, dyd))
+
+
 @dataclass
 class TpuOrbitSession:
     """RAII-style session mirroring GpuOrbitSession (KernelInvoke.h:63)."""
