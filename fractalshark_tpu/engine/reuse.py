@@ -22,7 +22,6 @@ low-precision orbit (SimpleIntermediateOrbitCompressor analogue).
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 import numpy as np

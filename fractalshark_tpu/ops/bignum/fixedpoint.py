@@ -21,7 +21,6 @@ fixed-point-free while loop (the reference uses grid-wide sync passes).
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax

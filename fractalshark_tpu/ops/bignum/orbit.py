@@ -21,7 +21,6 @@ Device↔host crossing happens once per chunk, not per iteration.
 from __future__ import annotations
 
 import functools
-import math
 import threading
 import time
 from dataclasses import dataclass

@@ -263,8 +263,6 @@ def la_render_pallas(results, la, ptz: PointZoomBBConverter,
     z0 = hdr.complex_zero((height, width), jnp.float32)
     dz0r, dz0i, dz0e = z0.re, z0.im, z0.e
     if la.use_at and la.at is not None:
-        from fractalshark_tpu.ops.la_kernel import _lav2_impl  # noqa: F401
-        # reuse the XLA AT pass by running LAO? simpler: AT inline here
         at = la.at
         shape = (height, width)
         dc_cheb = hdr.reduce(hdr.chebychev_norm(dc))

@@ -25,8 +25,7 @@ import numpy as np
 from fractalshark_tpu.core.highprecision import HighPrecision
 from fractalshark_tpu.core.pointzoom import PointZoomBBConverter
 from fractalshark_tpu.ops.dblflt import (DF, df_add, df_mul, df_mul_pow2,
-                                         df_neg, df_sqr, df_sub, split,
-                                         two_prod)
+                                         df_sub, two_prod)
 
 
 class QF(NamedTuple):

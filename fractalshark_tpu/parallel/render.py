@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fractalshark_tpu.core.pointzoom import PointZoomBBConverter
 from fractalshark_tpu.ops import perturb
-from fractalshark_tpu.ops.escape import PlainParams, escape_jax
+from fractalshark_tpu.ops.escape import PlainParams
 
 
 def make_mesh(devices=None, axis: str = "pixels") -> Mesh:
