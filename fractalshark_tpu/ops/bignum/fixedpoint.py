@@ -29,7 +29,7 @@ import numpy as np
 
 from fractalshark_tpu.core.highprecision import HighPrecision
 from fractalshark_tpu.ops.bignum import ntt as N
-from fractalshark_tpu.ops.bignum.u32 import add_carry, mul_full
+from fractalshark_tpu.ops.bignum.u32 import add_carry, mul_full, sub_borrow
 
 INT_DIGITS = 2          # 32 integer bits: |z²+c| < 256 plus headroom
 DIGIT_BITS = 16
@@ -190,41 +190,81 @@ def _pointwise(fa, fb, prime_idx):
     return N.mont_mul(fa, fb, p, pprime)
 
 
-def _crt_to_digit_sums(r1, r2, out_digits: int, nfft: int, round_digit: int):
-    """CRT-reconstruct convolution coefficients (mod p1, mod p2) into
-    per-digit accumulator sums, then carry-propagate to canonical digits.
-
-    rec = r1 + p1·((r2 − r1)·p1^-1 mod p2) < p1·p2 ≈ 2^62, carried as a
-    u32 (hi, lo) pair; its four 16-bit parts accumulate into digit lanes
-    k..k+3."""
+def _crt_rec(r1, r2):
+    """(hi, lo) u32 pair of rec = CRT(r1 mod p1, r2 mod p2) ∈ [0, p1·p2):
+    rec = r1 + p1·((r2 − r1)·p1^-1 mod p2) < p1·p2 ≈ 2^62."""
     p2 = np.uint32(N.P2)
-    pprime2, _, r2sq = N._MONT[N.P2]
+    pprime2, _, _ = N._MONT[N.P2]
     # t = (r2 - r1) * inv_p1 mod p2 — via Montgomery: first reduce r1 mod p2
     r1m = jnp.where(r1 >= p2, r1 - p2, r1)
     diff = jnp.where(r2 >= r1m, r2 - r1m, r2 + p2 - r1m)
     inv_mont = np.uint32((_INV_P1_MOD_P2 << 32) % N.P2)
     t = N.mont_mul(diff, jnp.asarray(inv_mont), N.P2, pprime2)
-    # rec = r1 + p1 * t  (64-bit)
     hi, lo = mul_full(t, jnp.asarray(np.uint32(N.P1)))
     lo2, c = add_carry(lo, r1)
-    hi = hi + c
+    return hi + c, lo2
 
-    d0 = lo2 & DIGIT_MASK
-    d1 = lo2 >> 16
+
+def _parts_acc(hi, lo, out_digits: int):
+    """Scatter each 64-bit coefficient's four 16-bit parts into digit
+    positions k..k+3 and sum (≤ 4 contributions per position)."""
+    d0 = lo & DIGIT_MASK
+    d1 = lo >> 16
     d2 = hi & DIGIT_MASK
     d3 = hi >> 16
-
     L = out_digits
 
     def shifted(part, k):
         return jnp.concatenate(
             [jnp.zeros((k,), jnp.uint32), part[:max(0, L - k)]])[:L]
 
-    acc = (shifted(d0, 0) + shifted(d1, 1) +
-           shifted(d2, 2) + shifted(d3, 3))
+    return (shifted(d0, 0) + shifted(d1, 1) +
+            shifted(d2, 2) + shifted(d3, 3))
+
+
+def _crt_to_digit_sums(r1, r2, out_digits: int, nfft: int, round_digit: int):
+    """CRT-reconstruct convolution coefficients (mod p1, mod p2) into
+    per-digit accumulator sums, then carry-propagate to canonical
+    digits (coefficients are known non-negative)."""
+    hi, lo = _crt_rec(r1, r2)
+    acc = _parts_acc(hi, lo, out_digits)
     if round_digit >= 0:
         acc = acc.at[round_digit].add(np.uint32(1 << 15))
     return carry_propagate(acc)
+
+
+_P1P2 = N.P1 * N.P2
+_P1P2_HI = np.uint32(_P1P2 >> 32)
+_P1P2_LO = np.uint32(_P1P2 & 0xFFFFFFFF)
+_HALF_HI = np.uint32((_P1P2 >> 1) >> 32)
+_HALF_LO = np.uint32((_P1P2 >> 1) & 0xFFFFFFFF)
+
+
+def _crt_to_digit_sums_signed(r1, r2, out_digits: int, round_digit: int):
+    """Signed CRT: coefficients are residues of a SIGNED value |v| ≪
+    p1·p2/2 (e.g. x² − y² combined in the frequency domain). Splits
+    each coefficient into a positive or negative magnitude (rec vs
+    p1·p2 − rec), accumulates the two digit streams separately, and
+    returns (sign, magnitude) via one signed subtract.
+
+    Rounding adds the half-ulp to the positive stream, i.e.
+    round-half-up on the signed value (≤ 1 ulp from the magnitude
+    rounding used elsewhere — far below the f64 shadow precision)."""
+    hi, lo = _crt_rec(r1, r2)
+    neg = (hi > _HALF_HI) | ((hi == _HALF_HI) & (lo > _HALF_LO))
+    # magnitude of the negative branch: p1·p2 − rec
+    nlo, bb = sub_borrow(jnp.broadcast_to(_P1P2_LO, lo.shape), lo)
+    nhi = _P1P2_HI - hi - bb
+    zero = np.uint32(0)
+    acc_p = _parts_acc(jnp.where(neg, zero, hi),
+                       jnp.where(neg, zero, lo), out_digits)
+    acc_n = _parts_acc(jnp.where(neg, nhi, zero),
+                       jnp.where(neg, nlo, zero), out_digits)
+    if round_digit >= 0:
+        acc_p = acc_p.at[round_digit].add(np.uint32(1 << 15))
+    pos = carry_propagate(acc_p)
+    negd = carry_propagate(acc_n)
+    return signed_add(jnp.int32(1), pos, jnp.int32(-1), negd)
 
 
 def multiply_nr(ax, ay, adx, ady, spec: FixedSpec):
@@ -241,7 +281,7 @@ def multiply_nr(ax, ay, adx, ady, spec: FixedSpec):
 
     vx, vy, vdx, vdy = padv(ax), padv(ay), padv(adx), padv(ady)
     stacked = jnp.stack([vx, vx, vy, vy, vdx, vdx, vdy, vdy])
-    four_step = nf >= 65536
+    four_step = nf >= 8192
     f = (N.fourstep_forward(stacked, nf) if four_step
          else N.shoup_forward(stacked, nf))
     fx = (f[0], f[1])
@@ -267,6 +307,130 @@ def multiply_nr(ax, ay, adx, ady, spec: FixedSpec):
     return tuple(out)
 
 
+def _use_pallas(nf: int) -> bool:
+    """Route through the single-kernel Pallas NTT when on TPU and the
+    size fits its VMEM window (ops/bignum/ntt_pallas.py)."""
+    if not (PALLAS_NTT if PALLAS_NTT is not None
+            else jax.default_backend() == "tpu"):
+        return False
+    from fractalshark_tpu.ops.bignum import ntt_pallas as NP
+    return NP.supported(nf)
+
+
+PALLAS_NTT: bool | None = None   # None = auto (TPU yes, CPU no)
+
+
+def multiply_iter(ax, ay, spec: FixedSpec):
+    """Orbit-iteration multiply: ((sign_d, d), xy) with
+    sign_d·d = x² − y² and xy = x·y (magnitudes in, fixed-point
+    scaled out).
+
+    The x² − y² combine happens in the FREQUENCY domain (NTT
+    linearity): the inverse pass shrinks from 6 rows to 4 and the
+    digit-domain magnitude subtract (cmp + borrow ripple) disappears.
+    The reference inverse-transforms all three products and subtracts
+    in carry-sync passes (``MultiplyNTT.cu:2943``, ``Add.cu``);
+    exactness of the signed result is guaranteed by |x²−y²| ≪ p1·p2/2
+    via the signed CRT split (_crt_to_digit_sums_signed)."""
+    nf = spec.nfft
+    D = spec.digits
+    pad = nf - D
+
+    vx = jnp.concatenate([ax, jnp.zeros((pad,), jnp.uint32)])
+    vy = jnp.concatenate([ay, jnp.zeros((pad,), jnp.uint32)])
+    F = spec.frac_digits
+
+    if _use_pallas(nf):
+        from fractalshark_tpu.ops.bignum import ntt_pallas as NP
+        inv = NP.ntt_iter_products(vx, vy, nf)
+    else:
+        stacked = jnp.stack([vx, vx, vy, vy])
+        four_step = nf >= 8192
+        f = (N.fourstep_forward(stacked, nf) if four_step
+             else N.shoup_forward(stacked, nf))
+        p2c, pp2c = N._row_consts(2)
+        sq = N._mont_mul_rows(f, f, *N._row_consts(4))    # xx, yy
+        d = N._mod_sub_rows(sq[0:2], sq[2:4], p2c)
+        xy = N._mont_mul_rows(f[0:2], f[2:4], p2c, pp2c)
+        prod = jnp.concatenate([d, xy])                   # [4, n]
+        inv = (N.fourstep_inverse_scaled(prod, nf, extra_scale_r=True)
+               if four_step
+               else N.shoup_inverse_scaled(prod, nf, extra_scale_r=True))
+
+    sd, dd = _crt_to_digit_sums_signed(inv[0], inv[1],
+                                       out_digits=2 * D,
+                                       round_digit=F - 1)
+    xyd = _crt_to_digit_sums(inv[2], inv[3], out_digits=2 * D,
+                             nfft=nf, round_digit=F - 1)
+    return (sd, dd[F:F + D]), xyd[F:F + D]
+
+
+def multiply_nr_iter(sx, ax, sy, ay, sdx, adx, sdy, ady,
+                     spec: FixedSpec):
+    """NR-iteration multiply with frequency-domain sign folding:
+    returns ((s_d, d), (s_xy, xy), (s_u, u), (s_v, v)) where
+
+        d  = x² − y²          xy = x·y
+        u  = x·dx − y·dy      v  = x·dy + y·dx
+
+    — the four signed combinations one z/dzdc update needs, from ONE
+    [4-value] forward and ONE [8-row] inverse (the plain NR path
+    inverse-transforms 14 rows, multiply_nr).
+
+    Signs fold into the spectra: NTT(−a) = p − NTT(a) pointwise, so
+    each value's spectrum is conditionally negated by its sign flag
+    and every downstream product/sum is automatically signed; the
+    signed CRT recovers (sign, magnitude) digits."""
+    nf = spec.nfft
+    D = spec.digits
+    pad = nf - D
+
+    def padv(v):
+        return jnp.concatenate([v, jnp.zeros((pad,), jnp.uint32)])
+
+    F = spec.frac_digits
+    if _use_pallas(nf):
+        from fractalshark_tpu.ops.bignum import ntt_pallas as NP
+        inv = NP.ntt_nr_iter_products(
+            padv(ax), padv(ay), padv(adx), padv(ady),
+            jnp.stack([jnp.int32(sx), jnp.int32(sy),
+                       jnp.int32(sdx), jnp.int32(sdy)]), nf)
+    else:
+        stacked = jnp.stack([padv(ax), padv(ax), padv(ay), padv(ay),
+                             padv(adx), padv(adx), padv(ady), padv(ady)])
+        four_step = nf >= 8192
+        f = (N.fourstep_forward(stacked, nf) if four_step
+             else N.shoup_forward(stacked, nf))
+        p8c, _ = N._row_consts(8)
+        # fold signs: rows 0,1 ← sx; 2,3 ← sy; 4,5 ← sdx; 6,7 ← sdy
+        signs = jnp.stack([sx, sx, sy, sy, sdx, sdx, sdy, sdy])
+        fneg = jnp.where(f == 0, f, p8c - f)
+        f = jnp.where((signs < 0)[:, None], fneg, f)
+        p2c, pp2c = N._row_consts(2)
+
+        def mul2(a2, b2):
+            return N._mont_mul_rows(a2, b2, p2c, pp2c)
+
+        fx, fy, fdx, fdy = f[0:2], f[2:4], f[4:6], f[6:8]
+        d = N._mod_sub_rows(mul2(fx, fx), mul2(fy, fy), p2c)
+        xy = mul2(fx, fy)
+        u = N._mod_sub_rows(mul2(fx, fdx), mul2(fy, fdy), p2c)
+        v = N._mod_add_rows(mul2(fx, fdy), mul2(fy, fdx), p2c)
+        prod = jnp.concatenate([d, xy, u, v])             # [8, n]
+        inv = (N.fourstep_inverse_scaled(prod, nf, extra_scale_r=True)
+               if four_step
+               else N.shoup_inverse_scaled(prod, nf,
+                                           extra_scale_r=True))
+
+    out = []
+    for k in range(4):
+        s, m = _crt_to_digit_sums_signed(inv[2 * k], inv[2 * k + 1],
+                                         out_digits=2 * D,
+                                         round_digit=F - 1)
+        out.append((s, m[F:F + D]))
+    return tuple(out)
+
+
 def multiply_3way(ax, ay, spec: FixedSpec):
     """Given magnitudes x, y (digit arrays of length spec.digits), return
     the fixed-point-scaled magnitudes of (x², y², x·y) — two forward
@@ -288,7 +452,9 @@ def multiply_3way(ax, ay, spec: FixedSpec):
     stacked = jnp.stack([v, v, w, w])
     # four-step wins once the flat form's sub-lane stages dominate;
     # below that the two transposes cost more than they save
-    four_step = nf >= 65536
+    # (measured on v5e: flat 1.97 ms vs four-step 1.74 ms at 16384,
+    # 1.51 vs 1.32 at 8192, 1.35 vs 1.40 at 4096)
+    four_step = nf >= 8192
     f = (N.fourstep_forward(stacked, nf) if four_step
          else N.shoup_forward(stacked, nf))
     fx1, fx2, fy1, fy2 = f[0], f[1], f[2], f[3]

@@ -59,9 +59,10 @@ def orbit_chunk(sx, x, sy, y, scx, cx, scy, cy, *, spec: FP.FixedSpec,
         sx, x, sy, y = state
         winx, basex = _emit_shadow(x)
         winy, basey = _emit_shadow(y)
-        xx, yy, xy = FP.multiply_3way(x, y, spec)
-        s1, m1 = FP.signed_add(jnp.int32(1), xx, jnp.int32(-1), yy)
-        nsx, nx = FP.signed_add(s1, m1, scx, cx)
+        # x² − y² arrives pre-combined in the frequency domain
+        # (fixedpoint.multiply_iter), so one signed add per component
+        (sd, d), xy = FP.multiply_iter(x, y, spec)
+        nsx, nx = FP.signed_add(sd, d, scx, cx)
         xy2 = FP.shift_left_one_bit(xy)
         nsy, ny = FP.signed_add(sx * sy, xy2, scy, cy)
         return (nsx, nx, nsy, ny), (sx, winx, basex, sy, winy, basey)
@@ -94,19 +95,18 @@ def orbit_nr_chunk(sx, x, sy, y, sdx, dx, sdy, dy,
 
     def body(state, _):
         sx, x, sy, y, sdx, dx, sdy, dy = state
-        xx, yy, xy, xdx, xdy, ydx, ydy = FP.multiply_nr(x, y, dx, dy,
-                                                        spec)
-        # dzdc' = 2(z·dzdc) + 1 BEFORE z update (MpirOrbitEval order):
-        # re: 2(x·dx − y·dy) + 1 ; im: 2(x·dy + y·dx)
-        s1, m1 = FP.signed_add(sx * sdx, FP.shift_left_one_bit(xdx),
-                               -sy * sdy, FP.shift_left_one_bit(ydy))
-        nsdx, ndx = FP.signed_add(s1, m1, jnp.int32(one_s), one)
-        nsdy, ndy = FP.signed_add(sx * sdy, FP.shift_left_one_bit(xdy),
-                                  sy * sdx, FP.shift_left_one_bit(ydx))
+        # all four signed combinations arrive pre-combined in the
+        # frequency domain (fixedpoint.multiply_nr_iter):
+        # d = x²−y², xy, u = x·dx−y·dy, v = x·dy+y·dx
+        (sd, d), (sxy, xy), (su, u), (sv, v) = FP.multiply_nr_iter(
+            sx, x, sy, y, sdx, dx, sdy, dy, spec)
+        # dzdc' = 2(z·dzdc) + 1 BEFORE z update (MpirOrbitEval order)
+        nsdx, ndx = FP.signed_add(su, FP.shift_left_one_bit(u),
+                                  jnp.int32(one_s), one)
+        nsdy, ndy = sv, FP.shift_left_one_bit(v)
         # z ← z² + c
-        s2, m2 = FP.signed_add(jnp.int32(1), xx, jnp.int32(-1), yy)
-        nsx, nx = FP.signed_add(s2, m2, scx, cx)
-        nsy, ny = FP.signed_add(sx * sy, FP.shift_left_one_bit(xy),
+        nsx, nx = FP.signed_add(sd, d, scx, cx)
+        nsy, ny = FP.signed_add(sxy, FP.shift_left_one_bit(xy),
                                 scy, cy)
         return (nsx, nx, nsy, ny, nsdx, ndx, nsdy, ndy), None
 
