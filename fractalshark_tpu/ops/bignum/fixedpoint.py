@@ -365,6 +365,166 @@ def multiply_iter(ax, ay, spec: FixedSpec):
     return (sd, dd[F:F + D]), xyd[F:F + D]
 
 
+def _signed_streams(r1, r2, double: bool, out_digits: int):
+    """CRT a signed-residue row pair into (pos, neg) digit-sum
+    accumulators (optionally doubling the coefficient first — exact,
+    2·rec < 2^63)."""
+    hi, lo = _crt_rec(r1, r2)
+    neg = (hi > _HALF_HI) | ((hi == _HALF_HI) & (lo > _HALF_LO))
+    nlo, bb = sub_borrow(jnp.broadcast_to(_P1P2_LO, lo.shape), lo)
+    nhi = _P1P2_HI - hi - bb
+    if double:
+        hi = (hi << 1) | (lo >> 31)
+        lo = lo << 1
+        nhi = (nhi << 1) | (nlo >> 31)
+        nlo = nlo << 1
+    zero = np.uint32(0)
+    acc_p = _parts_acc(jnp.where(neg, zero, hi),
+                       jnp.where(neg, zero, lo), out_digits)
+    acc_n = _parts_acc(jnp.where(neg, nhi, zero),
+                       jnp.where(neg, nlo, zero), out_digits)
+    return acc_p, acc_n
+
+
+def _unsigned_stream(r1, r2, s_all, double: bool, out_digits: int):
+    """CRT a non-negative row pair carrying one GLOBAL sign s_all into
+    (pos, neg) accumulators."""
+    hi, lo = _crt_rec(r1, r2)
+    if double:
+        hi = (hi << 1) | (lo >> 31)
+        lo = lo << 1
+    parts = _parts_acc(hi, lo, out_digits)
+    zero = jnp.zeros_like(parts)
+    return (jnp.where(s_all > 0, parts, zero),
+            jnp.where(s_all > 0, zero, parts))
+
+
+def _fold_addend(acc_p, acc_n, s_c, c, at_digit: int):
+    """Accumulate a signed digit-array addend at a digit offset (the
+    +c / +1 of the orbit update, folded before the single carry)."""
+    zero = jnp.zeros_like(c)
+    acc_p = acc_p.at[at_digit:at_digit + c.shape[0]].add(
+        jnp.where(s_c > 0, c, zero))
+    acc_n = acc_n.at[at_digit:at_digit + c.shape[0]].add(
+        jnp.where(s_c > 0, zero, c))
+    return acc_p, acc_n
+
+
+def _finish_signed(acc_p, acc_n, F: int, D: int, round_digit: int):
+    acc_p = acc_p.at[round_digit].add(np.uint32(1 << 15))
+    s, m = signed_add(jnp.int32(1), carry_propagate(acc_p),
+                      jnp.int32(-1), carry_propagate(acc_n))
+    return s, m[F:F + D]
+
+
+def iterate_z(sx, x, sy, y, scx, cx, scy, cy, spec: FixedSpec):
+    """ONE full z ← z² + c update on sign-magnitude digits:
+    (nsx, nx, nsy, ny). Beyond multiply_iter's frequency-domain x²−y²,
+    the +c adds and the ×2 of the imaginary part fold into the CRT
+    accumulation — each component runs exactly one carry ripple and
+    one signed subtract per iteration (the reference instead chains
+    separate grid-sync add passes, ``Add.cu``)."""
+    nf = spec.nfft
+    D = spec.digits
+    F = spec.frac_digits
+    pad = nf - D
+    vx = jnp.concatenate([x, jnp.zeros((pad,), jnp.uint32)])
+    vy = jnp.concatenate([y, jnp.zeros((pad,), jnp.uint32)])
+
+    if _use_pallas(nf):
+        from fractalshark_tpu.ops.bignum import ntt_pallas as NP
+        inv = NP.ntt_iter_products(vx, vy, nf)
+    else:
+        stacked = jnp.stack([vx, vx, vy, vy])
+        four_step = nf >= 8192
+        f = (N.fourstep_forward(stacked, nf) if four_step
+             else N.shoup_forward(stacked, nf))
+        p2c, pp2c = N._row_consts(2)
+        sq = N._mont_mul_rows(f, f, *N._row_consts(4))
+        d = N._mod_sub_rows(sq[0:2], sq[2:4], p2c)
+        xy = N._mont_mul_rows(f[0:2], f[2:4], p2c, pp2c)
+        prod = jnp.concatenate([d, xy])
+        inv = (N.fourstep_inverse_scaled(prod, nf, extra_scale_r=True)
+               if four_step
+               else N.shoup_inverse_scaled(prod, nf, extra_scale_r=True))
+
+    L = 2 * D
+    acc_p, acc_n = _signed_streams(inv[0], inv[1], False, L)
+    acc_p, acc_n = _fold_addend(acc_p, acc_n, scx, cx, F)
+    nsx, nx = _finish_signed(acc_p, acc_n, F, D, F - 1)
+
+    acc_p, acc_n = _unsigned_stream(inv[2], inv[3], sx * sy, True, L)
+    acc_p, acc_n = _fold_addend(acc_p, acc_n, scy, cy, F)
+    nsy, ny = _finish_signed(acc_p, acc_n, F, D, F - 1)
+    return nsx, nx, nsy, ny
+
+
+def iterate_z_nr(sx, x, sy, y, sdx, dx, sdy, dy,
+                 scx, cx, scy, cy, spec: FixedSpec):
+    """Fused NR update: z ← z² + c and dzdc ← 2·z·dzdc + 1 — all adds,
+    doublings and the +1 folded into four CRT accumulations (see
+    iterate_z). Returns (nsx, nx, nsy, ny, nsdx, ndx, nsdy, ndy) with
+    dzdc' computed from the PRE-update z (MpirOrbitEval order)."""
+    nf = spec.nfft
+    D = spec.digits
+    F = spec.frac_digits
+    pad = nf - D
+
+    def padv(v):
+        return jnp.concatenate([v, jnp.zeros((pad,), jnp.uint32)])
+
+    if _use_pallas(nf):
+        from fractalshark_tpu.ops.bignum import ntt_pallas as NP
+        inv = NP.ntt_nr_iter_products(
+            padv(x), padv(y), padv(dx), padv(dy),
+            jnp.stack([jnp.int32(sx), jnp.int32(sy),
+                       jnp.int32(sdx), jnp.int32(sdy)]), nf)
+    else:
+        stacked = jnp.stack([padv(x), padv(x), padv(y), padv(y),
+                             padv(dx), padv(dx), padv(dy), padv(dy)])
+        four_step = nf >= 8192
+        f = (N.fourstep_forward(stacked, nf) if four_step
+             else N.shoup_forward(stacked, nf))
+        p8c, _ = N._row_consts(8)
+        signs = jnp.stack([sx, sx, sy, sy, sdx, sdx, sdy, sdy])
+        fneg = jnp.where(f == 0, f, p8c - f)
+        f = jnp.where((signs < 0)[:, None], fneg, f)
+        p2c, pp2c = N._row_consts(2)
+
+        def mul2(a2, b2):
+            return N._mont_mul_rows(a2, b2, p2c, pp2c)
+
+        fx, fy, fdx, fdy = f[0:2], f[2:4], f[4:6], f[6:8]
+        d = N._mod_sub_rows(mul2(fx, fx), mul2(fy, fy), p2c)
+        xy = mul2(fx, fy)
+        u = N._mod_sub_rows(mul2(fx, fdx), mul2(fy, fdy), p2c)
+        v = N._mod_add_rows(mul2(fx, fdy), mul2(fy, fdx), p2c)
+        prod = jnp.concatenate([d, xy, u, v])
+        inv = (N.fourstep_inverse_scaled(prod, nf, extra_scale_r=True)
+               if four_step
+               else N.shoup_inverse_scaled(prod, nf,
+                                           extra_scale_r=True))
+
+    L = 2 * D
+    one = jnp.ones((1,), jnp.uint32)
+    # z real: d + cx
+    acc_p, acc_n = _signed_streams(inv[0], inv[1], False, L)
+    acc_p, acc_n = _fold_addend(acc_p, acc_n, scx, cx, F)
+    nsx, nx = _finish_signed(acc_p, acc_n, F, D, F - 1)
+    # z imag: 2·xy + cy (xy row is spectrum-signed here)
+    acc_p, acc_n = _signed_streams(inv[2], inv[3], True, L)
+    acc_p, acc_n = _fold_addend(acc_p, acc_n, scy, cy, F)
+    nsy, ny = _finish_signed(acc_p, acc_n, F, D, F - 1)
+    # dzdc real: 2·u + 1
+    acc_p, acc_n = _signed_streams(inv[4], inv[5], True, L)
+    acc_p, acc_n = _fold_addend(acc_p, acc_n, jnp.int32(1), one, 2 * F)
+    nsdx, ndx = _finish_signed(acc_p, acc_n, F, D, F - 1)
+    # dzdc imag: 2·v
+    acc_p, acc_n = _signed_streams(inv[6], inv[7], True, L)
+    nsdy, ndy = _finish_signed(acc_p, acc_n, F, D, F - 1)
+    return nsx, nx, nsy, ny, nsdx, ndx, nsdy, ndy
+
+
 def multiply_nr_iter(sx, ax, sy, ay, sdx, adx, sdy, ady,
                      spec: FixedSpec):
     """NR-iteration multiply with frequency-domain sign folding:

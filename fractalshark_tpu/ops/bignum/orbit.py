@@ -59,12 +59,11 @@ def orbit_chunk(sx, x, sy, y, scx, cx, scy, cy, *, spec: FP.FixedSpec,
         sx, x, sy, y = state
         winx, basex = _emit_shadow(x)
         winy, basey = _emit_shadow(y)
-        # x² − y² arrives pre-combined in the frequency domain
-        # (fixedpoint.multiply_iter), so one signed add per component
-        (sd, d), xy = FP.multiply_iter(x, y, spec)
-        nsx, nx = FP.signed_add(sd, d, scx, cx)
-        xy2 = FP.shift_left_one_bit(xy)
-        nsy, ny = FP.signed_add(sx * sy, xy2, scy, cy)
+        # whole update fused: x²−y² combined in the frequency domain,
+        # +c and the ×2 folded into the CRT accumulation
+        # (fixedpoint.iterate_z) — one carry ripple per component
+        nsx, nx, nsy, ny = FP.iterate_z(sx, x, sy, y,
+                                        scx, cx, scy, cy, spec)
         return (nsx, nx, nsy, ny), (sx, winx, basex, sy, winy, basey)
 
     state, shadows = jax.lax.scan(body, (sx, x, sy, y), None, length=steps)
@@ -89,26 +88,14 @@ def orbit_nr_chunk(sx, x, sy, y, sdx, dx, sdy, dy,
     full precision on device (the reference's NR kernel variant with
     W0..W3 products, KernelHpSharkReferenceOrbit_cu.h:59-92). Returns
     the final (z, dzdc) state — the host runs the cheap Newton step."""
-    one_s, one_d = FP.hp_to_digits(
-        HighPrecision(1, prec=spec.frac_bits), spec)
-    one = jnp.asarray(one_d)
 
     def body(state, _):
         sx, x, sy, y, sdx, dx, sdy, dy = state
-        # all four signed combinations arrive pre-combined in the
-        # frequency domain (fixedpoint.multiply_nr_iter):
-        # d = x²−y², xy, u = x·dx−y·dy, v = x·dy+y·dx
-        (sd, d), (sxy, xy), (su, u), (sv, v) = FP.multiply_nr_iter(
-            sx, x, sy, y, sdx, dx, sdy, dy, spec)
-        # dzdc' = 2(z·dzdc) + 1 BEFORE z update (MpirOrbitEval order)
-        nsdx, ndx = FP.signed_add(su, FP.shift_left_one_bit(u),
-                                  jnp.int32(one_s), one)
-        nsdy, ndy = sv, FP.shift_left_one_bit(v)
-        # z ← z² + c
-        nsx, nx = FP.signed_add(sd, d, scx, cx)
-        nsy, ny = FP.signed_add(sxy, FP.shift_left_one_bit(xy),
-                                scy, cy)
-        return (nsx, nx, nsy, ny, nsdx, ndx, nsdy, ndy), None
+        # whole z/dzdc update fused (fixedpoint.iterate_z_nr):
+        # frequency-domain combines, +c/+1 and doublings folded into
+        # the CRT accumulations
+        return FP.iterate_z_nr(sx, x, sy, y, sdx, dx, sdy, dy,
+                               scx, cx, scy, cy, spec), None
 
     state, _ = jax.lax.scan(body, (sx, x, sy, y, sdx, dx, sdy, dy),
                             None, length=steps)
