@@ -308,16 +308,20 @@ def multiply_nr(ax, ay, adx, ady, spec: FixedSpec):
 
 
 def _use_pallas(nf: int) -> bool:
-    """Route through the single-kernel Pallas NTT when on TPU and the
-    size fits its VMEM window (ops/bignum/ntt_pallas.py)."""
-    if not (PALLAS_NTT if PALLAS_NTT is not None
-            else jax.default_backend() == "tpu"):
+    """Route through the single-kernel Pallas NTT
+    (ops/bignum/ntt_pallas.py) when enabled and the size fits its VMEM
+    window. OPT-IN for now: the kernel is bit-exact but only matches
+    the XLA stage passes on v5e (the workload is VPU-ALU-bound, so
+    VMEM residency buys nothing) — flip PALLAS_NTT = True to use it."""
+    if not PALLAS_NTT:
+        return False
+    if jax.default_backend() != "tpu":
         return False
     from fractalshark_tpu.ops.bignum import ntt_pallas as NP
     return NP.supported(nf)
 
 
-PALLAS_NTT: bool | None = None   # None = auto (TPU yes, CPU no)
+PALLAS_NTT: bool = False
 
 
 def multiply_iter(ax, ay, spec: FixedSpec):

@@ -53,7 +53,10 @@ from fractalshark_tpu.ops.bignum.u32 import mul_full, mul_lo
 
 LANES = 128
 MIN_NFFT = 2048          # below this the flat XLA path is faster
-MAX_NFFT = 65536         # VMEM budget (work + packed tables)
+# measured on v5e: the kernel's scoped-VMEM footprint is ~36.5 MB at
+# nfft = 65536 against a 16 MB limit (compile-time OOM); 16384 fits
+# (~9 MB). Larger sizes need a grid over coefficient blocks.
+MAX_NFFT = 16384
 
 _PLANES = 13
 
