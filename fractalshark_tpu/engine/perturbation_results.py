@@ -91,6 +91,20 @@ class PerturbationResults:
             wx, wy = x[-1:], y[-1:]
         return (np.concatenate([x, wx]), np.concatenate([y, wy]))
 
+    def device_orbit_df(self):
+        """Orbit as double-float (hi, lo) f32 pairs — the 2x32 upload
+        the reference's HDRx2x32 kernels take (CudaDblflt orbit arrays,
+        GPU_Render.cu InitializePerturb): hi = f32(z), lo = f32(z − hi)
+        captures ~48 of the f64 orbit's 53 mantissa bits."""
+        ox, oy = self.device_orbit(np.float64)
+
+        def split(v):
+            hi = v.astype(np.float32)
+            lo = (v - hi.astype(np.float64)).astype(np.float32)
+            return hi, lo
+
+        return split(ox) + split(oy)
+
     # ---------------------------------------------------------- compression
 
     def compress(self, error_exp: int = 20) -> "CompressedOrbit":

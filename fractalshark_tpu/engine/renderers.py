@@ -89,7 +89,16 @@ def calc_perturbed(fractal, alg: RenderAlgorithm):
         dt = np.float32 if alg.dtype == "f32" else np.float64
         return perturb.perturb_render_float(
             results, fractal.ptz, w, h, fractal.num_iterations, dtype=dt)
-    if alg.dtype in ("hdr32", "hdr64", "hdr2x32", "2x32"):
+    if alg.dtype in ("hdr2x32", "2x32"):
+        # double-float mantissa + HDR exponent (~48 bits): the depth
+        # band where f32 glitches but f64 throughput is poor
+        # (reference HDRx2x32 kernels, GPU_Render.cu)
+        from fractalshark_tpu.ops.hdr_df import perturb_render_hdr_df
+        fractal.benchmark.extra["kernel"] = "hdr-df"
+        return perturb_render_hdr_df(
+            results, fractal.ptz, w, h, fractal.num_iterations)
+
+    if alg.dtype in ("hdr32", "hdr64"):
         sub = np.float64 if alg.dtype == "hdr64" else np.float32
         if fractal.backend == "tpu" and sub == np.float32:
             # VMEM-resident Pallas kernel (~40× the XLA gather path);
