@@ -36,6 +36,11 @@ class FractalCommand(IntEnum):
     FEATUREFINDER_CLEAR = 40113
     AUTOZOOM_FILAMENT = 40114
     FEATUREFINDER_RESUME = 40115
+    FEATUREFINDER_DIRECT_SCAN = 40116
+    FEATUREFINDER_PT = 40117
+    FEATUREFINDER_PT_SCAN = 40118
+    FEATUREFINDER_LA = 40119
+    FEATUREFINDER_LA_SCAN = 40120
     # ---- views (STANDARD + View1.. map to presets) ----
     STANDARD_VIEW = 40200
     # 40201..40240 = View1..View40 handled numerically
@@ -114,6 +119,15 @@ K_COMMANDS: tuple[CommandEntry, ...] = (
                  "Find feature"),
     CommandEntry(FractalCommand.FEATUREFINDER_ZOOM, HotKey("g"),
                  "Zoom to feature"),
+    CommandEntry(FractalCommand.FEATUREFINDER_DIRECT_SCAN,
+                 HotKey("n", ctrl=True),
+                 "Find periodic point: direct scan"),
+    CommandEntry(FractalCommand.FEATUREFINDER_PT_SCAN,
+                 HotKey("m", ctrl=True),
+                 "Find periodic point: PT scan"),
+    CommandEntry(FractalCommand.FEATUREFINDER_LA_SCAN,
+                 HotKey(",", ctrl=True),
+                 "Find periodic point: LA scan"),
     CommandEntry(FractalCommand.STANDARD_VIEW, HotKey("0"), "Home view"),
     CommandEntry(FractalCommand.INCREASE_ITERATIONS_1P5X, HotKey("i"),
                  "Iterations ×1.5"),
@@ -153,6 +167,7 @@ class PortableCommandHandlers:
         self.on_exit = on_exit
         self.view_history: list = []
         self.last_feature = None
+        self.feature_summaries = []
         self.messages: list[str] = []
 
     def _push_history(self):
@@ -200,6 +215,21 @@ class PortableCommandHandlers:
             self.messages.append(
                 f"feature: period {self.last_feature.period}"
                 if self.last_feature else "no feature found")
+        elif c in (FC.FEATUREFINDER_DIRECT_SCAN, FC.FEATUREFINDER_PT_SCAN,
+                   FC.FEATUREFINDER_LA_SCAN):
+            # scan variants share the evaluator; cell grid per the
+            # reference orchestrator (FeatureFinderOrchestrator.cpp:537)
+            from fractalshark_tpu.engine.feature_finder import (
+                find_periodic_points_scan)
+            feats = find_periodic_points_scan(
+                f.ptz, kw.get("max_period") or
+                min(f.num_iterations, 1_000_000),
+                grid=kw.get("grid", (12, 12)))
+            self.feature_summaries = feats
+            self.last_feature = feats[0] if feats else None
+            self.messages.append(
+                f"found {len(feats)} periodic points" if feats
+                else "No periodic points found.")
         elif c == FC.FEATUREFINDER_ZOOM:
             if self.last_feature is not None:
                 self._push_history()

@@ -242,6 +242,45 @@ def find_periodic_point(ptz: PointZoomBBConverter, max_period: int,
                                  checkpoint_path=checkpoint_path)
 
 
+def find_periodic_points_scan(ptz: PointZoomBBConverter,
+                              max_period: int,
+                              grid: tuple[int, int] = (12, 12),
+                              method: str = "newton",
+                              backend: str = "host"
+                              ) -> list[FeatureSummary]:
+    """Grid-scan feature find: run the single-point finder at the
+    center of each cell of an NX×NY grid over the current view,
+    collecting every feature found (the reference's
+    DirectScan/PTScan/LAScan modes, FeatureFinderOrchestrator.cpp:537:
+    cell centers at (2g+1)/(2N) screen fractions, candidate radius =
+    view half-height / 12)."""
+    from fractalshark_tpu.core.precision import precision_from_view
+    nx, ny = grid
+    prec = precision_from_view(ptz) + 64
+    span_x = ptz.max_x - ptz.min_x
+    span_y = ptz.max_y - ptz.min_y
+    radius = (span_y / HighPrecision(2)) / HighPrecision(12)
+    found: list[FeatureSummary] = []
+    for gy in range(ny):
+        fy = HighPrecision(2 * gy + 1) / HighPrecision(2 * ny)
+        cy = (ptz.max_y - span_y * fy).with_precision(prec)
+        for gx in range(nx):
+            fx = HighPrecision(2 * gx + 1) / HighPrecision(2 * nx)
+            cx = (ptz.min_x + span_x * fx).with_precision(prec)
+            period = find_period_candidate(cx, cy, radius, max_period,
+                                           prec)
+            if period == 0:
+                continue
+            try:
+                fs = refine_periodic_point(cx, cy, max(1, period - 1),
+                                           prec, method=method,
+                                           backend=backend)
+            except Exception:
+                continue
+            found.append(fs)
+    return found
+
+
 def resume_refinement(checkpoint_path: str, max_steps: int = 64,
                       method: str = "newton") -> FeatureSummary:
     ck = NRCheckpoint.load(checkpoint_path)

@@ -110,3 +110,32 @@ def test_deep_feature_period859():
     assert dist < 1e-6
     # and the island size is consistent with the zoom that showcases it
     assert 1e-9 < feat.size_estimate.to_float() < 1e-2
+
+
+def test_grid_scan_finds_minibrot():
+    """Grid-scan mode (reference DirectScan/PTScan/LAScan,
+    FeatureFinderOrchestrator.cpp:537): cell centers at (2g+1)/(2N)
+    screen fractions; the cell landing in the period-3 atom domain
+    must detect and refine the nucleus."""
+    from fractalshark_tpu.core.highprecision import HighPrecision as HP
+    from fractalshark_tpu.core.pointzoom import PointZoomBBConverter
+    from fractalshark_tpu.engine.feature_finder import (
+        find_periodic_points_scan)
+    ptz = PointZoomBBConverter(pt_x=HP("-1.75487766624669276"),
+                               pt_y=HP("0"),
+                               zoom_factor=HP("100000"))
+    feats = find_periodic_points_scan(ptz, 64, grid=(3, 3))
+    assert len(feats) >= 1
+    assert feats[0].period == 3
+    assert abs(float(feats[0].center_x) -
+               (-1.754877666246692760049520)) < 1e-15
+    assert feats[0].residual_exp2 < -100
+
+
+def test_scan_commands_dispatch():
+    from fractalshark_tpu.core.commands import (FractalCommand,
+                                                find_command_for_key)
+    assert find_command_for_key("n", ctrl=True) == \
+        FractalCommand.FEATUREFINDER_DIRECT_SCAN
+    assert find_command_for_key("m", ctrl=True) == \
+        FractalCommand.FEATUREFINDER_PT_SCAN
