@@ -74,7 +74,7 @@ def interactive_loop(f) -> int:
     handlers = PortableCommandHandlers(f)
     print(f.render_to_console(ansi=True))
     print("command keys: h=help z/Z=zoom b=back a=autozoom f=feature "
-          "i/I=iters s=save png x=exit")
+          "i/I=iters s=save png u=menu x=exit")
     while True:
         try:
             line = input("> ").strip()
@@ -83,6 +83,10 @@ def interactive_loop(f) -> int:
         if not line:
             continue
         key = line[0]
+        if key == "u":
+            from fractalshark_tpu.core.menu import render_text
+            print(render_text(handlers))
+            continue
         cmd = find_command_for_key(key.lower(), shift=key.isupper())
         alive = handlers.dispatch(cmd)
         for m in handlers.messages:
