@@ -221,10 +221,13 @@ class PortableCommandHandlers:
             # reference orchestrator (FeatureFinderOrchestrator.cpp:537)
             from fractalshark_tpu.engine.feature_finder import (
                 find_periodic_points_scan)
+            mode = ("pt" if c in (FC.FEATUREFINDER_PT_SCAN,
+                                  FC.FEATUREFINDER_LA_SCAN)
+                    else "direct")
             feats = find_periodic_points_scan(
                 f.ptz, kw.get("max_period") or
                 min(f.num_iterations, 1_000_000),
-                grid=kw.get("grid", (12, 12)))
+                grid=kw.get("grid", (12, 12)), mode=mode)
             self.feature_summaries = feats
             self.last_feature = feats[0] if feats else None
             self.messages.append(

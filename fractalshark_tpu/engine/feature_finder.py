@@ -242,24 +242,97 @@ def find_periodic_point(ptz: PointZoomBBConverter, max_period: int,
                                  checkpoint_path=checkpoint_path)
 
 
+def find_period_candidate_pt(results, cx: HighPrecision,
+                             cy: HighPrecision,
+                             radius: HighPrecision,
+                             max_period: int) -> int:
+    """Phase-A period detection via PERTURBATION against an existing
+    reference orbit (the reference's PT evaluator policy,
+    FeatureFinderMode::PT — FeatureFinderOrchestrator.cpp:503): the
+    candidate orbit is z_n = Z_n + δ_n with the f64 delta recurrence
+    δ ← δ(2Z+δ) + dc and Zhuoran rebasing, dzdc tracked in host-HDR.
+    O(period) float work per probe instead of O(period) big-float
+    work — this is what makes 12×12 grid scans affordable.
+    Returns the detected entry count (period + 1 convention of the
+    direct path) or 0."""
+    from fractalshark_tpu.core.hdr_host import HD
+    ox = results.orbit_x
+    oy = results.orbit_y
+    max_ref = results.max_ref_iteration()
+    dcx = float(cx - results.center_x)
+    dcy = float(cy - results.center_y)
+    rad = HD.from_hp(radius)
+    dzdc_x = HD.from_float(1.0)
+    dzdc_y = HD.zero()
+    dzx, dzy = 0.0, 0.0
+    j = 0
+    budget = min(max_period, 2 * max_ref + 2)
+    for n in range(1, budget + 1):
+        # dz ← dz(2Z + dz) + dc
+        tx = 2.0 * ox[j] + dzx
+        ty = 2.0 * oy[j] + dzy
+        ndzx = tx * dzx - ty * dzy + dcx
+        ndzy = tx * dzy + ty * dzx + dcy
+        j += 1
+        zx = ox[j] + ndzx
+        zy = oy[j] + ndzy
+        # periodicity test (PeriodicityChecker.h:46-76 semantics)
+        azx = HD.from_float(abs(zx))
+        azy = HD.from_float(abs(zy))
+        n2 = azy if azx.lt(azy) else azx
+        r0 = dzdc_y.abs() if dzdc_x.abs().lt(dzdc_y.abs()) \
+            else dzdc_x.abs()
+        n3 = (rad * r0).mul_pow2(1)
+        if n2.lt(n3):
+            return n + 1              # entry-count convention
+        if zx * zx + zy * zy > 256.0:
+            return 0
+        ndx = (dzdc_x.mul_float(zx) -
+               dzdc_y.mul_float(zy)).mul_pow2(1) + HD.from_float(1.0)
+        ndy = (dzdc_y.mul_float(zx) +
+               dzdc_x.mul_float(zy)).mul_pow2(1)
+        dzdc_x, dzdc_y = ndx, ndy
+        # Zhuoran rebase
+        if (zx * zx + zy * zy) < (ndzx * ndzx + ndzy * ndzy) or \
+                j >= max_ref:
+            dzx, dzy = zx, zy
+            j = 0
+        else:
+            dzx, dzy = ndzx, ndzy
+    return 0
+
+
 def find_periodic_points_scan(ptz: PointZoomBBConverter,
                               max_period: int,
                               grid: tuple[int, int] = (12, 12),
                               method: str = "newton",
-                              backend: str = "host"
+                              backend: str = "host",
+                              mode: str = "direct"
                               ) -> list[FeatureSummary]:
     """Grid-scan feature find: run the single-point finder at the
     center of each cell of an NX×NY grid over the current view,
     collecting every feature found (the reference's
     DirectScan/PTScan/LAScan modes, FeatureFinderOrchestrator.cpp:537:
     cell centers at (2g+1)/(2N) screen fractions, candidate radius =
-    view half-height / 12)."""
+    view half-height / 12).
+
+    mode: "direct" evaluates each candidate with a full-precision
+    orbit; "pt" builds ONE reference orbit at the view center and
+    probes every cell with the f64 perturbation evaluator
+    (find_period_candidate_pt) — the FeatureFinderMode::PT policy."""
     from fractalshark_tpu.core.precision import precision_from_view
     nx, ny = grid
     prec = precision_from_view(ptz) + 64
     span_x = ptz.max_x - ptz.min_x
     span_y = ptz.max_y - ptz.min_y
     radius = (span_y / HighPrecision(2)) / HighPrecision(12)
+    results = None
+    if mode == "pt":
+        from fractalshark_tpu.engine.reforbit import \
+            compute_reference_orbit
+        results = compute_reference_orbit(
+            ptz.pt_x.with_precision(prec), ptz.pt_y.with_precision(prec),
+            max_period, radius, periodicity=False, precision_bits=prec)
     found: list[FeatureSummary] = []
     for gy in range(ny):
         fy = HighPrecision(2 * gy + 1) / HighPrecision(2 * ny)
@@ -267,8 +340,12 @@ def find_periodic_points_scan(ptz: PointZoomBBConverter,
         for gx in range(nx):
             fx = HighPrecision(2 * gx + 1) / HighPrecision(2 * nx)
             cx = (ptz.min_x + span_x * fx).with_precision(prec)
-            period = find_period_candidate(cx, cy, radius, max_period,
-                                           prec)
+            if mode == "pt":
+                period = find_period_candidate_pt(results, cx, cy,
+                                                  radius, max_period)
+            else:
+                period = find_period_candidate(cx, cy, radius,
+                                               max_period, prec)
             if period == 0:
                 continue
             try:

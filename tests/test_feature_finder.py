@@ -139,3 +139,22 @@ def test_scan_commands_dispatch():
         FractalCommand.FEATUREFINDER_DIRECT_SCAN
     assert find_command_for_key("m", ctrl=True) == \
         FractalCommand.FEATUREFINDER_PT_SCAN
+
+
+def test_pt_scan_agrees_with_direct():
+    """The PT evaluator policy (one reference orbit + f64 delta
+    probes, FeatureFinderMode::PT) must find the same feature as the
+    direct full-precision policy."""
+    from fractalshark_tpu.core.highprecision import HighPrecision as HP
+    from fractalshark_tpu.core.pointzoom import PointZoomBBConverter
+    from fractalshark_tpu.engine.feature_finder import (
+        find_periodic_points_scan)
+    ptz = PointZoomBBConverter(pt_x=HP("-1.75487766624669276"),
+                               pt_y=HP("0"),
+                               zoom_factor=HP("100000"))
+    direct = find_periodic_points_scan(ptz, 64, grid=(3, 3),
+                                       mode="direct")
+    pt = find_periodic_points_scan(ptz, 64, grid=(3, 3), mode="pt")
+    assert [f.period for f in direct] == [f.period for f in pt] == [3]
+    assert abs(float(direct[0].center_x) -
+               float(pt[0].center_x)) < 1e-14
