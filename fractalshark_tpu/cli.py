@@ -61,6 +61,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--interactive", action="store_true",
                    help="ANSI console REPL driven by the command catalog "
                         "(hotkeys: h for help)")
+    p.add_argument("--feature-find", action="store_true",
+                   help="find+refine a periodic point (minibrot) at the "
+                        "view center; prints a JSON summary")
+    p.add_argument("--feature-scan", default=None, metavar="NXxNY",
+                   help="grid-scan the view for periodic points "
+                        "(e.g. 12x12); prints JSON summaries")
+    p.add_argument("--feature-mode", default="direct",
+                   choices=["direct", "pt"],
+                   help="Phase-A evaluator policy for --feature-scan")
+    p.add_argument("--feature-max-period", type=int, default=None)
     return p
 
 
@@ -168,6 +178,39 @@ def main(argv=None) -> int:
 
     if args.interactive:
         return interactive_loop(f)
+
+    if args.feature_find or args.feature_scan:
+        import json as _json
+
+        def _summary(fs):
+            return {"center_x": fs.center_x.to_string(40),
+                    "center_y": fs.center_y.to_string(40),
+                    "period": fs.period,
+                    "size_exp2": int(fs.size_estimate.e),
+                    "residual_exp2": fs.residual_exp2,
+                    "nr_iterations": fs.nr_iterations}
+
+        max_period = (args.feature_max_period or
+                      min(f.num_iterations, 1_000_000))
+        if args.feature_scan:
+            from fractalshark_tpu.engine.feature_finder import \
+                find_periodic_points_scan
+            try:
+                nx, ny = (int(v) for v in
+                          args.feature_scan.lower().split("x"))
+            except ValueError:
+                print(f"error: --feature-scan expects NXxNY, got "
+                      f"{args.feature_scan!r}", file=sys.stderr)
+                return 2
+            feats = find_periodic_points_scan(
+                f.ptz, max_period, grid=(nx, ny),
+                mode=args.feature_mode)
+            print(_json.dumps({"found": len(feats),
+                               "features": [_summary(x) for x in feats]}))
+        else:
+            fs = f.try_find_periodic_point(max_period=max_period)
+            print(_json.dumps(_summary(fs) if fs else None))
+        return 0
 
     t0 = time.perf_counter()
     if args.output_png:

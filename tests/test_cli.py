@@ -75,3 +75,24 @@ def test_save_location_round_trip(tmp_path):
     assert back[0].num_iterations == 1000
     assert back[0].description == "round trip"
     assert abs(float(back[0].min_x) - (-2.0)) < 1e-15
+
+
+def test_cli_feature_scan(capsys):
+    import json
+    from fractalshark_tpu.cli import main
+    rc = main(["--center-x", "-1.75487766624669276", "--center-y", "0",
+               "--zoom", "100000", "--feature-scan", "3x3",
+               "--feature-mode", "pt", "--feature-max-period", "64",
+               "--width", "32", "--height", "32"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["found"] == 1
+    assert out["features"][0]["period"] == 3
+
+
+def test_cli_feature_scan_bad_grid(capsys):
+    from fractalshark_tpu.cli import main
+    rc = main(["--view", "0", "--feature-scan", "oops",
+               "--width", "32", "--height", "32"])
+    assert rc == 2
+    assert "NXxNY" in capsys.readouterr().err
