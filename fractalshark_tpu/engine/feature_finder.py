@@ -57,7 +57,8 @@ def evaluate_critical_orbit_and_derivs(cx: HighPrecision,
                                        cy: HighPrecision,
                                        period: int,
                                        prec: int,
-                                       with_d2: bool = False):
+                                       with_d2: bool = False,
+                                       with_zcoeff: bool = False):
     """Iterate z ← z² + c from z = c for `period − 1` updates, tracking
     dzdc (and optionally d2 for Halley), all at `prec` bits fixed point.
 
@@ -85,9 +86,15 @@ def evaluate_critical_orbit_and_derivs(cx: HighPrecision,
     zx, zy = cxi, cyi
     dx_, dy_ = 1 << F, 0          # dzdc = 1
     d2x, d2y = 0, 0
+    zcx, zcy = 1 << F, 0          # zcoeff = prod 2*z_i (cycle multiplier)
 
     one = 1 << F
     for _ in range(period - 1):
+        if with_zcoeff:
+            # zcoeff' = zcoeff * 2 z (same pre-update z as dzdc)
+            nzcx = 2 * (m(zcx, zx) - m(zcy, zy))
+            nzcy = 2 * (m(zcx, zy) + m(zcy, zx))
+            zcx, zcy = nzcx, nzcy
         if with_d2:
             # d2' = 2 (dzdc² + z·d2)
             t1x = m(dx_, dx_) - m(dy_, dy_)
@@ -109,6 +116,8 @@ def evaluate_critical_orbit_and_derivs(cx: HighPrecision,
     out = (fx_to_hp(zx), fx_to_hp(zy), fx_to_hp(dx_), fx_to_hp(dy_))
     if with_d2:
         out += (fx_to_hp(d2x), fx_to_hp(d2y))
+    if with_zcoeff:
+        out += (fx_to_hp(zcx), fx_to_hp(zcy))
     return out
 
 
@@ -196,13 +205,18 @@ def refine_periodic_point(cx: HighPrecision, cy: HighPrecision,
         if (sx.is_zero() and sy.is_zero()) or \
                 step_mag < c_mag - REL_STEP_TOL_BITS - prec // 2:
             break
-    # residual + size estimate from the final derivatives
-    zx, zy, dx_, dy_ = evaluate_critical_orbit_and_derivs(
-        cx, cy, period, prec)[:4]
+    # residual + intrinsic size from the final derivatives: the
+    # Imagina formula radius = 4 / |zcoeff * dzdc| with zcoeff the
+    # cycle multiplier prod 2*z_i (ComputeIntrinsicRadius_HP,
+    # FeatureFinder.cpp:1715-1740)
+    zx, zy, dx_, dy_, zcx, zcy = evaluate_critical_orbit_and_derivs(
+        cx, cy, period, prec, with_zcoeff=True)
     res_exp = max(zx.exponent2() if not zx.is_zero() else -prec,
                   zy.exponent2() if not zy.is_zero() else -prec)
-    dmag = HD.from_hp((dx_ * dx_ + dy_ * dy_).sqrt())
-    size = HD(2.0, 0) * HD(1.0 / dmag.m, -dmag.e) if dmag.m else HD.zero()
+    wr = zcx * dx_ - zcy * dy_
+    wi = zcx * dy_ + zcy * dx_
+    wmag = HD.from_hp((wr * wr + wi * wi).sqrt())
+    size = HD(4.0, 0) * HD(1.0 / wmag.m, -wmag.e) if wmag.m else HD.zero()
     return FeatureSummary(
         center_x=cx, center_y=cy, period=period,
         size_estimate=size.reduce(), residual_exp2=res_exp,

@@ -108,8 +108,10 @@ def test_deep_feature_period859():
     dist = float(((feat.center_x - ptz.pt_x) ** 2 +
                   (feat.center_y - ptz.pt_y) ** 2).sqrt())
     assert dist < 1e-6
-    # and the island size is consistent with the zoom that showcases it
-    assert 1e-9 < feat.size_estimate.to_float() < 1e-2
+    # and the island size is consistent with the zoom that showcases
+    # it (intrinsic radius 4/|zcoeff*dzdc|, the Imagina formula --
+    # this island sits at ~1e12 zoom, so its size is ~1e-10 scale)
+    assert 1e-11 < feat.size_estimate.to_float() < 1e-7
 
 
 def test_grid_scan_finds_minibrot():
