@@ -421,6 +421,64 @@ def _finish_signed(acc_p, acc_n, F: int, D: int, round_digit: int):
     return s, m[F:F + D]
 
 
+def _carry_rows(acc):
+    """carry_propagate over the last axis of [K, L] (ONE while loop
+    for all K streams — the latency floor of an orbit update is the
+    ripple chain, so batching rows matters more than their width)."""
+    def cond(a):
+        return jnp.max(a >> DIGIT_BITS) > 0
+
+    def body(a):
+        low = a & DIGIT_MASK
+        car = a >> DIGIT_BITS
+        car = jnp.concatenate(
+            [jnp.zeros(car.shape[:-1] + (1,), jnp.uint32),
+             car[..., :-1]], axis=-1)
+        return low + car
+
+    return jax.lax.while_loop(cond, body, acc)
+
+
+def _borrow_rows(acc):
+    def cond(a):
+        return jnp.max(a >> DIGIT_BITS) > 0
+
+    def body(a):
+        low = a & DIGIT_MASK
+        borrow = (a >> DIGIT_BITS) & np.uint32(1)
+        borrow_up = jnp.concatenate(
+            [jnp.zeros(borrow.shape[:-1] + (1,), jnp.uint32),
+             borrow[..., :-1]], axis=-1)
+        return low - borrow_up
+
+    return jax.lax.while_loop(cond, body, acc)
+
+
+def _finish_signed_rows(acc_p, acc_n, F: int, D: int, round_digit: int):
+    """Batched (sign, digits) of pos − neg per row: acc_p/acc_n are
+    [K, 2D] digit sums. Two batched carry ripples + one batched borrow
+    ripple replace 3K sequential ones."""
+    K, L = acc_p.shape
+    acc_p = acc_p.at[:, round_digit].add(np.uint32(1 << 15))
+    pos = _carry_rows(acc_p)
+    neg = _carry_rows(acc_n)
+    # per-row magnitude compare (top differing digit)
+    diff = pos != neg
+    idx = jnp.where(diff, jnp.arange(L, dtype=jnp.int32)[None, :],
+                    -1).max(axis=1)                        # [K]
+    safe = jnp.maximum(idx, 0)
+    rows = jnp.arange(K, dtype=jnp.int32)
+    av = pos[rows, safe]
+    bv = neg[rows, safe]
+    big_p = jnp.where(idx < 0, True, av >= bv)[:, None]     # [K, 1]
+    hi = jnp.where(big_p, pos, neg)
+    lo = jnp.where(big_p, neg, pos)
+    mag = _borrow_rows(hi - lo)
+    is_zero = jnp.max(mag, axis=1) == 0
+    sign = jnp.where(is_zero | big_p[:, 0], 1, -1).astype(jnp.int32)
+    return sign, mag[:, F:F + D]
+
+
 def iterate_z(sx, x, sy, y, scx, cx, scy, cy, spec: FixedSpec):
     """ONE full z ← z² + c update on sign-magnitude digits:
     (nsx, nx, nsy, ny). Beyond multiply_iter's frequency-domain x²−y²,
@@ -453,14 +511,14 @@ def iterate_z(sx, x, sy, y, scx, cx, scy, cy, spec: FixedSpec):
                else N.shoup_inverse_scaled(prod, nf, extra_scale_r=True))
 
     L = 2 * D
-    acc_p, acc_n = _signed_streams(inv[0], inv[1], False, L)
-    acc_p, acc_n = _fold_addend(acc_p, acc_n, scx, cx, F)
-    nsx, nx = _finish_signed(acc_p, acc_n, F, D, F - 1)
-
-    acc_p, acc_n = _unsigned_stream(inv[2], inv[3], sx * sy, True, L)
-    acc_p, acc_n = _fold_addend(acc_p, acc_n, scy, cy, F)
-    nsy, ny = _finish_signed(acc_p, acc_n, F, D, F - 1)
-    return nsx, nx, nsy, ny
+    px, nx_ = _signed_streams(inv[0], inv[1], False, L)
+    px, nx_ = _fold_addend(px, nx_, scx, cx, F)
+    py, ny_ = _unsigned_stream(inv[2], inv[3], sx * sy, True, L)
+    py, ny_ = _fold_addend(py, ny_, scy, cy, F)
+    signs, mags = _finish_signed_rows(jnp.stack([px, py]),
+                                      jnp.stack([nx_, ny_]),
+                                      F, D, F - 1)
+    return signs[0], mags[0], signs[1], mags[1]
 
 
 def iterate_z_nr(sx, x, sy, y, sdx, dx, sdy, dy,
@@ -511,22 +569,21 @@ def iterate_z_nr(sx, x, sy, y, sdx, dx, sdy, dy,
 
     L = 2 * D
     one = jnp.ones((1,), jnp.uint32)
-    # z real: d + cx
-    acc_p, acc_n = _signed_streams(inv[0], inv[1], False, L)
-    acc_p, acc_n = _fold_addend(acc_p, acc_n, scx, cx, F)
-    nsx, nx = _finish_signed(acc_p, acc_n, F, D, F - 1)
-    # z imag: 2·xy + cy (xy row is spectrum-signed here)
-    acc_p, acc_n = _signed_streams(inv[2], inv[3], True, L)
-    acc_p, acc_n = _fold_addend(acc_p, acc_n, scy, cy, F)
-    nsy, ny = _finish_signed(acc_p, acc_n, F, D, F - 1)
-    # dzdc real: 2·u + 1
-    acc_p, acc_n = _signed_streams(inv[4], inv[5], True, L)
-    acc_p, acc_n = _fold_addend(acc_p, acc_n, jnp.int32(1), one, 2 * F)
-    nsdx, ndx = _finish_signed(acc_p, acc_n, F, D, F - 1)
-    # dzdc imag: 2·v
-    acc_p, acc_n = _signed_streams(inv[6], inv[7], True, L)
-    nsdy, ndy = _finish_signed(acc_p, acc_n, F, D, F - 1)
-    return nsx, nx, nsy, ny, nsdx, ndx, nsdy, ndy
+    # z real: d + cx ; z imag: 2·xy + cy (xy row is spectrum-signed);
+    # dzdc real: 2·u + 1 ; dzdc imag: 2·v — all four streams finish in
+    # ONE batched carry/borrow ripple
+    p0, n0 = _signed_streams(inv[0], inv[1], False, L)
+    p0, n0 = _fold_addend(p0, n0, scx, cx, F)
+    p1, n1 = _signed_streams(inv[2], inv[3], True, L)
+    p1, n1 = _fold_addend(p1, n1, scy, cy, F)
+    p2, n2 = _signed_streams(inv[4], inv[5], True, L)
+    p2, n2 = _fold_addend(p2, n2, jnp.int32(1), one, 2 * F)
+    p3, n3 = _signed_streams(inv[6], inv[7], True, L)
+    signs, mags = _finish_signed_rows(jnp.stack([p0, p1, p2, p3]),
+                                      jnp.stack([n0, n1, n2, n3]),
+                                      F, D, F - 1)
+    return (signs[0], mags[0], signs[1], mags[1],
+            signs[2], mags[2], signs[3], mags[3])
 
 
 def multiply_nr_iter(sx, ax, sy, ay, sdx, adx, sdy, ady,
