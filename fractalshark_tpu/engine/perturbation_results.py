@@ -63,12 +63,20 @@ class PerturbationResults:
 
     def is_useful_for(self, ptz, num_iterations: int) -> bool:
         """Usefulness test (RefOrbitCalc.cpp:2264-2288): the orbit center
-        must lie inside the view and the orbit must cover the budget
-        (or have ended naturally by period/escape)."""
+        must lie inside the view, the orbit must have been computed at
+        (at least) the precision the view demands — zooming deeper than
+        the stored precision would silently feed an under-precise center
+        into the dc grid (``ops/perturb.delta_params`` subtracts at
+        stored precision) — and the orbit must cover the budget (or have
+        ended naturally by period/escape)."""
         inside = (ptz.min_x <= self.center_x <= ptz.max_x and
                   ptz.min_y <= self.center_y <= ptz.max_y)
         if not inside:
             return False
+        if self.precision_bits:
+            from fractalshark_tpu.core.precision import precision_from_view
+            if self.precision_bits < precision_from_view(ptz):
+                return False
         if self.period > 0 or self.escaped_at > 0:
             return True
         return self.max_iterations >= num_iterations
@@ -177,14 +185,17 @@ class CompressedOrbit:
     @staticmethod
     def from_uncompressed(res: PerturbationResults,
                           error_exp: int = 20) -> "CompressedOrbit":
-        """Store z_i iff |shadow_i - z_i| * 2^errorExp >= |z_i|
-        (relative error test, PerturbationResults.cpp:2347-2381)."""
+        """Store z_i iff |shadow_i - z_i|² * 10^errorExp >= |z_i|²
+        — the reference's exact test (PerturbationResults.cpp:2347-2381:
+        ``CompressionError = pow(10, CompressionErrorExp)`` applied ONCE
+        to the squared error), so the interop defaults 20/450 mean the
+        same thing here."""
         x = res.orbit_x
         y = res.orbit_y
         n = len(x)
         cx = float(res.center_x)
         cy = float(res.center_y)
-        threshold_scale = float(2.0 ** error_exp)
+        threshold_scale = float(10.0 ** error_exp)
         ax, ay, ai = [], [], []
         # shadow recurrence state
         zx, zy = 0.0, 0.0
@@ -194,7 +205,7 @@ class CompressedOrbit:
             if have_anchor:
                 err = (zx - tx) ** 2 + (zy - ty) ** 2
                 mag = tx * tx + ty * ty
-                store = err * threshold_scale * threshold_scale >= mag
+                store = err * threshold_scale >= mag
             else:
                 store = True
             if store:

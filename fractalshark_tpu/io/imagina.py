@@ -135,13 +135,18 @@ def save_orbit_im(path: str, results: PerturbationResults,
     buf = bytearray(32)  # header placeholder
     loc_off = len(buf)
     _write_hrreal(buf, half_h)
-    buf += struct.pack("<Q", results.max_iterations)
+    # iterationLimit = budget - 1: the reference writes
+    # GetMaxIterations() - 1 (RefOrbitCalc.cpp:3083); load_orbit_im
+    # adds the 1 back so a round trip is lossless.
+    buf += struct.pack("<Q", max(0, results.max_iterations - 1))
     _write_mpf(buf, results.center_x)
     _write_mpf(buf, results.center_y)
 
     ref_off = len(buf)
     buf += struct.pack("<?", False)  # ExtendedRange: f64 payload
-    prec = HD(1.0, -int(results.precision_bits))
+    # AbsolutePrecision = 2·2^-precBits — the reference writes
+    # HRReal{-precBits, 2} (PerturbationResults.cpp SaveOrbitBin)
+    prec = HD(2.0, -int(results.precision_bits))
     _write_hrreal(buf, prec)    # AbsolutePrecision
     _write_hrreal(buf, HD.zero())  # RelativePrecision (unused)
     _write_hrreal(buf, half_h)  # ValidRadius
@@ -233,8 +238,10 @@ def load_orbit_im(path: str) -> ImOrbitFile:
             center_x=cx, center_y=cy, orbit_x=ox, orbit_y=oy,
             max_radius=radius,
             period=(int(ref_it) + 1) if is_periodic else 0,
-            escaped_at=0, max_iterations=int(iter_limit),
+            escaped_at=0, max_iterations=int(iter_limit) + 1,
             precision_bits=prec)
+    # stored iterationLimit = budget - 1 (RefOrbitCalc.cpp:3083); both
+    # consumers below want the reconstructed budget
     return ImOrbitFile(center_x=cx, center_y=cy, half_h=half_h,
-                       iteration_limit=int(iter_limit),
+                       iteration_limit=int(iter_limit) + 1,
                        results=results, magic=magic)

@@ -144,7 +144,11 @@ def test_bla_render_vs_perturbation_statistics(deep):
     # near a minibrot boundary the 2^-23 linearization perturbs escape
     # decisions; the bulk must still track the exact render closely and
     # a meaningful interior core must survive
-    assert (blar[interior] == 3000).mean() > 0.4
+    rate = (blar[interior] == 3000).mean()
+    assert rate > 0.4
+    # regression pin: the current implementation measures 0.5405 on this
+    # fixture — a drop below the margin means the BLA path degraded
+    assert abs(rate - 0.5405) < 0.1, rate
     rel = np.abs(blar.astype(float) - pert.astype(float)) / \
         np.maximum(pert.astype(float), 1)
     assert np.median(rel) < 0.02

@@ -141,6 +141,30 @@ def test_orbit_cache_hit():
     assert r1 is r2
 
 
+def test_orbit_cache_recomputes_on_deeper_zoom():
+    """A shallow render must NOT satisfy a later, much deeper view: the
+    stored center precision is insufficient for the deep dc grid
+    (usefulness intent, RefOrbitCalc.cpp:2264-2288)."""
+    shallow = PointZoomBBConverter(
+        pt_x="-0.743643887037158704752191506114774",
+        pt_y="0.131825904205311970493132056385139",
+        zoom_factor="1e4", prec=512)
+    deep = PointZoomBBConverter(
+        pt_x="-0.743643887037158704752191506114774",
+        pt_y="0.131825904205311970493132056385139",
+        zoom_factor="1e30", prec=512)
+    calc = RefOrbitCalc()
+    r1 = calc.get_and_create_useful_results(shallow, 100)
+    assert not r1.is_useful_for(deep, 100)
+    r2 = calc.get_and_create_useful_results(deep, 100)
+    assert calc.last_details["cache_hit"] is False
+    assert r2 is not r1
+    assert r2.precision_bits > r1.precision_bits
+    # and the deep orbit still serves the deep view from cache
+    r3 = calc.get_and_create_useful_results(deep, 100)
+    assert r3 is r2
+
+
 def test_compression_round_trip():
     ptz = PointZoomBBConverter(pt_x="-0.6", pt_y="0.4", zoom_factor="4")
     res = compute_reference_orbit(
