@@ -126,7 +126,10 @@ def main(argv=None) -> int:
         return 2
 
     f = Fractal(width=args.width, height=args.height,
-                algorithm=args.render_algorithm)
+                algorithm=args.render_algorithm,
+                compression_error_exp=(
+                    args.compression_error_exp_low
+                    if args.compression_error_exp_low is not None else 20))
 
     if args.locations_file:
         from fractalshark_tpu.io.saved_location import load_locations

@@ -45,10 +45,14 @@ class Fractal:
                  algorithm: str = "AUTO",
                  num_iterations: int | None = None,
                  antialiasing: int = 1,
-                 backend: str | None = None):
+                 backend: str | None = None,
+                 compression_error_exp: int = 20):
         self.width = width
         self.height = height
         self.antialiasing = antialiasing
+        # SimpleCompression error exponent (10^-exp/2 relative bound;
+        # reference default 20 — DefaultCompressionErrorExp)
+        self.compression_error_exp = compression_error_exp
         self.palette = FractalPalette()
         self.backend = backend or jax.default_backend()
         self.algorithm_name = algorithm
@@ -261,7 +265,10 @@ class Fractal:
     def save_ref_orbit(self, path: str, compression: str = "simple") -> None:
         """Persist the last-used reference orbit
         (Fractal::SaveRefOrbit, Fractal.h:231-240). `compression`:
-        "none" | "simple" (own format) | "imagina" (.im binary)."""
+        "none" | "simple" | "max" (own format, Zhuoran/CompressMax) |
+        "imagina" (.im binary). The error exponent comes from
+        ``self.compression_error_exp`` (CLI --compression-error-exp-low,
+        reference default 20)."""
         from fractalshark_tpu.engine.renderers import get_orbit_calc
         calc = get_orbit_calc(self)
         if not calc.cache:
@@ -269,9 +276,11 @@ class Fractal:
         results = calc.cache[-1]
         if compression == "imagina":
             from fractalshark_tpu.io.imagina import save_orbit_im
-            save_orbit_im(path, results)
+            save_orbit_im(path, results, comp=results.compress(
+                self.compression_error_exp))
         else:
-            results.save(path)
+            results.save(path, compression=compression,
+                         error_exp=self.compression_error_exp)
 
     def load_ref_orbit(self, path: str, imagina: bool | None = None):
         """Load an orbit (and adopt its recommended view/iterations —

@@ -118,12 +118,22 @@ class PerturbationResults:
     def compress(self, error_exp: int = 20) -> "CompressedOrbit":
         return CompressedOrbit.from_uncompressed(self, error_exp)
 
+    def compress_max(self, error_exp: int = 20) -> "MaxCompressedOrbit":
+        return MaxCompressedOrbit.from_uncompressed(self, error_exp)
+
     # --------------------------------------------------------------- disk IO
 
-    def save(self, path: str) -> None:
-        """Own format: metadata JSON + raw orbit arrays (optionally
-        compressed). The reference persists orbits as mmap-backed files
-        with a text metadata header (PerturbationResults.h:84,142-156)."""
+    def save(self, path: str, compression: str = "none",
+             error_exp: int | None = None) -> None:
+        """Own format: metadata JSON + orbit payload. The reference
+        persists orbits as mmap-backed files with a text metadata
+        header (PerturbationResults.h:84,142-156).
+
+        compression: "none" → raw mmap-able .npy arrays;
+        "simple" → anchors npz (Zhuoran SimpleCompression);
+        "max" → waypoint+rebase npz (CompressMax)."""
+        if error_exp is None:
+            error_exp = self.compression_error_exp or 20
         meta = {
             "version": ORBIT_FORMAT_VERSION,
             "center_x": self.center_x.to_string(),
@@ -134,15 +144,24 @@ class PerturbationResults:
             "max_iterations": self.max_iterations,
             "precision_bits": self.precision_bits,
             "count": int(self.count_orbit_entries()),
-            "compression_error_exp": self.compression_error_exp,
+            "compression": compression,
+            "compression_error_exp": (error_exp if compression != "none"
+                                      else self.compression_error_exp),
         }
         with open(path + ".meta.json", "w") as f:
             json.dump(meta, f)
-        # .npy (not npz) so orbits can be memory-mapped on load — the
-        # GrowableVector file-backing analogue (Vectors.h:38-177): the
-        # file IS the orbit store
-        np.save(path + ".orbit.x.npy", self.orbit_x)
-        np.save(path + ".orbit.y.npy", self.orbit_y)
+        if compression == "simple":
+            self.compress(error_exp).save(path + ".orbit.simple.npz")
+        elif compression == "max":
+            self.compress_max(error_exp).save(path + ".orbit.max.npz")
+        elif compression == "none":
+            # .npy (not npz) so orbits can be memory-mapped on load —
+            # the GrowableVector file-backing analogue (Vectors.h:38-177):
+            # the file IS the orbit store
+            np.save(path + ".orbit.x.npy", self.orbit_x)
+            np.save(path + ".orbit.y.npy", self.orbit_y)
+        else:
+            raise ValueError(f"unknown compression {compression!r}")
 
     @staticmethod
     def load(path: str, mmap: bool = False) -> "PerturbationResults":
@@ -151,9 +170,19 @@ class PerturbationResults:
         if meta["version"] != ORBIT_FORMAT_VERSION:
             raise ValueError(f"orbit format version {meta['version']}")
         prec = meta["precision_bits"] or 256
-        mode = "r" if mmap else None
-        arrs = {"x": np.load(path + ".orbit.x.npy", mmap_mode=mode),
-                "y": np.load(path + ".orbit.y.npy", mmap_mode=mode)}
+        compression = meta.get("compression", "none")
+        if compression == "simple":
+            comp = CompressedOrbit.load(path + ".orbit.simple.npz")
+            ox, oy = comp.decompress()
+            arrs = {"x": ox, "y": oy}
+        elif compression == "max":
+            mcomp = MaxCompressedOrbit.load(path + ".orbit.max.npz")
+            ox, oy = mcomp.decompress()
+            arrs = {"x": ox, "y": oy}
+        else:
+            mode = "r" if mmap else None
+            arrs = {"x": np.load(path + ".orbit.x.npy", mmap_mode=mode),
+                    "y": np.load(path + ".orbit.y.npy", mmap_mode=mode)}
         return PerturbationResults(
             center_x=HighPrecision(meta["center_x"], prec=prec),
             center_y=HighPrecision(meta["center_y"], prec=prec),
@@ -255,5 +284,248 @@ class CompressedOrbit:
         z = np.load(path)
         return CompressedOrbit(
             anchors_x=z["ax"], anchors_y=z["ay"], anchor_index=z["ai"],
+            total_count=int(z["meta"][0]), error_exp=int(z["meta"][1]),
+            cx_low=float(z["c"][0]), cy_low=float(z["c"][1]))
+
+
+@dataclass
+class MaxCompressedOrbit:
+    """MaxCompression: waypoints + Zhuoran rebases.
+
+    Faithful re-expression of ``PerturbationResults::CompressMax`` /
+    ``DecompressMax`` (PerturbationResults.cpp:1346-1906; algorithm due
+    to Zhuoran & mathr's reference-compression writeup). The orbit tail
+    is encoded as a *delta orbit against the orbit's own earlier
+    entries* — exploiting near-periodicity after the orbit first passes
+    close to the origin — so the stored waypoint density collapses on
+    period-heavy deep views where SimpleCompression saturates.
+
+    * phase-1 waypoints store z values (plain shadow recurrence);
+    * the phase transition fires when cheb(Z_i) < 2⁻⁴ (constant1) and
+      stores a rebase-flagged z waypoint;
+    * phase-2 waypoints store dz values, rebase flag = "dz reset to z,
+      j back to 0"; standalone Zhuoran rebases (cheb(z) < cheb(dz)) are
+      kept in a separate index list;
+    * decompression replays the dz recurrence against the already-
+      reconstructed prefix and back-corrects each span via the dzdc
+      Newton step (``CorrectOrbit``).
+
+    Norms are Chebyshev; threshold2 = sqrt(10^errorExp), matching the
+    reference exactly.
+    """
+    wx: np.ndarray            # float64 [M] — waypoint values (z or dz)
+    wy: np.ndarray
+    windex: np.ndarray        # int64 [M] — uncompressed index
+    wrebase: np.ndarray       # bool [M]
+    rebases: np.ndarray       # int64 [R] — standalone rebase indices
+    total_count: int
+    cx_low: float
+    cy_low: float
+    error_exp: int
+
+    @staticmethod
+    def from_uncompressed(res: PerturbationResults,
+                          error_exp: int = 20) -> "MaxCompressedOrbit":
+        X = res.orbit_x
+        Y = res.orbit_y
+        n = len(X)
+        cx = float(res.center_x)
+        cy = float(res.center_y)
+        threshold2 = float(np.sqrt(10.0 ** error_exp))
+        constant1 = 2.0 ** -4
+        constant2 = float.fromhex("0x1.000001p0")
+
+        def cheb(x, y):
+            return max(abs(x), abs(y))
+
+        wx, wy, wi, wr = [], [], [], []
+        rebases: list[int] = []
+
+        # ---- phase 1: plain shadow recurrence (CompressMax:1420-1468)
+        zx, zy = cx, cy
+        i = 1
+        while i < n:
+            ox, oy = X[i], Y[i]
+            norm_z = cheb(ox, oy)
+            if norm_z < constant1:
+                zx, zy = ox, oy
+                wx.append(ox); wy.append(oy); wi.append(i); wr.append(True)
+                break
+            if cheb(zx - ox, zy - oy) * threshold2 >= norm_z:
+                zx, zy = ox, oy
+                wx.append(ox); wy.append(oy); wi.append(i); wr.append(False)
+            zx, zy = zx * zx - zy * zy + cx, 2.0 * zx * zy + cy
+            i += 1
+        else:
+            # never came near the origin: pure phase-1 encoding
+            return MaxCompressedOrbit(
+                wx=np.asarray(wx), wy=np.asarray(wy),
+                windex=np.asarray(wi, np.int64),
+                wrebase=np.asarray(wr, bool),
+                rebases=np.asarray(rebases, np.int64), total_count=n,
+                cx_low=cx, cy_low=cy, error_exp=error_exp)
+
+        # ---- phase 2: delta orbit against the orbit itself
+        dzx, dzy = zx, zy
+        prev_waypoint_iteration = i
+        # dz ← 2·Z₀·dz + dz² with Z₀ = 0 (the zero seed entry)
+        z0x, z0y = X[0], Y[0]
+        t = dzx
+        dzx = 2.0 * z0x * dzx - 2.0 * z0y * dzy + dzx * dzx - dzy * dzy
+        dzy = 2.0 * z0x * dzy + 2.0 * z0y * t + 2.0 * t * dzy
+        i += 1
+        j = 1
+        while i < n:
+            oxi, oyi = X[i], Y[i]
+            oxj, oyj = X[j], Y[j]
+            zx = dzx + oxj
+            zy = dzy + oyj
+            norm_z_orig = cheb(zx, zy)
+            norm_dz_orig = cheb(dzx, dzy) * constant2
+            err = cheb(zx - oxi, zy - oyi) * threshold2
+            if j >= prev_waypoint_iteration or err >= norm_z_orig:
+                prev_waypoint_iteration = i
+                zx, zy = oxi, oyi
+                dzx = zx - oxj
+                dzy = zy - oyj
+                if (cheb(zx, zy) < cheb(dzx, dzy)) or (i - j) * 4 < i:
+                    dzx, dzy = zx, zy
+                    j = 0
+                    wx.append(dzx); wy.append(dzy); wi.append(i)
+                    wr.append(True)
+                else:
+                    wx.append(dzx); wy.append(dzy); wi.append(i)
+                    wr.append(False)
+            elif norm_z_orig < norm_dz_orig:
+                dzx, dzy = zx, zy
+                j = 0
+                # successive rebases with no intervening waypoint
+                # collapse onto the latest one (CompressMax:1566-1578)
+                if rebases and rebases[-1] > wi[-1]:
+                    rebases[-1] = i
+                else:
+                    rebases.append(i)
+            oxj, oyj = X[j], Y[j]
+            t = dzx
+            dzx = (2.0 * oxj * dzx - 2.0 * oyj * dzy +
+                   dzx * dzx - dzy * dzy)
+            dzy = 2.0 * oxj * dzy + 2.0 * oyj * t + 2.0 * t * dzy
+            i += 1
+            j += 1
+
+        return MaxCompressedOrbit(
+            wx=np.asarray(wx), wy=np.asarray(wy),
+            windex=np.asarray(wi, np.int64), wrebase=np.asarray(wr, bool),
+            rebases=np.asarray(rebases, np.int64), total_count=n,
+            cx_low=cx, cy_low=cy, error_exp=error_exp)
+
+    def compression_ratio(self) -> float:
+        return self.total_count / max(1, len(self.wx) + len(self.rebases))
+
+    def decompress(self) -> tuple[np.ndarray, np.ndarray]:
+        """DecompressMax (PerturbationResults.cpp:1660-1906) with the
+        CorrectOrbit backward dzdc-Newton span correction."""
+        n = self.total_count
+        ox = np.zeros(n, np.float64)
+        oy = np.zeros(n, np.float64)
+        cx, cy = self.cx_low, self.cy_low
+        M = len(self.wx)
+        R = len(self.rebases)
+
+        def cheb(x, y):
+            return max(abs(x), abs(y))
+
+        def correct_orbit(begin, end, diff_x, diff_y):
+            dzdc_x, dzdc_y = 1.0, 0.0
+            i = end
+            while i > begin:
+                i -= 1
+                old = dzdc_x
+                dzdc_x = dzdc_x * ox[i] * 2 - dzdc_y * oy[i] * 2
+                dzdc_y = old * oy[i] * 2 + dzdc_y * ox[i] * 2
+                den = dzdc_x * dzdc_x + dzdc_y * dzdc_y
+                if den == 0.0 or not np.isfinite(den):
+                    continue
+                ox[i] += (diff_x * dzdc_x + diff_y * dzdc_y) / den
+                oy[i] += (diff_y * dzdc_x - diff_x * dzdc_y) / den
+
+        wp = 0
+        rb = 0
+        next_wp = int(self.windex[0]) if M else -1
+        next_rebase = int(self.rebases[0]) if R else -1
+        uncorrected_begin = 1
+
+        # ---- phase 1
+        zx, zy = 0.0, 0.0
+        i = 0
+        entered_phase2 = False
+        while i < n:
+            if i == next_wp:
+                correct_orbit(uncorrected_begin, i,
+                              self.wx[wp] - zx, self.wy[wp] - zy)
+                uncorrected_begin = i + 1
+                zx, zy = self.wx[wp], self.wy[wp]
+                rebase = bool(self.wrebase[wp])
+                wp += 1
+                next_wp = int(self.windex[wp]) if wp < M else -1
+                if rebase:
+                    entered_phase2 = True
+                    break
+            ox[i] = zx
+            oy[i] = zy
+            zx, zy = zx * zx - zy * zy + cx, 2.0 * zx * zy + cy
+            i += 1
+        if not entered_phase2:
+            return ox, oy
+
+        # ---- phase 2
+        j = 0
+        dzx, dzy = zx, zy
+        while i < n:
+            zx = dzx + ox[j]
+            zy = dzy + oy[j]
+            if i == next_wp:
+                if bool(self.wrebase[wp]):
+                    dzx, dzy = zx, zy
+                    j = 0
+                correct_orbit(uncorrected_begin, i,
+                              self.wx[wp] - dzx, self.wy[wp] - dzy)
+                uncorrected_begin = i + 1
+                dzx, dzy = self.wx[wp], self.wy[wp]
+                zx = dzx + ox[j]
+                zy = dzy + oy[j]
+                wp += 1
+                next_wp = int(self.windex[wp]) if wp < M else -1
+            elif i == next_rebase:
+                rb += 1
+                next_rebase = int(self.rebases[rb]) if rb < R else -1
+                dzx, dzy = zx, zy
+                j = 0
+            elif cheb(zx, zy) < cheb(dzx, dzy):
+                dzx, dzy = zx, zy
+                j = 0
+            ox[i] = zx
+            oy[i] = zy
+            t = dzx
+            dzx = (2.0 * ox[j] * dzx - 2.0 * oy[j] * dzy +
+                   dzx * dzx - dzy * dzy)
+            dzy = 2.0 * ox[j] * dzy + 2.0 * oy[j] * t + 2.0 * t * dzy
+            i += 1
+            j += 1
+        return ox, oy
+
+    def save(self, path: str) -> None:
+        np.savez(path, wx=self.wx, wy=self.wy, wi=self.windex,
+                 wr=self.wrebase, rebases=self.rebases,
+                 meta=np.asarray([self.total_count, self.error_exp],
+                                 np.int64),
+                 c=np.asarray([self.cx_low, self.cy_low]))
+
+    @staticmethod
+    def load(path: str) -> "MaxCompressedOrbit":
+        z = np.load(path)
+        return MaxCompressedOrbit(
+            wx=z["wx"], wy=z["wy"], windex=z["wi"], wrebase=z["wr"],
+            rebases=z["rebases"],
             total_count=int(z["meta"][0]), error_exp=int(z["meta"][1]),
             cx_low=float(z["c"][0]), cy_low=float(z["c"][1]))

@@ -61,7 +61,16 @@ def compute_reference_orbit(center_x: HighPrecision,
                             periodicity: bool = True,
                             precision_bits: int | None = None,
                             abort_flag: threading.Event | None = None,
-                            progress_cb=None) -> PerturbationResults:
+                            progress_cb=None,
+                            reuse_frac_bits: int | None = None
+                            ) -> PerturbationResults:
+    """One high-precision reference orbit.
+
+    reuse_frac_bits: when set, also record the intermediate-precision
+    reuse copy of every z DURING the run (a cheap truncating shift of
+    the running fixed-point value — the reference's SaveForReuse paths
+    append each intermediate z inline, RefOrbitCalc.cpp:543-548) and
+    attach it as ``extra["reuse_orbit"]``."""
     prec = precision_bits or max(center_x.prec, center_y.prec)
     F = prec + 16
 
@@ -97,6 +106,12 @@ def compute_reference_orbit(center_x: HighPrecision,
     def sq(a: int) -> int:
         return (a * a + half) >> F
 
+    record_reuse = reuse_frac_bits is not None
+    if record_reuse:
+        reuse_shift = F - reuse_frac_bits  # >0: full precision is higher
+        rzx: list[int] = [0]
+        rzy: list[int] = [0]
+
     t0 = time.perf_counter()
     i = 0
     while i < max_iterations:
@@ -110,6 +125,13 @@ def compute_reference_orbit(center_x: HighPrecision,
         lzy = _fx_to_float(zy, F)
         xs.append(lzx)
         ys.append(lzy)
+        if record_reuse:
+            if reuse_shift >= 0:
+                rzx.append(zx >> reuse_shift)
+                rzy.append(zy >> reuse_shift)
+            else:
+                rzx.append(zx << -reuse_shift)
+                rzy.append(zy << -reuse_shift)
 
         if periodicity:
             azx = HD.from_float(abs(lzx))
@@ -140,7 +162,7 @@ def compute_reference_orbit(center_x: HighPrecision,
             break
         i += 1
 
-    return PerturbationResults(
+    res = PerturbationResults(
         center_x=center_x, center_y=center_y,
         orbit_x=np.asarray(xs, np.float64),
         orbit_y=np.asarray(ys, np.float64),
@@ -148,6 +170,12 @@ def compute_reference_orbit(center_x: HighPrecision,
         period=period, escaped_at=escaped_at,
         max_iterations=max_iterations,
         precision_bits=prec)
+    if record_reuse:
+        from fractalshark_tpu.engine.reuse import ReuseOrbit
+        res.extra["reuse_orbit"] = ReuseOrbit(
+            zx=rzx, zy=rzy, frac_bits=reuse_frac_bits,
+            center_x=center_x, center_y=center_y)
+    return res
 
 
 @dataclass
@@ -168,6 +196,13 @@ class RefOrbitCalc:
     # "device"= NTT bignum pipeline on TPU (GPU-orbit analogue,
     #           RefOrbitCalc.cpp:2167)
     orbit_backend: str = "auto"
+    # Perturbed-perturbation reuse across zooms (ReuseModes,
+    # RefOrbitCalc.h:131-137): "off" = never; "on" = record the
+    # intermediate-precision reuse copy alongside host orbits and, when
+    # a later view's orbit misses the cache but a cached orbit's reuse
+    # copy covers it, compute the new orbit as a cheap delta orbit at
+    # intermediate precision instead of from scratch.
+    reuse_mode: str = "off"
 
     def get_and_create_useful_results(
             self, ptz: PointZoomBBConverter, num_iterations: int,
@@ -188,10 +223,33 @@ class RefOrbitCalc:
         cx = ptz.pt_x.with_precision(prec)
         cy = ptz.pt_y.with_precision(prec)
         t0 = time.perf_counter()
+        if self.reuse_mode != "off":
+            res = self._try_reuse(ptz, num_iterations, prec, cx, cy,
+                                  periodicity)
+            if res is not None:
+                dt = time.perf_counter() - t0
+                with self.lock:
+                    self.cache.append(res)
+                    if len(self.cache) > self.max_cached:
+                        self.cache.pop(0)
+                    self.last_details = {
+                        "cache_hit": False, "reused": True,
+                        "backend": "reuse",
+                        "orbit_len": res.count_orbit_entries(),
+                        "period": res.period,
+                        "escaped_at": res.escaped_at,
+                        "precision_bits": res.precision_bits,
+                        "ref_orbit_s": dt,
+                    }
+                return res
         backend = self.orbit_backend
         if backend == "auto":
             from fractalshark_tpu.engine import native_orbit
             backend = "native" if native_orbit.available() else "host"
+        if self.reuse_mode != "off" and backend in ("native", "device"):
+            # reuse recording rides the host fixed-point loop; the
+            # native/device evaluators don't expose intermediates yet
+            backend = "host"
         if backend == "device":
             from fractalshark_tpu.ops.bignum.orbit import (
                 compute_reference_orbit_device)
@@ -205,10 +263,22 @@ class RefOrbitCalc:
                 cx, cy, num_iterations, ptz.radius,
                 periodicity=periodicity, precision_bits=prec)
         else:
+            reuse_fb = None
+            if self.reuse_mode != "off":
+                from fractalshark_tpu.engine.reuse import reuse_precision
+                # the authoritative orbit runs with the 800-bit reuse
+                # margin ON TOP of the view precision, so later deeper
+                # views can delta off it (AuthoritativeReuseExtra-
+                # PrecisionInBits, HighPrecision.h:563)
+                rprec = reuse_precision(ptz.radius)
+                reuse_fb = rprec + 16
+                prec = max(prec, rprec + 32)
+                cx = ptz.pt_x.with_precision(prec)
+                cy = ptz.pt_y.with_precision(prec)
             res = compute_reference_orbit(
                 cx, cy, num_iterations, ptz.radius,
                 periodicity=periodicity, precision_bits=prec,
-                abort_flag=abort_flag)
+                abort_flag=abort_flag, reuse_frac_bits=reuse_fb)
         dt = time.perf_counter() - t0
         with self.lock:
             self.cache.append(res)
@@ -225,6 +295,38 @@ class RefOrbitCalc:
                 "ref_orbit_s": dt,
             }
         return res
+
+    def _try_reuse(self, ptz, num_iterations, needed_prec, cx, cy,
+                   periodicity):
+        """Compute the requested orbit as an intermediate-precision
+        delta orbit against a cached authoritative reuse orbit
+        (perturbed perturbation — RefOrbitCalc MT reuse paths,
+        RefOrbitCalc.cpp:1540+), or None when nothing qualifies.
+
+        Qualification: the cached reuse copy must carry enough
+        precision for the new view's dc grid (frac_bits − 16 ≥ needed
+        precision + 64-bit guard) and must cover the iteration budget
+        (or have ended at a detected period)."""
+        from fractalshark_tpu.engine.reuse import (
+            compute_reference_orbit_reused)
+        with self.lock:
+            candidates = list(reversed(self.cache))
+        for res in candidates:
+            reuse = res.extra.get("reuse_orbit")
+            if reuse is None:
+                continue
+            if reuse.frac_bits - 16 < needed_prec + 64:
+                continue
+            covers = (res.period > 0 or
+                      res.count_orbit_entries() - 1 >= num_iterations)
+            if not covers:
+                continue
+            new = compute_reference_orbit_reused(
+                reuse, cx, cy, num_iterations, ptz.radius,
+                periodicity=periodicity)
+            new.extra["reused"] = True
+            return new
+        return None
 
     def clear(self) -> None:
         with self.lock:

@@ -62,45 +62,18 @@ def compute_reference_orbit_with_reuse(center_x: HighPrecision,
                                        periodicity: bool = True,
                                        precision_bits: int | None = None
                                        ):
-    """Full-precision orbit + intermediate-precision reuse copy.
-
-    (The reference's SaveForReuse1/2 paths append every intermediate z,
-    RefOrbitCalc.cpp:543-548.)"""
+    """Full-precision orbit + intermediate-precision reuse copy,
+    recorded DURING the single main run (the reference's SaveForReuse
+    paths append each intermediate z inline, RefOrbitCalc.cpp:543-548 —
+    no second pass): each reuse entry is the running fixed-point value
+    truncated to reuse precision, a cheap shift."""
     from fractalshark_tpu.engine.reforbit import compute_reference_orbit
     prec = precision_bits or max(center_x.prec, center_y.prec)
-    res = compute_reference_orbit(center_x, center_y, max_iterations,
-                                  max_radius, periodicity=periodicity,
-                                  precision_bits=prec)
-    # re-run the recurrence at intermediate precision to build the reuse
-    # arrays (values match the full orbit to reuse precision)
     rprec = min(reuse_precision(max_radius), prec)
-    F = rprec + 16
-    half = 1 << (F - 1)
-
-    def to_fx(hp):
-        sh = hp.exp + F
-        if sh >= 0:
-            return hp.mant << sh
-        h2 = 1 << (-sh - 1)
-        return (hp.mant + h2) >> (-sh) if hp.mant >= 0 else \
-            -((-hp.mant + h2) >> (-sh))
-
-    cxi = to_fx(center_x)
-    cyi = to_fx(center_y)
-    zx, zy = cxi, cyi
-    rzx = [0]
-    rzy = [0]
-    n = res.count_orbit_entries()
-    for _ in range(n - 1):
-        rzx.append(zx)
-        rzy.append(zy)
-        nx = ((zx * zx + half) >> F) - ((zy * zy + half) >> F) + cxi
-        zy = (((zx * zy + half) >> F) << 1) + cyi
-        zx = nx
-    reuse = ReuseOrbit(zx=rzx, zy=rzy, frac_bits=F,
-                       center_x=center_x, center_y=center_y)
-    res.extra["reuse_orbit"] = reuse
-    return res
+    return compute_reference_orbit(
+        center_x, center_y, max_iterations, max_radius,
+        periodicity=periodicity, precision_bits=prec,
+        reuse_frac_bits=rprec + 16)
 
 
 def compute_reference_orbit_reused(reuse: ReuseOrbit,

@@ -48,26 +48,109 @@ def _emit_shadow(digits):
     return win, base
 
 
+def _shadow_hdr(sign, digits, frac_bits):
+    """f64 mantissa/exponent pair of the top-WINDOW-digit window:
+    value = m · 2^e with |m| < 2^64 (f64-rounded, same as the host
+    conversion it replaces)."""
+    win, base = _emit_shadow(digits)
+    w = win.astype(jnp.float64)
+    m = (w[0] + w[1] * 65536.0 + w[2] * 65536.0 ** 2 +
+         w[3] * 65536.0 ** 3) * sign.astype(jnp.float64)
+    e = 16 * base - frac_bits
+    return m, e
+
+
 @functools.partial(jax.jit, static_argnames=("spec", "steps"))
-def orbit_chunk(sx, x, sy, y, scx, cx, scy, cy, *, spec: FP.FixedSpec,
-                steps: int):
-    """Run `steps` iterations of z ← z² + c; returns final state and the
-    per-iteration shadows of the PRE-update z (like the reference, which
-    stores z before updating, RefOrbitCalc.cpp:533)."""
+def orbit_chunk(sx, x, sy, y, dzdc_x, dzdc_y, dzdc_e,
+                scx, cx, scy, cy, rad_m, rad_e, cxf, cyf, *,
+                spec: FP.FixedSpec, steps: int):
+    """Run `steps` iterations of z ← z² + c with the periodicity/escape
+    bookkeeping ON DEVICE (PeriodicityChecker.h:46-95): the low-precision
+    dzdc recurrence (f64 mantissas + shared i32 exponent — HDRFloat form)
+    rides the scan carry, and each step emits the f64 shadow of the
+    pre-update z plus period/escape flags. The host only scans the flag
+    vectors — no per-iteration Python work (it was the throughput ceiling
+    once the NTT multiply got fast).
+
+    Returns ((z state), (dzdc state), (zx_f64, zy_f64, period, escape))
+    where the flag/shadow arrays have length `steps`."""
+    F = spec.frac_bits
+
+    def hdr_norm(mx, my, e):
+        """Renormalize a shared-exponent complex so max(|mx|,|my|) lands
+        in [1, 2) (value preserved: (mx,my)·2^e)."""
+        amax = jnp.maximum(jnp.abs(mx), jnp.abs(my))
+        s = jnp.where(amax > 0.0,
+                      jnp.floor(jnp.log2(jnp.where(amax > 0.0, amax, 1.0))),
+                      0.0)
+        sc = jnp.exp2(-s)
+        return mx * sc, my * sc, e + s.astype(jnp.int32)
 
     def body(state, _):
-        sx, x, sy, y = state
-        winx, basex = _emit_shadow(x)
-        winy, basey = _emit_shadow(y)
-        # whole update fused: x²−y² combined in the frequency domain,
-        # +c and the ×2 folded into the CRT accumulation
-        # (fixedpoint.iterate_z) — one carry ripple per component
+        sx, x, sy, y, dx_m, dy_m, d_e = state
+        mzx, ezx = _shadow_hdr(sx, x, F)
+        mzy, ezy = _shadow_hdr(sy, y, F)
+
+        # plain-f64 shadow (orbit values are O(1); exponents below
+        # f64 range underflow to 0, which is the correct shadow)
+        lzx = mzx * jnp.exp2(jnp.asarray(ezx, jnp.float64))
+        lzy = mzy * jnp.exp2(jnp.asarray(ezy, jnp.float64))
+
+        # ---- periodicity test BEFORE the dzdc update (checker order):
+        # max(|zx|,|zy|) < radius · max(|dzdcX|,|dzdcY|) · 2.
+        # Stays in mantissa/exponent form: near the period the orbit
+        # dips to ~(view radius), far below f64 range at depth.
+        def norm1(m, e):
+            s = jnp.where(m > 0.0,
+                          jnp.floor(jnp.log2(jnp.where(m > 0.0, m, 1.0))),
+                          0.0)
+            return m * jnp.exp2(-s), e + s.astype(jnp.int32)
+
+        def me_max(m1, e1, m2, e2):
+            ge = (e1 > e2) | ((e1 == e2) & (m1 >= m2))
+            return jnp.where(ge, m1, m2), jnp.where(ge, e1, e2)
+
+        axm, axe = norm1(jnp.abs(mzx), ezx)
+        aym, aye = norm1(jnp.abs(mzy), ezy)
+        n2m, n2e = me_max(axm, axe, aym, aye)
+        dxm, dxe = norm1(jnp.abs(dx_m), d_e)
+        dym, dye = norm1(jnp.abs(dy_m), d_e)
+        dmm, dme = me_max(dxm, dxe, dym, dye)
+        n3m, n3e = norm1(rad_m * dmm, rad_e + dme + 1)
+        n2_zero = jnp.maximum(jnp.abs(mzx), jnp.abs(mzy)) == 0.0
+        period_flag = jnp.where(
+            n2_zero, True,
+            (n2e < n3e) | ((n2e == n3e) & (n2m < n3m)))
+
+        # ---- dzdc ← 2·z·dzdc + 1 (low-precision, HDR form)
+        # align zx/zy onto a shared exponent
+        ezz = jnp.maximum(ezx, ezy)
+        azx = mzx * jnp.exp2(jnp.asarray(ezx - ezz, jnp.float64))
+        azy = mzy * jnp.exp2(jnp.asarray(ezy - ezz, jnp.float64))
+        px = azx * dx_m - azy * dy_m
+        py = azx * dy_m + azy * dx_m
+        pe = ezz + d_e + 1
+        # + 1: align the product (exp pe) with 1·2^0
+        res_e = jnp.maximum(pe, 0)
+        sc_p = jnp.exp2(jnp.asarray(pe - res_e, jnp.float64))
+        sc_1 = jnp.exp2(-jnp.asarray(res_e, jnp.float64))
+        ndx = px * sc_p + sc_1
+        ndy = py * sc_p
+        ndx, ndy, nde = hdr_norm(ndx, ndy, res_e)
+
+        # ---- escape on old z + c (RefOrbitCalc.cpp:619-624)
+        tx = lzx + cxf
+        ty = lzy + cyf
+        escape_flag = tx * tx + ty * ty > 256.0
+
         nsx, nx, nsy, ny = FP.iterate_z(sx, x, sy, y,
                                         scx, cx, scy, cy, spec)
-        return (nsx, nx, nsy, ny), (sx, winx, basex, sy, winy, basey)
+        return ((nsx, nx, nsy, ny, ndx, ndy, nde),
+                (lzx, lzy, period_flag, escape_flag))
 
-    state, shadows = jax.lax.scan(body, (sx, x, sy, y), None, length=steps)
-    return state, shadows
+    state, out = jax.lax.scan(
+        body, (sx, x, sy, y, dzdc_x, dzdc_y, dzdc_e), None, length=steps)
+    return state, out
 
 
 def _shadow_to_f64(sign, win, base, spec: FP.FixedSpec) -> np.ndarray:
@@ -158,17 +241,20 @@ class TpuOrbitSession:
         scy = jnp.int32(scy_i)
         cxj = jnp.asarray(cx_d)
         cyj = jnp.asarray(cy_d)
-        # z starts at c (RefOrbitCalc.cpp:509-511)
-        state = (scx, cxj, scy, cyj)
+        # z starts at c (RefOrbitCalc.cpp:509-511); dzdc = 1 + 0i at
+        # shared exponent 0 (HDR form, carried through the device scan)
+        state = (scx, cxj, scy, cyj,
+                 jnp.float64(1.0), jnp.float64(0.0), jnp.int32(0))
 
         radius = HD.from_hp(self.max_radius)
-        dzdc_x = HD.from_float(1.0)
-        dzdc_y = HD.zero()
+        rad_m = jnp.float64(radius.m)
+        rad_e = jnp.int32(radius.e)
         cxf = float(self.center_x)
         cyf = float(self.center_y)
 
-        xs = [0.0]  # zero seed entry (PerturbationResults.cpp:866)
-        ys = [0.0]
+        chunks_x = [np.zeros(1)]  # zero seed entry (Perturbation
+        chunks_y = [np.zeros(1)]  # Results.cpp:866)
+        count = 1
         period = 0
         escaped_at = 0
         t0 = time.perf_counter()
@@ -179,45 +265,31 @@ class TpuOrbitSession:
             if abort_flag is not None and abort_flag.is_set():
                 break
             steps = min(self.chunk_steps, max_iterations - it)
-            state, shadows = orbit_chunk(*state, scx, cxj, scy, cyj,
-                                         spec=spec, steps=steps)
-            sxs, winx, basex, sys_, winy, basey = shadows
-            zxs = _shadow_to_f64(sxs, winx, basex, spec)
-            zys = _shadow_to_f64(sys_, winy, basey, spec)
-            # host bookkeeping per emitted value
-            for k in range(steps):
-                lzx = float(zxs[k])
-                lzy = float(zys[k])
-                xs.append(lzx)
-                ys.append(lzy)
-                if periodicity:
-                    azx = HD.from_float(abs(lzx))
-                    azy = HD.from_float(abs(lzy))
-                    n2 = azy if azx.lt(azy) else azx
-                    r0 = (dzdc_y.abs()
-                          if dzdc_x.abs().lt(dzdc_y.abs())
-                          else dzdc_x.abs())
-                    n3 = (radius * r0).mul_pow2(1)
-                    if n2.lt(n3):
-                        period = len(xs)
-                        done = True
-                        break
-                    ndx = (dzdc_x.mul_float(lzx) -
-                           dzdc_y.mul_float(lzy)).mul_pow2(1) + \
-                        HD.from_float(1.0)
-                    ndy = (dzdc_y.mul_float(lzx) +
-                           dzdc_x.mul_float(lzy)).mul_pow2(1)
-                    dzdc_x, dzdc_y = ndx, ndy
-                tx = lzx + cxf
-                ty = lzy + cyf
-                if tx * tx + ty * ty > 256.0:
-                    escaped_at = len(xs)
-                    done = True
-                    break
+            state, out = orbit_chunk(*state, scx, cxj, scy, cyj,
+                                     rad_m, rad_e,
+                                     jnp.float64(cxf), jnp.float64(cyf),
+                                     spec=spec, steps=steps)
+            lzx, lzy, pflag, eflag = (np.asarray(v) for v in out)
+            # vectorized host bookkeeping: truncate at the first flag
+            pidx = int(np.argmax(pflag)) if (periodicity and
+                                             pflag.any()) else steps
+            eidx = int(np.argmax(eflag)) if eflag.any() else steps
+            take = min(steps, pidx + 1, eidx + 1)
+            chunks_x.append(lzx[:take])
+            chunks_y.append(lzy[:take])
+            count += take
+            if periodicity and pidx < steps and pidx <= eidx:
+                period = count
+                done = True
+            elif eidx < steps:
+                escaped_at = count
+                done = True
             it += steps
             if progress_cb is not None:
                 progress_cb(it, max_iterations, time.perf_counter() - t0)
 
+        xs = np.concatenate(chunks_x)
+        ys = np.concatenate(chunks_y)
         return PerturbationResults(
             center_x=self.center_x, center_y=self.center_y,
             orbit_x=np.asarray(xs, np.float64),

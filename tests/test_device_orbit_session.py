@@ -1,0 +1,55 @@
+"""Device-orbit session tests: the on-device periodicity/escape
+bookkeeping (orbit_chunk flags) must reproduce the host fixed-point
+loop's decisions exactly (PeriodicityChecker.h:46-95 semantics)."""
+
+import numpy as np
+
+from fractalshark_tpu.core.highprecision import HighPrecision
+from fractalshark_tpu.engine.reforbit import compute_reference_orbit
+from fractalshark_tpu.ops.bignum.orbit import compute_reference_orbit_device
+
+CX = "-0.743643887037158704752191506114774"
+CY = "0.131825904205311970493132056385139"
+
+
+def test_device_session_period_matches_host():
+    cx = HighPrecision(CX, prec=200)
+    cy = HighPrecision(CY, prec=200)
+    rad = HighPrecision("1e-9", prec=64)
+    host = compute_reference_orbit(cx, cy, 1200, rad, periodicity=True,
+                                   precision_bits=200)
+    dev = compute_reference_orbit_device(cx, cy, 1200, rad,
+                                         periodicity=True, chunk_steps=100)
+    assert dev.period == host.period > 0
+    assert dev.count_orbit_entries() == host.count_orbit_entries()
+    n = host.count_orbit_entries()
+    np.testing.assert_allclose(dev.orbit_x[:n], host.orbit_x[:n],
+                               rtol=0, atol=1e-14)
+    np.testing.assert_allclose(dev.orbit_y[:n], host.orbit_y[:n],
+                               rtol=0, atol=1e-14)
+
+
+def test_device_session_escape_matches_host():
+    cx = HighPrecision("0.5", prec=200)
+    cy = HighPrecision("0.5", prec=200)
+    rad = HighPrecision("0.01", prec=64)
+    host = compute_reference_orbit(cx, cy, 200, rad, periodicity=False,
+                                   precision_bits=200)
+    dev = compute_reference_orbit_device(cx, cy, 200, rad,
+                                         periodicity=False, chunk_steps=16)
+    assert host.escaped_at > 0
+    assert dev.escaped_at == host.escaped_at
+    assert dev.count_orbit_entries() == host.count_orbit_entries()
+
+
+def test_device_session_budget_run():
+    """No period, no escape: runs to the budget with matching shadows."""
+    cx = HighPrecision("0.3", prec=200)
+    cy = HighPrecision(CY, prec=200)
+    rad = HighPrecision("1e-9", prec=64)
+    host = compute_reference_orbit(cx, cy, 300, rad, periodicity=False,
+                                   precision_bits=200)
+    dev = compute_reference_orbit_device(cx, cy, 300, rad,
+                                         periodicity=False, chunk_steps=64)
+    assert dev.count_orbit_entries() == host.count_orbit_entries() == 301
+    np.testing.assert_allclose(dev.orbit_x, host.orbit_x, rtol=0, atol=1e-14)

@@ -202,3 +202,73 @@ def test_engine_perturbed_algorithms():
         iters = np.asarray(f.calc_fractal())
         assert iters.shape == (32, 32)
         assert iters.max() > 0
+
+
+def test_max_compression_round_trip(tmp_path):
+    """MaxCompression (waypoint+rebase, CompressMax/DecompressMax):
+    round-trip reconstruction error stays within the threshold class
+    and the encoding beats SimpleCompression on a period-heavy orbit."""
+    from fractalshark_tpu.engine.perturbation_results import (
+        CompressedOrbit, MaxCompressedOrbit)
+    ptz = PointZoomBBConverter(
+        pt_x="-0.743643887037158704752191506114774",
+        pt_y="0.131825904205311970493132056385139",
+        zoom_factor="1e8", prec=512)
+    # periodicity off: the orbit runs past its period (~859) for 20k
+    # entries — the near-periodic tail is exactly what the delta
+    # encoding exploits (period-heavy deep views, View #27 class)
+    res = compute_reference_orbit(
+        ptz.pt_x.with_precision(512), ptz.pt_y.with_precision(512),
+        20000, ptz.radius, periodicity=False, precision_bits=512)
+    assert res.count_orbit_entries() > 10000
+
+    comp = MaxCompressedOrbit.from_uncompressed(res, error_exp=20)
+    assert len(comp.rebases) > 0  # Zhuoran rebases exercised
+    x, y = comp.decompress()
+    assert len(x) == res.count_orbit_entries()
+    mag = np.maximum(np.maximum(np.abs(res.orbit_x), np.abs(res.orbit_y)),
+                     1e-30)
+    err = np.maximum(np.abs(x - res.orbit_x), np.abs(y - res.orbit_y)) / mag
+    # threshold2 = sqrt(10^20) -> relative drift bound ~1e-10 per span;
+    # allow an order of magnitude for span accumulation
+    assert err.max() < 1e-8, err.max()
+
+    simple = CompressedOrbit.from_uncompressed(res, error_exp=20)
+    assert comp.compression_ratio() > simple.compression_ratio()
+
+    # disk round trip
+    p = str(tmp_path / "maxcomp.npz")
+    comp.save(p)
+    loaded = MaxCompressedOrbit.load(p)
+    x2, y2 = loaded.decompress()
+    np.testing.assert_array_equal(x, x2)
+    np.testing.assert_array_equal(y, y2)
+
+
+def test_save_honors_compression_flag(tmp_path):
+    """save() with compression='simple'/'max' persists anchors, not raw
+    arrays, and load() reconstructs the orbit transparently."""
+    from fractalshark_tpu.engine.perturbation_results import (
+        PerturbationResults)
+    import os
+    ptz = PointZoomBBConverter(
+        pt_x="-0.743643887037158704752191506114774",
+        pt_y="0.131825904205311970493132056385139",
+        zoom_factor="1e8", prec=512)
+    res = compute_reference_orbit(
+        ptz.pt_x.with_precision(512), ptz.pt_y.with_precision(512),
+        5000, ptz.radius, periodicity=False, precision_bits=512)
+    for mode in ("simple", "max"):
+        p = str(tmp_path / f"orb_{mode}")
+        res.save(p, compression=mode, error_exp=25)
+        raw = str(tmp_path / "orb_raw")
+        res.save(raw, compression="none")
+        comp_bytes = sum(os.path.getsize(str(f)) for f in tmp_path.iterdir()
+                         if f.name.startswith(f"orb_{mode}.orbit"))
+        raw_bytes = sum(os.path.getsize(str(f)) for f in tmp_path.iterdir()
+                        if f.name.startswith("orb_raw.orbit"))
+        assert comp_bytes < raw_bytes / 10, (mode, comp_bytes, raw_bytes)
+        loaded = PerturbationResults.load(p)
+        assert loaded.count_orbit_entries() == res.count_orbit_entries()
+        mag = np.maximum(np.abs(res.orbit_x), 1e-30)
+        assert (np.abs(loaded.orbit_x - res.orbit_x) / mag).max() < 1e-9

@@ -87,3 +87,59 @@ def test_intermediate_compression_round_trip(cached):
     for i in (1, 50, 500, reuse.count() - 1):
         err = abs(back.zx[i] - reuse.zx[i]) / max(1, abs(reuse.zx[i]))
         assert err < 2.0 ** -380, i
+
+
+def test_reforbit_calc_reuse_across_zooms():
+    """RefOrbitCalc with reuse_mode='on': the first (authoritative)
+    orbit records the intermediate copy during its main run; zooming
+    deeper computes the next orbit as a delta orbit at intermediate
+    precision — far cheaper than full precision — and its shadow
+    matches a from-scratch computation (RefOrbitCalc reuse modes,
+    RefOrbitCalc.h:131-137)."""
+    from fractalshark_tpu.core.pointzoom import PointZoomBBConverter
+    from fractalshark_tpu.engine.reforbit import RefOrbitCalc
+
+    # deeper view, slightly off-center from the authoritative orbit
+    shallow = PointZoomBBConverter(pt_x=CX, pt_y=CY,
+                                   zoom_factor="1e9", prec=512)
+    cx2 = HighPrecision(CX, prec=512) + HighPrecision("1e-12", prec=512)
+    deep = PointZoomBBConverter(pt_x=cx2, pt_y=CY,
+                                zoom_factor="1e40", prec=512)
+
+    calc = RefOrbitCalc(orbit_backend="host", reuse_mode="on")
+    r1 = calc.get_and_create_useful_results(shallow, 2000)
+    assert "reuse_orbit" in r1.extra
+    assert not calc.last_details.get("reused")
+
+    r2 = calc.get_and_create_useful_results(deep, 2000)
+    assert calc.last_details.get("reused") is True
+    # the reused orbit runs at intermediate precision, not the full
+    # view precision + 800-bit authority margin
+    assert r2.precision_bits < r1.extra["reuse_orbit"].frac_bits
+
+    # correctness: shadow matches a from-scratch orbit at the new center
+    calc2 = RefOrbitCalc(orbit_backend="host", reuse_mode="off")
+    r3 = calc2.get_and_create_useful_results(deep, 2000)
+    n = min(r2.count_orbit_entries(), r3.count_orbit_entries())
+    assert n > 100
+    np.testing.assert_allclose(r2.orbit_x[:n], r3.orbit_x[:n],
+                               rtol=0, atol=1e-13)
+    np.testing.assert_allclose(r2.orbit_y[:n], r3.orbit_y[:n],
+                               rtol=0, atol=1e-13)
+
+
+def test_reforbit_calc_reuse_rejects_shallow_authority():
+    """An under-precise reuse orbit must NOT serve a much deeper view
+    (the 800-bit authority margin is finite)."""
+    from fractalshark_tpu.core.pointzoom import PointZoomBBConverter
+    from fractalshark_tpu.engine.reforbit import RefOrbitCalc
+
+    shallow = PointZoomBBConverter(pt_x=CX, pt_y=CY,
+                                   zoom_factor="1e4", prec=4096)
+    very_deep = PointZoomBBConverter(pt_x=CX, pt_y=CY,
+                                     zoom_factor="1e300", prec=4096)
+    calc = RefOrbitCalc(orbit_backend="host", reuse_mode="on")
+    calc.get_and_create_useful_results(shallow, 300)
+    calc.get_and_create_useful_results(very_deep, 300)
+    assert calc.last_details.get("backend") == "host"
+    assert not calc.last_details.get("reused")
