@@ -230,6 +230,22 @@ class LAReferenceHost:
         self.is_valid = True
         return self
 
+    @staticmethod
+    def generate_auto(orbit_x: np.ndarray, orbit_y: np.ndarray,
+                      radius_hd: HD, params: LAParameters | None = None,
+                      sub_is_f32: bool = True) -> "LAReferenceHost":
+        """Native C++ builder when available (LAReference.cpp's CPU
+        build path — ~1000× the Python walk), else the Python oracle."""
+        from fractalshark_tpu.engine import native_la
+        la = native_la.generate_native(orbit_x, orbit_y, radius_hd,
+                                       params=params,
+                                       sub_is_f32=sub_is_f32)
+        if la is not None:
+            return la
+        return LAReferenceHost.generate(orbit_x, orbit_y, radius_hd,
+                                        params=params,
+                                        sub_is_f32=sub_is_f32)
+
     def _create_la_from_orbit(self, orbit: np.ndarray,
                               max_ref: int) -> bool:
         """Stage-0 build (LAReference.cpp:31-208, single-threaded)."""
@@ -511,7 +527,7 @@ def get_or_build_la(fractal, results) -> LAReferenceHost | None:
     la = results.extra.get("la_reference")
     if la is None:
         params = LAParameters()
-        la = LAReferenceHost.generate(
+        la = LAReferenceHost.generate_auto(
             results.orbit_x, results.orbit_y,
             HD.from_hp(results.max_radius), params=params)
         results.extra["la_reference"] = la

@@ -1,0 +1,226 @@
+"""ctypes bridge to the native LA-table builder (``native/la_build.cpp``).
+
+The reference builds its LA tables in C++ on the CPU
+(``FractalSharkLib/LAReference.cpp:218+`` CreateLAFromOrbit/MT); the
+Python builder in ``la_reference.py`` costs ~60 µs per orbit entry
+(HD/HDC object arithmetic), which dominates deep-view render setup.
+This bridge runs the identical algorithm natively (~3 orders of
+magnitude faster) and returns an ``LAReferenceHost``-compatible object
+holding the flattened arrays directly.
+
+Falls back gracefully: callers use ``available()`` and keep the Python
+builder when the toolchain is missing. The Python builder remains the
+differential-test oracle (tests/test_la.py compares the two).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from fractalshark_tpu.core.hdr_host import HD, HDC
+from fractalshark_tpu.engine.la_reference import (ATInfo, LAParameters,
+                                                  LAReferenceHost)
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_SRC = os.path.join(_ROOT, "native", "la_build.cpp")
+_SO = os.path.join(_ROOT, "native", "build", "libfs_la.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+_build_failed = False
+
+_D = ctypes.POINTER(ctypes.c_double)
+_I = ctypes.POINTER(ctypes.c_int64)
+
+
+def _build() -> bool:
+    os.makedirs(os.path.dirname(_SO), exist_ok=True)
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _build_failed
+    with _lib_lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if not os.path.exists(_SO) or \
+                os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            _build_failed = True
+            return None
+        lib.fs_la_generate.restype = ctypes.c_int64
+        lib.fs_la_generate.argtypes = [
+            _D, _D, ctypes.c_int64,                      # orbit
+            ctypes.c_double, ctypes.c_int64,             # radius
+            ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int64,                              # cap
+            _D, _I, _D, _I, _D, _I, _D, _I, _D, _I,      # node arrays
+            _I, _I,                                      # step/next
+            _I, _I,                                      # stage arrays
+            _D, _I, _I,                                  # AT + flags
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class LAReferenceArrays(LAReferenceHost):
+    """LA table built natively — array-backed; same consumer interface
+    as the Python-built table (device_arrays / use_at / at / stages)."""
+
+    def __init__(self, arrays: dict, stage_la_index, stage_macro,
+                 stage_count: int, at: ATInfo | None,
+                 params: LAParameters):
+        super().__init__(params=params)
+        self._arrays = arrays
+        self.stage_la_index = list(stage_la_index)
+        self.stage_macro_it_count = list(stage_macro)
+        self.stage_count = stage_count
+        self.at = at
+        self.use_at = at is not None
+        self.is_valid = True
+        self.las = _NodeView(arrays)
+
+    def device_arrays(self, dtype=np.float32) -> dict:
+        a = self._arrays
+        return {
+            "ref_m": a["ref_m"].astype(dtype), "ref_e": a["ref_e"],
+            "zc_m": a["zc_m"].astype(dtype), "zc_e": a["zc_e"],
+            "cc_m": a["cc_m"].astype(dtype), "cc_e": a["cc_e"],
+            "thr_m": a["thr_m"].astype(dtype), "thr_e": a["thr_e"],
+            "thrc_m": a["thrc_m"].astype(dtype), "thrc_e": a["thrc_e"],
+            "step_length": a["step_length"],
+            "next_stage_la_index": a["next_stage_la_index"].astype(
+                np.int32),
+            "stage_la_index": np.asarray(self.stage_la_index, np.int32),
+            "stage_macro_it_count": np.asarray(
+                self.stage_macro_it_count, np.int32),
+            "stage_count": self.stage_count,
+        }
+
+
+class _NodeView:
+    """len()/indexing facade over the flattened node arrays (a few
+    callers ask for len(la.las) or individual node fields)."""
+
+    def __init__(self, a: dict):
+        self._a = a
+
+    def __len__(self):
+        return len(self._a["thr_m"])
+
+    def __getitem__(self, k):
+        a = self._a
+        from fractalshark_tpu.engine.la_reference import LANode
+        return LANode(
+            ref=HDC(complex(a["ref_m"][k, 0], a["ref_m"][k, 1]),
+                    int(a["ref_e"][k])),
+            zcoeff=HDC(complex(a["zc_m"][k, 0], a["zc_m"][k, 1]),
+                       int(a["zc_e"][k])),
+            ccoeff=HDC(complex(a["cc_m"][k, 0], a["cc_m"][k, 1]),
+                       int(a["cc_e"][k])),
+            la_threshold=HD(float(a["thr_m"][k]), int(a["thr_e"][k])),
+            la_threshold_c=HD(float(a["thrc_m"][k]), int(a["thrc_e"][k])),
+            min_mag=HD.zero(),
+            step_length=int(a["step_length"][k]),
+            next_stage_la_index=int(a["next_stage_la_index"][k]))
+
+
+def generate_native(orbit_x: np.ndarray, orbit_y: np.ndarray,
+                    radius_hd: HD, params: LAParameters | None = None,
+                    sub_is_f32: bool = True):
+    """Native LAReferenceHost.generate. Returns None when the library
+    is unavailable or the orbit yields no valid table (callers fall
+    back to the Python builder / direct render)."""
+    lib = _load()
+    if lib is None:
+        return None
+    p = params or LAParameters()
+    ox = np.ascontiguousarray(orbit_x, np.float64)
+    oy = np.ascontiguousarray(orbit_y, np.float64)
+    n = len(ox)
+    cap = 2 * n + 64
+    ref_m = np.empty((cap, 2), np.float64)
+    ref_e = np.empty(cap, np.int64)
+    zc_m = np.empty((cap, 2), np.float64)
+    zc_e = np.empty(cap, np.int64)
+    cc_m = np.empty((cap, 2), np.float64)
+    cc_e = np.empty(cap, np.int64)
+    thr_m = np.empty(cap, np.float64)
+    thr_e = np.empty(cap, np.int64)
+    thrc_m = np.empty(cap, np.float64)
+    thrc_e = np.empty(cap, np.int64)
+    step_length = np.empty(cap, np.int64)
+    next_idx = np.empty(cap, np.int64)
+    stage_idx = np.zeros(1025, np.int64)
+    stage_macro = np.zeros(1025, np.int64)
+    at_m = np.zeros(10, np.float64)
+    at_e = np.zeros(6, np.int64)
+    flags = np.zeros(4, np.int64)
+
+    def dp(a):
+        return a.ctypes.data_as(_D)
+
+    def ip(a):
+        return a.ctypes.data_as(_I)
+
+    rad = radius_hd.reduce()
+    cnt = lib.fs_la_generate(
+        dp(ox), dp(oy), n, float(rad.m), int(rad.e),
+        p.detection_method, p.la_threshold_scale, p.la_threshold_c_scale,
+        p.stage0_period_detection_threshold2,
+        p.period_detection_threshold2,
+        p.stage0_period_detection_threshold, p.period_detection_threshold,
+        p.period_divisor, 1 if sub_is_f32 else 0,
+        cap,
+        dp(ref_m), ip(ref_e), dp(zc_m), ip(zc_e), dp(cc_m), ip(cc_e),
+        dp(thr_m), ip(thr_e), dp(thrc_m), ip(thrc_e),
+        ip(step_length), ip(next_idx), ip(stage_idx), ip(stage_macro),
+        dp(at_m), ip(at_e), ip(flags))
+    if cnt <= 0 or flags[0] == 0:
+        return None
+    stage_count = int(flags[3])
+    at = None
+    if flags[1]:
+        at = ATInfo(
+            step_length=int(flags[2]),
+            threshold_c=HD(float(at_m[0]), int(at_e[0])),
+            sqr_escape_radius=HD(float(at_m[1]), int(at_e[1])),
+            ref_c=HDC(complex(at_m[2], at_m[3]), int(at_e[2])),
+            zcoeff=HDC(complex(at_m[4], at_m[5]), int(at_e[3])),
+            ccoeff=HDC(complex(at_m[6], at_m[7]), int(at_e[4])),
+            inv_zcoeff=HDC(complex(at_m[8], at_m[9]), int(at_e[5])))
+    arrays = {
+        "ref_m": ref_m[:cnt].copy(), "ref_e": ref_e[:cnt].astype(np.int32),
+        "zc_m": zc_m[:cnt].copy(), "zc_e": zc_e[:cnt].astype(np.int32),
+        "cc_m": cc_m[:cnt].copy(), "cc_e": cc_e[:cnt].astype(np.int32),
+        "thr_m": thr_m[:cnt].copy(), "thr_e": thr_e[:cnt].astype(np.int32),
+        "thrc_m": thrc_m[:cnt].copy(),
+        "thrc_e": thrc_e[:cnt].astype(np.int32),
+        "step_length": step_length[:cnt].copy(),
+        "next_stage_la_index": next_idx[:cnt].copy(),
+    }
+    return LAReferenceArrays(arrays, stage_idx[:stage_count],
+                             stage_macro[:stage_count], stage_count,
+                             at, p)

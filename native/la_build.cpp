@@ -1,0 +1,634 @@
+// Native LA (linear approximation) table builder.
+//
+// C++ port of fractalshark_tpu/engine/la_reference.py — which is itself
+// the rebuild of the reference's LAReference
+// (FractalSharkLib/LAReference.cpp, node algebra
+// HpSharkFloatLib/LAInfoDeep.h). The reference builds its LA table on
+// the CPU in C++ (CreateLAFromOrbit / CreateLAFromOrbitMT,
+// LAReference.cpp:218+); the Python builder in la_reference.py is the
+// portable oracle, and this module is the production path: the same
+// algorithm at native speed (the Python HD/HDC object walk costs
+// ~60 us/orbit entry; this runs ~3 orders of magnitude faster).
+//
+// Every operation mirrors the Python expression order exactly (HD/HDC
+// semantics: double mantissa kept in [1,2) by frexp-reduce, unbounded
+// int64 exponent) so the outputs are bit-comparable in differential
+// tests.
+//
+// Build: g++ -O2 -shared -fPIC -o libfs_la.so la_build.cpp
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct HD {
+    double m;
+    int64_t e;
+};
+
+static inline HD hd_zero() { return {0.0, 0}; }
+
+static inline HD hd_reduce(HD a) {
+    if (a.m == 0.0) return {0.0, 0};
+    int ex;
+    double m = std::frexp(a.m, &ex);
+    return {m * 2.0, a.e + ex - 1};
+}
+
+static inline HD hd_from_double(double x) {
+    if (x == 0.0) return {0.0, 0};
+    int ex;
+    double m = std::frexp(x, &ex);
+    return {m * 2.0, (int64_t)ex - 1};
+}
+
+static inline HD hd_mul(HD a, HD b) { return hd_reduce({a.m * b.m, a.e + b.e}); }
+static inline HD hd_mul_double(HD a, double s) { return hd_reduce({a.m * s, a.e}); }
+static inline HD hd_div(HD a, HD b) { return hd_reduce({a.m / b.m, a.e - b.e}); }
+
+static inline bool hd_lt(HD a, HD b) {
+    // |a| < |b| for non-negative reduced values (hd values here are
+    // produced reduced; mirror HD.lt which re-reduces defensively)
+    a = hd_reduce(a);
+    b = hd_reduce(b);
+    if (a.m == 0.0) return b.m != 0.0;
+    if (b.m == 0.0) return false;
+    if (a.e != b.e) return a.e < b.e;
+    return a.m < b.m;
+}
+
+static inline HD hd_min(HD a, HD b) { return hd_lt(a, b) ? a : b; }
+
+struct HDC {
+    double re, im;
+    int64_t e;
+};
+
+static inline HDC hdc_zero() { return {0.0, 0.0, 0}; }
+
+static inline HDC hdc_reduce(HDC a) {
+    double big = std::max(std::fabs(a.re), std::fabs(a.im));
+    if (big == 0.0) return {0.0, 0.0, 0};
+    int ex;
+    std::frexp(big, &ex);
+    int64_t k = (int64_t)ex - 1;
+    return {std::ldexp(a.re, (int)-k), std::ldexp(a.im, (int)-k), a.e + k};
+}
+
+static inline HDC hdc_from_complex(double re, double im) {
+    return hdc_reduce({re, im, 0});
+}
+
+static inline HDC hdc_mul(HDC a, HDC b) {
+    // python complex multiply: naive formula
+    return hdc_reduce({a.re * b.re - a.im * b.im,
+                       a.re * b.im + a.im * b.re, a.e + b.e});
+}
+
+static inline HDC hdc_mul_double(HDC a, double s) {
+    return hdc_reduce({a.re * s, a.im * s, a.e});
+}
+
+static inline HDC hdc_add(HDC a, HDC b) {
+    if (a.re == 0.0 && a.im == 0.0) return b;
+    if (b.re == 0.0 && b.im == 0.0) return a;
+    HDC big = a, small = b;
+    if (a.e < b.e) { big = b; small = a; }
+    int64_t d = big.e - small.e;
+    if (d > 128) return big;
+    return hdc_reduce({big.re + std::ldexp(small.re, (int)-d),
+                       big.im + std::ldexp(small.im, (int)-d), big.e});
+}
+
+static inline HD hdc_cheb(HDC a) {
+    return hd_reduce({std::max(std::fabs(a.re), std::fabs(a.im)), a.e});
+}
+
+static inline HD hdc_norm_sqr(HDC a) {
+    // python: abs(complex)**2 with abs = hypot
+    double h = std::hypot(a.re, a.im);
+    return hd_reduce({h * h, 2 * a.e});
+}
+
+static inline HDC hdc_reciprocal(HDC a) {
+    // python: 1.0 / complex — uses Smith's algorithm; mirror via the
+    // same guarded formula cpython applies (_Py_c_quot)
+    double are = a.re, aim = a.im;
+    double r, d, qre, qim;
+    if (std::fabs(are) >= std::fabs(aim)) {
+        r = aim / are;
+        d = are + aim * r;
+        qre = 1.0 / d;
+        qim = -r / d;
+    } else {
+        r = are / aim;
+        d = are * r + aim;
+        qre = r / d;
+        qim = -1.0 / d;
+    }
+    return hdc_reduce({qre, qim, -a.e});
+}
+
+struct Params {
+    int detection_method;
+    double la_threshold_scale;
+    double la_threshold_c_scale;
+    double stage0_pdt2;  // stage0_period_detection_threshold2
+    double pdt2;         // period_detection_threshold2
+    double stage0_pdt;
+    double pdt;
+    int period_divisor;
+};
+
+struct LANode {
+    HDC ref, zcoeff, ccoeff;
+    HD la_threshold, la_threshold_c, min_mag;
+    int64_t step_length = 0;
+    int64_t next_stage_la_index = 0;
+};
+
+static LANode new_node(const Params &p, HDC z) {
+    LANode n;
+    n.ref = z;
+    n.zcoeff = hdc_from_complex(1.0, 0.0);
+    n.ccoeff = hdc_from_complex(1.0, 0.0);
+    n.la_threshold = hd_from_double(1.0);
+    n.la_threshold_c = hd_from_double(1.0);
+    n.min_mag = p.detection_method == 1 ? hd_from_double(4.0) : hd_zero();
+    return n;
+}
+
+static bool detect_period(const Params &p, const LANode &node, HDC z) {
+    if (p.detection_method == 1)
+        return hd_lt(hdc_cheb(z), hd_mul_double(node.min_mag, p.pdt2));
+    HD lhs = hd_mul_double(hd_div(hdc_cheb(z), hdc_cheb(node.zcoeff)),
+                           p.la_threshold_scale);
+    return hd_lt(lhs, hd_mul_double(node.la_threshold, p.pdt));
+}
+
+// LAInfoDeep::Step (LAInfoDeep.h:187-259)
+static LANode step(const Params &p, const LANode &node, HDC z,
+                   bool *detected) {
+    HD cheb_z = hdc_cheb(z);
+    HD out_min = p.detection_method == 1 ? hd_min(cheb_z, node.min_mag)
+                                         : node.min_mag;
+    HD t1 = hd_mul_double(hd_div(cheb_z, hdc_cheb(node.zcoeff)),
+                          p.la_threshold_scale);
+    HD t2 = hd_mul_double(hd_div(cheb_z, hdc_cheb(node.ccoeff)),
+                          p.la_threshold_c_scale);
+    HD out_thr = hd_min(node.la_threshold, t1);
+    HD out_thr_c = hd_min(node.la_threshold_c, t2);
+    HDC z2 = hdc_mul_double(z, 2.0);
+    HDC out_zc = hdc_mul(z2, node.zcoeff);
+    HDC out_cc = hdc_add(hdc_mul(z2, node.ccoeff),
+                         hdc_from_complex(1.0, 0.0));
+    LANode out;
+    out.ref = node.ref;
+    out.zcoeff = out_zc;
+    out.ccoeff = out_cc;
+    out.la_threshold = out_thr;
+    out.la_threshold_c = out_thr_c;
+    out.min_mag = out_min;
+    if (p.detection_method == 1)
+        *detected = hd_lt(out.min_mag,
+                          hd_mul_double(node.min_mag, p.stage0_pdt2));
+    else
+        *detected = hd_lt(out.la_threshold,
+                          hd_mul_double(node.la_threshold, p.stage0_pdt));
+    return out;
+}
+
+// LAInfoDeep::Composite (LAInfoDeep.h:296-381)
+static LANode composite(const Params &p, const LANode &node,
+                        const LANode &la, bool *detected) {
+    HDC z = la.ref;
+    HD cheb_z = hdc_cheb(z);
+    HD t1 = hd_mul_double(hd_div(cheb_z, hdc_cheb(node.zcoeff)),
+                          p.la_threshold_scale);
+    HD t2 = hd_mul_double(hd_div(cheb_z, hdc_cheb(node.ccoeff)),
+                          p.la_threshold_c_scale);
+    HD out_thr = hd_min(node.la_threshold, t1);
+    HD out_thr_c = hd_min(node.la_threshold_c, t2);
+    HDC z2 = hdc_mul_double(z, 2.0);
+    HDC zc = hdc_mul(z2, node.zcoeff);
+    HDC cc = hdc_mul(z2, node.ccoeff);
+    t1 = hd_div(la.la_threshold, hdc_cheb(zc));
+    t2 = hd_div(la.la_threshold, hdc_cheb(cc));
+    HD temp = out_thr;
+    out_thr = hd_min(out_thr, t1);
+    out_thr_c = hd_min(out_thr_c, t2);
+    HDC out_zc = hdc_mul(zc, la.zcoeff);
+    HDC out_cc = hdc_add(hdc_mul(cc, la.zcoeff), la.ccoeff);
+    HD out_min;
+    if (p.detection_method == 1) {
+        HD t = hd_min(cheb_z, node.min_mag);
+        out_min = hd_min(t, la.min_mag);
+        *detected = hd_lt(t, hd_mul_double(node.min_mag, p.pdt2));
+    } else {
+        out_min = node.min_mag;
+        *detected = hd_lt(temp, hd_mul_double(node.la_threshold, p.pdt));
+    }
+    LANode out;
+    out.ref = node.ref;
+    out.zcoeff = out_zc;
+    out.ccoeff = out_cc;
+    out.la_threshold = out_thr;
+    out.la_threshold_c = out_thr_c;
+    out.min_mag = out_min;
+    return out;
+}
+
+struct Builder {
+    Params p;
+    const double *ox, *oy;
+    int64_t max_ref;
+    std::vector<LANode> las;
+    std::vector<int64_t> stage_la_index;
+    std::vector<int64_t> stage_macro_it_count;
+    int64_t stage_count = 0;
+
+    HDC gc(int64_t i) const { return hdc_from_complex(ox[i], oy[i]); }
+
+    // mirrors _create_la_from_orbit (la_reference.py)
+    bool create_la_from_orbit() {
+        stage_la_index.assign(1, 0);
+        stage_macro_it_count.assign(1, 0);
+        stage_count = 0;
+
+        int64_t period = 0;
+        LANode la = new_node(p, hdc_zero());
+        bool det = false;
+        la = step(p, la, gc(1), &det);
+        int64_t next_stage_la_index = 0;
+        if (la.zcoeff.re == 0.0 && la.zcoeff.im == 0.0) return false;
+
+        int64_t i = 2;
+        bool broke = false;
+        for (; i < max_ref;) {
+            bool period_detected;
+            LANode new_la = step(p, la, gc(i), &period_detected);
+            if (!period_detected) {
+                la = new_la;
+                i += 1;
+                continue;
+            }
+            period = i;
+            la.step_length = period;
+            la.next_stage_la_index = next_stage_la_index;
+            las.push_back(la);
+            next_stage_la_index = i;
+            if (i + 1 < max_ref) {
+                la = step(p, new_node(p, gc(i)), gc(i + 1), &det);
+                i += 2;
+            } else {
+                la = new_node(p, gc(i));
+                i += 1;
+            }
+            broke = true;
+            break;
+        }
+        if (!broke) i = max_ref;
+
+        stage_count = 1;
+        int64_t period_begin = period;
+        int64_t period_end = period_begin + period;
+
+        const int64_t LOW_BOUND = 64;
+        if (period == 0) {
+            if (max_ref > LOW_BOUND) {
+                la = step(p, new_node(p, gc(0)), gc(1), &det);
+                next_stage_la_index = 0;
+                i = 2;
+                // python round() is half-to-even; llrint under the
+                // default FE_TONEAREST mode matches it exactly
+                double nth_root_d = std::log2((double)max_ref) /
+                                    (double)p.period_divisor;
+                int64_t nth_root = llrint(nth_root_d);
+                if (nth_root < 1) nth_root = 1;
+                double per = std::pow((double)max_ref, 1.0 / (double)nth_root);
+                period = llrint(per);
+                period_begin = 0;
+                period_end = period;
+            } else {
+                la.step_length = max_ref;
+                la.next_stage_la_index = next_stage_la_index;
+                las.push_back(la);
+                las.push_back(new_node(p, gc(max_ref)));
+                stage_macro_it_count[0] = 1;
+                return false;
+            }
+        } else if (period > LOW_BOUND) {
+            las.pop_back();
+            la = step(p, new_node(p, gc(0)), gc(1), &det);
+            next_stage_la_index = 0;
+            i = 2;
+            double nth_root_d = std::log2((double)max_ref) /
+                                (double)p.period_divisor;
+            int64_t nth_root = llrint(nth_root_d);
+            if (nth_root < 1) nth_root = 1;
+            double per = std::pow((double)max_ref, 1.0 / (double)nth_root);
+            period = llrint(per);
+            period_begin = 0;
+            period_end = period;
+        }
+
+        for (; i < max_ref;) {
+            bool period_detected;
+            LANode new_la = step(p, la, gc(i), &period_detected);
+            if (!period_detected && i < period_end) {
+                la = new_la;
+                i += 1;
+                continue;
+            }
+            la.step_length = i - period_begin;
+            la.next_stage_la_index = next_stage_la_index;
+            las.push_back(la);
+            next_stage_la_index = i;
+            period_begin = i;
+            period_end = period_begin + period;
+            int64_t ip1 = i + 1;
+            bool detected2 = detect_period(p, new_la,
+                                           gc(std::min(ip1, max_ref)));
+            if (detected2 || ip1 >= max_ref) {
+                la = new_node(p, gc(i));
+                i += 1;
+            } else {
+                la = step(p, new_node(p, gc(i)), gc(ip1), &det);
+                i += 2;
+            }
+        }
+
+        la.step_length = i - period_begin;
+        la.next_stage_la_index = next_stage_la_index;
+        las.push_back(la);
+        stage_macro_it_count[0] = (int64_t)las.size();
+        las.push_back(new_node(p, gc(max_ref)));
+        return true;
+    }
+
+    // mirrors _create_new_la_stage
+    bool create_new_la_stage() {
+        const int64_t LOW_BOUND = 64;
+        const int64_t MAX_LA_STAGES = 1024;
+        int64_t prev_stage = stage_count - 1;
+        int64_t cur_stage = stage_count;
+        int64_t prev_idx = stage_la_index[prev_stage];
+        int64_t prev_count = stage_macro_it_count[prev_stage];
+        if (cur_stage >= MAX_LA_STAGES) return false;
+
+        stage_la_index.push_back((int64_t)las.size());
+        stage_macro_it_count.push_back(0);
+
+        LANode prev_la = las[prev_idx];
+        LANode prev_lap1 = las[prev_idx + 1];
+
+        int64_t period = 0;
+        bool det = false;
+        LANode la = composite(p, prev_la, prev_lap1, &det);
+        int64_t next_stage_la_index = 0;
+        int64_t i = prev_la.step_length + prev_lap1.step_length;
+
+        int64_t j = 2;
+        for (; j < prev_count;) {
+            LANode pj = las[prev_idx + j];
+            bool period_detected;
+            LANode new_la = composite(p, la, pj, &period_detected);
+            if (period_detected) {
+                if (pj.la_threshold.m == 0.0) break;
+                period = i;
+                la.step_length = period;
+                la.next_stage_la_index = next_stage_la_index;
+                las.push_back(la);
+                next_stage_la_index = j;
+                LANode pjp1 = las[prev_idx + j + 1];
+                if (detect_period(p, new_la, pjp1.ref) ||
+                    j + 1 >= prev_count) {
+                    la = pj;
+                    i += pj.step_length;
+                    j += 1;
+                } else {
+                    la = composite(p, pj, pjp1, &det);
+                    i += pj.step_length + pjp1.step_length;
+                    j += 2;
+                }
+                break;
+            }
+            la = new_la;
+            i += pj.step_length;
+            j += 1;
+        }
+
+        stage_count += 1;
+        int64_t period_begin = period;
+        int64_t period_end = period_begin + period;
+
+        if (period == 0) {
+            if (max_ref > prev_la.step_length * LOW_BOUND) {
+                la = composite(p, prev_la, prev_lap1, &det);
+                i = prev_la.step_length + prev_lap1.step_length;
+                next_stage_la_index = 0;
+                j = 2;
+                double ratio = (double)max_ref / (double)prev_la.step_length;
+                double nth_root_d = std::log2((double)max_ref) /
+                                    (double)p.period_divisor;
+                int64_t nth_root = llrint(nth_root_d);
+                if (nth_root < 1) nth_root = 1;
+                period = prev_la.step_length *
+                         llrint(std::pow(ratio, 1.0 / (double)nth_root));
+                period_begin = 0;
+                period_end = period;
+            } else {
+                la.step_length = max_ref;
+                la.next_stage_la_index = next_stage_la_index;
+                las.push_back(la);
+                las.push_back(new_node(p, gc(max_ref)));
+                stage_macro_it_count[cur_stage] = 1;
+                return false;
+            }
+        } else if (period > prev_la.step_length * LOW_BOUND) {
+            las.pop_back();
+            la = composite(p, prev_la, prev_lap1, &det);
+            i = prev_la.step_length + prev_lap1.step_length;
+            next_stage_la_index = 0;
+            j = 2;
+            double ratio = (double)period / (double)prev_la.step_length;
+            double nth_root_d = std::log2((double)max_ref) /
+                                (double)p.period_divisor;
+            int64_t nth_root = llrint(nth_root_d);
+            if (nth_root < 1) nth_root = 1;
+            period = prev_la.step_length *
+                     llrint(std::pow(ratio, 1.0 / (double)nth_root));
+            period_begin = 0;
+            period_end = period;
+        }
+
+        for (; j < prev_count;) {
+            LANode pj = las[prev_idx + j];
+            bool period_detected;
+            LANode new_la = composite(p, la, pj, &period_detected);
+            if (period_detected || i >= period_end) {
+                la.step_length = i - period_begin;
+                la.next_stage_la_index = next_stage_la_index;
+                las.push_back(la);
+                next_stage_la_index = j;
+                period_begin = i;
+                period_end = period_begin + period;
+                LANode pjp1 = las[prev_idx + j + 1];
+                if (detect_period(p, new_la, pjp1.ref) ||
+                    j + 1 >= prev_count) {
+                    la = pj;
+                } else {
+                    la = composite(p, pj, pjp1, &det);
+                    i += pj.step_length;
+                    j += 1;
+                }
+            } else {
+                la = new_la;
+            }
+            i += las[prev_idx + j].step_length;
+            j += 1;
+        }
+
+        la.step_length = i - period_begin;
+        la.next_stage_la_index = next_stage_la_index;
+        las.push_back(la);
+        stage_macro_it_count[cur_stage] =
+            (int64_t)las.size() - stage_la_index[cur_stage];
+        las.push_back(new_node(p, gc(max_ref)));
+        return stage_macro_it_count[cur_stage] > LOW_BOUND;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns number of LA nodes written (>=0), -1 if capacity too small,
+// 0 with flags[0]=0 when the orbit yields no valid LA table.
+// flags: [0]=is_valid, [1]=use_at, [2]=at_step_length, [3]=stage_count
+int64_t fs_la_generate(
+    const double *orbit_x, const double *orbit_y, int64_t n_orbit,
+    double radius_m, int64_t radius_e,
+    int detection_method, double la_threshold_scale,
+    double la_threshold_c_scale, double stage0_pdt2, double pdt2,
+    double stage0_pdt, double pdt, int period_divisor, int sub_is_f32,
+    int64_t cap,
+    double *ref_m, int64_t *ref_e, double *zc_m, int64_t *zc_e,
+    double *cc_m, int64_t *cc_e, double *thr_m, int64_t *thr_e,
+    double *thrc_m, int64_t *thrc_e,
+    int64_t *step_length, int64_t *next_stage_la_index,
+    int64_t *stage_la_index_out, int64_t *stage_macro_out,
+    double *at_m, int64_t *at_e, int64_t *flags)
+{
+    Builder b;
+    b.p = {detection_method, la_threshold_scale, la_threshold_c_scale,
+           stage0_pdt2, pdt2, stage0_pdt, pdt, period_divisor};
+    b.ox = orbit_x;
+    b.oy = orbit_y;
+    b.max_ref = n_orbit - 1;
+    flags[0] = 0;
+    flags[1] = 0;
+    flags[2] = 0;
+    flags[3] = 0;
+    if (b.max_ref <= 0) return 0;
+    b.las.reserve((size_t)std::min<int64_t>(2 * n_orbit + 16, cap));
+
+    bool detected = b.create_la_from_orbit();
+    if (!detected) {
+        // mirror python: invalid table (is_valid False), nodes dropped
+        return 0;
+    }
+    while (b.create_new_la_stage()) {
+    }
+
+    // CreateATFromLA (LAReference.cpp:1052-1074)
+    HD sqr_radius = hd_reduce(hd_mul({radius_m, radius_e},
+                                     {radius_m, radius_e}));
+    bool use_at = false;
+    int64_t at_step = 0;
+    HD at_thr_c = hd_zero(), at_sqr_esc = hd_zero();
+    HDC at_ref_c = hdc_zero(), at_zc = hdc_zero(), at_cc = hdc_zero(),
+        at_izc = hdc_zero();
+    for (int64_t stage = b.stage_count - 1; stage >= 0; stage--) {
+        int64_t idx = b.stage_la_index[stage];
+        const LANode &node = b.las[idx];
+        const LANode &next_node = b.las[idx + 1];
+        // _create_at
+        HDC zc = node.zcoeff;
+        HDC cc = hdc_mul(zc, node.ccoeff);
+        HDC inv_zc = hdc_reciprocal(zc);
+        HDC ref_c = hdc_mul(next_node.ref, zc);
+        HD lim = {1.0, sub_is_f32 ? 32 : 256};
+        HD sqr_esc = hd_min(hd_mul(hdc_norm_sqr(zc), node.la_threshold), lim);
+        HD thr_c = hd_min(node.la_threshold_c, hd_div(lim, hdc_cheb(cc)));
+        // _at_usable
+        HD result = hd_mul(hd_mul(hdc_norm_sqr(cc), sqr_radius),
+                           HD{1.0, 32});
+        HD four = hd_from_double(4.0);
+        bool usable = hd_lt(hdc_norm_sqr(ref_c), result) &&
+                      hd_lt(four, sqr_esc);
+        if (node.step_length > 0 && usable) {
+            use_at = true;
+            at_step = node.step_length;
+            at_thr_c = thr_c;
+            at_sqr_esc = sqr_esc;
+            at_ref_c = ref_c;
+            at_zc = zc;
+            at_cc = cc;
+            at_izc = inv_zc;
+            break;
+        }
+    }
+
+    int64_t n = (int64_t)b.las.size();
+    if (n > cap || (int64_t)b.stage_la_index.size() > 1025) return -1;
+    for (int64_t k = 0; k < n; k++) {
+        const LANode &nd = b.las[k];
+        ref_m[2 * k] = nd.ref.re;
+        ref_m[2 * k + 1] = nd.ref.im;
+        ref_e[k] = nd.ref.e;
+        zc_m[2 * k] = nd.zcoeff.re;
+        zc_m[2 * k + 1] = nd.zcoeff.im;
+        zc_e[k] = nd.zcoeff.e;
+        cc_m[2 * k] = nd.ccoeff.re;
+        cc_m[2 * k + 1] = nd.ccoeff.im;
+        cc_e[k] = nd.ccoeff.e;
+        thr_m[k] = nd.la_threshold.m;
+        thr_e[k] = nd.la_threshold.e;
+        thrc_m[k] = nd.la_threshold_c.m;
+        thrc_e[k] = nd.la_threshold_c.e;
+        step_length[k] = nd.step_length;
+        next_stage_la_index[k] = nd.next_stage_la_index;
+    }
+    for (size_t s = 0; s < b.stage_la_index.size(); s++) {
+        stage_la_index_out[s] = b.stage_la_index[s];
+        stage_macro_out[s] = b.stage_macro_it_count[s];
+    }
+    flags[0] = 1;
+    flags[1] = use_at ? 1 : 0;
+    flags[2] = at_step;
+    flags[3] = b.stage_count;
+    // AT payload: thr_c, sqr_esc (HD) then ref_c, zc, cc, izc (HDC)
+    at_m[0] = at_thr_c.m;
+    at_e[0] = at_thr_c.e;
+    at_m[1] = at_sqr_esc.m;
+    at_e[1] = at_sqr_esc.e;
+    at_m[2] = at_ref_c.re;
+    at_m[3] = at_ref_c.im;
+    at_e[2] = at_ref_c.e;
+    at_m[4] = at_zc.re;
+    at_m[5] = at_zc.im;
+    at_e[3] = at_zc.e;
+    at_m[6] = at_cc.re;
+    at_m[7] = at_cc.im;
+    at_e[4] = at_cc.e;
+    at_m[8] = at_izc.re;
+    at_m[9] = at_izc.im;
+    at_e[5] = at_izc.e;
+    return n;
+}
+
+}  // extern "C"

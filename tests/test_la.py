@@ -137,3 +137,39 @@ def test_engine_lav2_end_to_end():
     assert iters.shape == (24, 24)
     assert f.benchmark.la_generation_s > 0
     assert iters.max() > 800
+
+
+def test_native_la_builder_bit_exact():
+    """native/la_build.cpp vs the Python oracle: identical tables
+    (same differential strategy as the reference's HpSharkFloatTest —
+    the C++ production path must match the portable oracle exactly)."""
+    from fractalshark_tpu.engine import native_la
+    if not native_la.available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    ptz = PointZoomBBConverter(
+        pt_x="-0.743643887037158704752191506114774",
+        pt_y="0.131825904205311970493132056385139",
+        zoom_factor="1e8", prec=512)
+    from fractalshark_tpu.engine.reforbit import compute_reference_orbit
+    res = compute_reference_orbit(
+        ptz.pt_x.with_precision(512), ptz.pt_y.with_precision(512),
+        20000, ptz.radius, periodicity=True, precision_bits=512)
+    rad = HD.from_hp(res.max_radius)
+    la_n = native_la.generate_native(res.orbit_x, res.orbit_y, rad)
+    la_p = LAReferenceHost.generate(res.orbit_x, res.orbit_y, rad)
+    assert la_n is not None and la_p.is_valid
+    assert la_n.stage_count == la_p.stage_count
+    assert la_n.use_at == la_p.use_at
+    an = la_n.device_arrays(np.float64)
+    ap = la_p.device_arrays(np.float64)
+    for k in ("ref_m", "ref_e", "zc_m", "zc_e", "cc_m", "cc_e",
+              "thr_m", "thr_e", "thrc_m", "thrc_e", "step_length",
+              "next_stage_la_index", "stage_la_index",
+              "stage_macro_it_count"):
+        np.testing.assert_array_equal(np.asarray(an[k]),
+                                      np.asarray(ap[k]), err_msg=k)
+    if la_p.use_at:
+        assert la_n.at.step_length == la_p.at.step_length
+        assert la_n.at.zcoeff.m == la_p.at.zcoeff.m
+        assert la_n.at.zcoeff.e == la_p.at.zcoeff.e
