@@ -110,6 +110,15 @@ def calc_perturbed(fractal, alg: RenderAlgorithm):
             if out is not None:
                 fractal.benchmark.extra["kernel"] = "pallas"
                 return out
+            # orbit too long for VMEM: stream it from HBM in lockstep
+            # sweeps (no length cap)
+            from fractalshark_tpu.ops.perturb_stream import \
+                perturb_render_stream
+            out = perturb_render_stream(
+                results, fractal.ptz, w, h, fractal.num_iterations)
+            if out is not None:
+                fractal.benchmark.extra["kernel"] = "pallas-stream"
+                return out
         return perturb.perturb_render_hdr(
             results, fractal.ptz, w, h, fractal.num_iterations,
             sub_dtype=sub)
