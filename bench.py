@@ -183,7 +183,7 @@ def _deep_la(extra):
     from fractalshark_tpu.engine.reforbit import RefOrbitCalc
 
     on_tpu = jax.default_backend() == "tpu"
-    size = 512 if on_tpu else 64
+    size = 256 if on_tpu else 64
     v = get_view_preset(6)
     ptz = v.ptz.square_aspect_ratio(size, size)
     budget = v.num_iterations
@@ -269,7 +269,7 @@ def main() -> int:
         extra["headline_error"] = repr(e)[:200]
     # rough first-compile cost of each part through the remote-compile
     # tunnel; a part only starts if it plausibly fits the remaining budget
-    est_s = {"native": 5, "ntt": 150, "perturb/la": 240, "deep_la": 120}
+    est_s = {"native": 5, "ntt": 150, "perturb/la": 240, "deep_la": 180}
     for name, fn in parts:
         remaining = budget_s - (time.perf_counter() - t_start)
         if remaining < est_s.get(name, 60):

@@ -39,17 +39,78 @@ def _gather_hdr(m, e, idx) -> HDR:
     return HDR(m[idx], e[idx])
 
 
+# Per-node LA data is packed into ONE [N, 16] array so the hot loop
+# pays a single gather per body step instead of ~12 (each XLA gather
+# from an HBM-resident table is latency-bound; measured 6.8 ms/step ->
+# ~1 ms/step at 128x128 on v5e).  Integer columns are bitcast (f32) or
+# exactly converted (f64).  Column layout:
+#   0-2  Ref   (re, im, exp)         9  LAThreshold mantissa
+#   3-5  ZCoeff                     10  LAThreshold exp
+#   6-8  CCoeff                     11  step_length
+#  13-15 Ref[node+1]                12  next_stage_la_index
+_PACK_COLS = 16
+
+
+def _pack_nodes(arrs, sub_dtype):
+    n = arrs["ref_e"].shape[0]
+    f32 = np.dtype(sub_dtype) == np.float32
+
+    def ibits(a):
+        a = np.ascontiguousarray(a.astype(np.int32))
+        return a.view(np.float32) if f32 else a.astype(np.float64)
+
+    P = np.empty((n, _PACK_COLS), sub_dtype)
+    P[:, 0] = arrs["ref_m"][:, 0]
+    P[:, 1] = arrs["ref_m"][:, 1]
+    P[:, 2] = ibits(arrs["ref_e"])
+    P[:, 3] = arrs["zc_m"][:, 0]
+    P[:, 4] = arrs["zc_m"][:, 1]
+    P[:, 5] = ibits(arrs["zc_e"])
+    P[:, 6] = arrs["cc_m"][:, 0]
+    P[:, 7] = arrs["cc_m"][:, 1]
+    P[:, 8] = ibits(arrs["cc_e"])
+    P[:, 9] = arrs["thr_m"]
+    P[:, 10] = ibits(arrs["thr_e"])
+    P[:, 11] = ibits(arrs["step_length"].astype(np.int64))
+    P[:, 12] = ibits(arrs["next_stage_la_index"])
+    # Ref[min(node+1, n-1)] folded into the same row: saves the second
+    # complex gather in the LA step
+    P[:-1, 13:16] = P[1:, 0:3]
+    P[-1, 13:16] = P[-1, 0:3]
+    return P
+
+
+def _pack_orbit(ox, oy, max_ref):
+    n = len(ox)
+    m = min(n, max_ref + 1)
+    OP = np.empty((m, 4), ox.dtype)
+    OP[:, 0] = ox[:m]
+    OP[:, 1] = oy[:m]
+    OP[:m - 1, 2] = ox[1:m]
+    OP[:m - 1, 3] = oy[1:m]
+    OP[m - 1, 2] = ox[m - 1]
+    OP[m - 1, 3] = oy[m - 1]
+    return OP
+
+
 @functools.partial(jax.jit, static_argnames=("max_iter", "la_only",
-                                             "stage_count", "at_step"))
-def _lav2_impl(orbit_x, orbit_y, dc_re, dc_im, dc_e,
-               ref_m, ref_e, zc_m, zc_e, cc_m, cc_e,
-               thr_m, thr_e, thrc_m, thrc_e,
-               step_length, next_stage_idx,
+                                             "stage_count", "at_step",
+                                             "chunk_steps"))
+def _lav2_impl(orbit_packed, dc_re, dc_im, dc_e,
+               packed, thrc_m, thrc_e,
                stage_la_index, stage_macro,
                at_args, max_ref, max_iter, la_only, stage_count,
-               at_step=0):
+               at_step=0, chunk_steps=0, resume_state=None):
     shape = dc_re.shape
     dtype = dc_re.dtype
+    n_nodes = packed.shape[0]
+
+    if dtype == jnp.float32:
+        def ibits(col):
+            return jax.lax.bitcast_convert_type(col, jnp.int32)
+    else:
+        def ibits(col):
+            return col.astype(jnp.int32)
     # iteration counters: i32 when the budget allows (i64 is emulated
     # and slow on TPU; budgets >= 2^31 use the 64-bit path)
     it_t = jnp.int64 if max_iter >= (1 << 31) else jnp.int32
@@ -75,7 +136,7 @@ def _lav2_impl(orbit_x, orbit_y, dc_re, dc_im, dc_e,
     # ---------------- AT head skip (ATInfo.h:157-188) ------------------
     it0 = jnp.zeros(shape, it_t)
     dz0 = hdr.complex_zero(shape, dtype)
-    if at_args is not None and at_step > 0:
+    if at_args is not None and at_step > 0 and resume_state is None:
         (at_thrc, at_sqr_esc, at_refc, at_cc, at_invzc) = at_args
 
         def bc_c(v):
@@ -134,16 +195,23 @@ def _lav2_impl(orbit_x, orbit_y, dc_re, dc_im, dc_e,
                          jnp.where(at_ok, dz_at.e, dz0.e))
 
     # ---------------- main state machine --------------------------------
-    s0 = jnp.full(shape, stage_count - 1, jnp.int32)
-    j0 = jnp.full(shape, 0, jnp.int32)   # top stage entered with j=0
-    ref0 = jnp.zeros(shape, jnp.int32)
-    done0 = it0 >= n
+    if resume_state is None:
+        s0 = jnp.full(shape, stage_count - 1, jnp.int32)
+        j0 = jnp.full(shape, 0, jnp.int32)   # top stage entered with j=0
+        ref0 = jnp.zeros(shape, jnp.int32)
+        done0 = it0 >= n
+        init_state = (s0, j0, ref0, dz0.re, dz0.im, dz0.e, it0, done0)
+    else:
+        init_state = resume_state
 
     def cond(st):
-        done = st[-1]
-        return jnp.max((~done).astype(jnp.int32)) > 0
+        k, inner = st
+        not_done = jnp.max((~inner[-1]).astype(jnp.int32)) > 0
+        if chunk_steps:
+            return jnp.logical_and(k < chunk_steps, not_done)
+        return not_done
 
-    def body(st):
+    def body_inner(st):
         (s, j, ref_iter, dzr, dzi, dze, it, done) = st
         dz = HDRComplex(dzr, dzi, dze)
         live = ~done
@@ -159,11 +227,12 @@ def _lav2_impl(orbit_x, orbit_y, dc_re, dc_im, dc_e,
             else jnp.zeros(shape, bool)
         entering = j < 0
         j_eff = jnp.where(entering, ref_iter, j)
-        node = jnp.clip(la_index + j_eff, 0, step_length.shape[0] - 1)
+        node = jnp.clip(la_index + j_eff, 0, n_nodes - 1)
 
-        l = step_length[node].astype(it_t)
-        ref = _gather_complex(ref_m, ref_e, node)
-        thr = _gather_hdr(thr_m, thr_e, node)
+        g = packed[node]                       # ONE gather: (H, W, 16)
+        ref = HDRComplex(g[..., 0], g[..., 1], ibits(g[..., 2]))
+        thr = HDR(g[..., 9], ibits(g[..., 10]))
+        l = ibits(g[..., 11]).astype(it_t)
         # newdz = dz*(2*Ref + dz)   (LAInfoDeep::Prepare)
         t = hdr.complex_add(hdr.complex_mul_pow2(ref, 1), dz)
         newdz = hdr.reduce_complex(hdr.complex_mul(t, dz))
@@ -178,19 +247,17 @@ def _lav2_impl(orbit_x, orbit_y, dc_re, dc_im, dc_e,
         do_step = in_la & valid & usable
 
         # on unusable: ref_iter = node's NextStageLAIndex
-        nsi = next_stage_idx[node]
+        nsi = ibits(g[..., 12])
         ref_iter = jnp.where(drop_unusable, nsi, ref_iter)
         s = jnp.where(drop_invalid | drop_unusable, s - 1, s)
         j = jnp.where(drop_invalid | drop_unusable, -1, j)
 
         # LA step: dz' = newdz*ZCoeff + dc*CCoeff ; z = Ref[node+1] + dz'
-        zc = _gather_complex(zc_m, zc_e, node)
-        cc = _gather_complex(cc_m, cc_e, node)
+        zc = HDRComplex(g[..., 3], g[..., 4], ibits(g[..., 5]))
+        cc = HDRComplex(g[..., 6], g[..., 7], ibits(g[..., 8]))
         dz_ev = hdr.reduce_complex(hdr.complex_add(
             hdr.complex_mul(newdz, zc), hdr.complex_mul(dc, cc)))
-        refp1 = _gather_complex(ref_m, ref_e,
-                                jnp.clip(node + 1, 0,
-                                         ref_e.shape[0] - 1))
+        refp1 = HDRComplex(g[..., 13], g[..., 14], ibits(g[..., 15]))
         z_full = hdr.reduce_complex(hdr.complex_add(refp1, dz_ev))
         j_next = j_eff + 1
         reb = hdr.lt_reduced(hdr.reduce(hdr.chebychev_norm(z_full)),
@@ -204,15 +271,14 @@ def _lav2_impl(orbit_x, orbit_y, dc_re, dc_im, dc_e,
 
         # ---------------- tail branch ----------------------------------
         oj = jnp.clip(ref_iter, 0, max_ref)
-        zx = orbit_x[oj]
-        zy = orbit_y[oj]
-        zj = HDRComplex(zx, zy, jnp.zeros(shape, jnp.int32))
+        og = orbit_packed[oj]                  # ONE gather: (H, W, 4)
+        zj = HDRComplex(og[..., 0], og[..., 1],
+                        jnp.zeros(shape, jnp.int32))
         t2 = hdr.complex_add(hdr.complex_mul_pow2(zj, 1), dz)
         ndz = hdr.reduce_complex(
             hdr.complex_add(hdr.complex_mul(t2, dz), dc))
-        oj1 = jnp.clip(ref_iter + 1, 0, max_ref)
         zf = hdr.reduce_complex(hdr.complex_add(
-            HDRComplex(orbit_x[oj1], orbit_y[oj1],
+            HDRComplex(og[..., 2], og[..., 3],
                        jnp.zeros(shape, jnp.int32)), ndz))
         nsq = hdr.reduce(hdr.norm_squared(zf))
         dsq = hdr.reduce(hdr.norm_squared(ndz))
@@ -242,15 +308,27 @@ def _lav2_impl(orbit_x, orbit_y, dc_re, dc_im, dc_e,
             done = done | (live & (s < 0))
         return s, j, ref_iter, dzr, dzi, dze, it, done
 
-    init = (s0, j0, ref0, dz0.re, dz0.im, dz0.e, it0, done0)
-    _, _, _, _, _, _, iters, _ = jax.lax.while_loop(cond, body, init)
-    return iters.astype(jnp.uint64 if max_iter >= (1 << 31) else jnp.uint32)
+    def body(st):
+        k, inner = st
+        return k + 1, body_inner(inner)
+
+    _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), init_state))
+    all_done = jnp.min(out[-1].astype(jnp.int32)) > 0
+    return out, all_done
 
 
 def la_perturb_render(results, la, ptz: PointZoomBBConverter,
                       width: int, height: int, max_iter: int,
-                      sub_dtype=np.float32, la_only: bool = False):
-    """Full LAv2 render: AT skip → LA stages → perturbation tail."""
+                      sub_dtype=np.float32, la_only: bool = False,
+                      chunk_steps: int | None = None,
+                      abort_monitor=None):
+    """Full LAv2 render: AT skip → LA stages → perturbation tail.
+
+    On accelerators the state machine runs in bounded *chunks* of body
+    steps with host relaunches between them (the reference's chunked
+    cooperative-kernel relaunch, ``RefOrbitCalc.cpp:2205-2233``): a
+    single unbounded dispatch can run for minutes on deep views and
+    trip device watchdogs; chunking also gives abort points."""
     arrs = la.device_arrays(sub_dtype)
     ox, oy = results.device_orbit(sub_dtype)
     dx, dy, cxo, cyo = delta_params(ptz, results.center_x,
@@ -275,20 +353,40 @@ def la_perturb_render(results, la, ptz: PointZoomBBConverter,
     else:
         at_step = 0
 
-    return _lav2_impl(
-        jnp.asarray(ox), jnp.asarray(oy),
+    if chunk_steps is None:
+        # keep a single dispatch to a few seconds: per-body-step cost
+        # scales with pixel count (gather-bound)
+        if jax.default_backend() == "tpu":
+            chunk_steps = max(64, (1 << 23) // max(1, width * height))
+        else:
+            chunk_steps = 0
+    max_ref = results.max_ref_iteration()
+    cache = getattr(la, "_packed_cache", None)
+    if cache is None:
+        cache = la._packed_cache = {}
+    key = np.dtype(sub_dtype).name
+    if key not in cache:
+        cache[key] = (_pack_nodes(arrs, sub_dtype),
+                      _pack_orbit(np.asarray(ox), np.asarray(oy),
+                                  int(max_ref)))
+    packed_np, orbit_np = cache[key]
+    args = (
+        jnp.asarray(orbit_np),
         dc.re, dc.im, dc.e,
-        jnp.asarray(arrs["ref_m"]), jnp.asarray(arrs["ref_e"]),
-        jnp.asarray(arrs["zc_m"]), jnp.asarray(arrs["zc_e"]),
-        jnp.asarray(arrs["cc_m"]), jnp.asarray(arrs["cc_e"]),
-        jnp.asarray(arrs["thr_m"]), jnp.asarray(arrs["thr_e"]),
+        jnp.asarray(packed_np),
         jnp.asarray(arrs["thrc_m"]), jnp.asarray(arrs["thrc_e"]),
-        jnp.asarray(arrs["step_length"].astype(
-            np.int64 if max_iter >= (1 << 31) else np.int32)),
-        jnp.asarray(arrs["next_stage_la_index"]),
         jnp.asarray(arrs["stage_la_index"]),
         jnp.asarray(arrs["stage_macro_it_count"]),
         at_args,
-        jnp.int32(results.max_ref_iteration()),
-        int(max_iter), bool(la_only), int(arrs["stage_count"]),
-        at_step=at_step)
+        jnp.int32(max_ref))
+    kw = dict(max_iter=int(max_iter), la_only=bool(la_only),
+              stage_count=int(arrs["stage_count"]), at_step=at_step,
+              chunk_steps=int(chunk_steps))
+    state, all_done = _lav2_impl(*args, **kw)
+    while not bool(all_done):
+        if abort_monitor is not None and abort_monitor.aborted:
+            break
+        state, all_done = _lav2_impl(*args, **kw, resume_state=state)
+    iters = state[6]
+    return iters.astype(jnp.uint64 if max_iter >= (1 << 31)
+                        else jnp.uint32)

@@ -173,3 +173,16 @@ def test_native_la_builder_bit_exact():
         assert la_n.at.step_length == la_p.at.step_length
         assert la_n.at.zcoeff.m == la_p.at.zcoeff.m
         assert la_n.at.zcoeff.e == la_p.at.zcoeff.e
+
+
+def test_chunked_relaunch_bit_exact(deep_view):
+    """Bounded-dispatch relaunch (the reference's chunked kernel
+    relaunch, RefOrbitCalc.cpp:2205-2233) must be invisible to the
+    result: tiny chunks == single launch."""
+    ptz, res, la = deep_view
+    one = np.asarray(la_kernel.la_perturb_render(
+        res, la, ptz, 32, 32, 3000, sub_dtype=np.float32))
+    chunked = np.asarray(la_kernel.la_perturb_render(
+        res, la, ptz, 32, 32, 3000, sub_dtype=np.float32,
+        chunk_steps=37))
+    np.testing.assert_array_equal(one, chunked)
