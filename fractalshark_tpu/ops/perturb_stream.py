@@ -212,3 +212,258 @@ def perturb_render_stream(results, ptz: PointZoomBBConverter,
         return _render_impl(scal, z0, jnp.asarray(oxp), jnp.asarray(oyp),
                             dc.re, dc.im, dc.e, tile_h, height, width,
                             interpret)
+
+
+# ---------------------------------------------------------------------------
+# RC variant: on-device orbit decompression (recompute, don't stream)
+# ---------------------------------------------------------------------------
+#
+# The reference decompresses compressed orbits *inside* the render kernel
+# (``FractalSharkGpuLib/Perturb.cuh:8-120``): reconstruction is
+# recomputation of z <- z^2 + c_low from sparse anchors.  The lockstep
+# sweep makes this trivial on TPU: Z[s] is a *scalar* per step, so the
+# kernel carries the reconstruction state as double-float scalars and
+# advances it each step (6 scalar flops), consuming an anchor whenever
+# the sweep position hits the next stored index.  The full orbit is
+# never materialized anywhere — HBM holds only the anchors, which is
+# what makes period-billions views (View #27 class,
+# ``Notes/FractalShark-06-RefOrbit.tex:740-747``) fit on a chip.
+#
+# Precision: the host compressor shadows the recurrence in f64
+# (SURVEY.md A.4); the kernel recurrence runs in double-float f32
+# (~2^-48).  Within a compression span the amplification is bounded by
+# the store threshold, so the df32 drift stays below f32 consumption
+# rounding — renders match the decompressed-orbit render except for
+# occasional last-ulp iteration-count flips.
+
+ANC_POOL = 2048   # SMEM anchor pool (2 DMA blocks of 1024)
+ANC_BLK = 1024
+
+
+def _rc_kernel(scal_ref, cval_ref, aih_ref, axh_ref, axl_ref, ayh_ref,
+               ayl_ref, dcr_ref, dci_ref, dce_ref, out_ref,
+               sm_i, sm_xh, sm_xl, sm_yh, sm_yl, sems, *, tile_h):
+    from fractalshark_tpu.ops import dblflt as dfm
+    DF = dfm.DF
+
+    shape = (tile_h, LANE)
+    max_iter = scal_ref[0]
+    max_ref = scal_ref[1]
+    n_win = scal_ref[2]
+    n_blocks = scal_ref[3]
+    ccx = DF(cval_ref[0], cval_ref[1])
+    ccy = DF(cval_ref[2], cval_ref[3])
+
+    dc = HDRComplex(dcr_ref[:], dci_ref[:], dce_ref[:])
+    two56 = HDR(jnp.full(shape, 1.0, jnp.float32),
+                jnp.full(shape, 8, jnp.int32))
+    minbig = jnp.full(shape, hdr.MIN_BIG_EXPONENT, jnp.int32)
+
+    def refill(blocks_loaded):
+        """DMA anchor block `blocks_loaded` into pool slot (b & 1)."""
+        slot = (blocks_loaded & 1) * ANC_BLK
+        base = blocks_loaded * ANC_BLK
+        copies = [
+            pltpu.make_async_copy(hbm.at[pl.ds(base, ANC_BLK)],
+                                  sm.at[pl.ds(slot, ANC_BLK)],
+                                  sems.at[k])
+            for k, (hbm, sm) in enumerate((
+                (aih_ref, sm_i), (axh_ref, sm_xh), (axl_ref, sm_xl),
+                (ayh_ref, sm_yh), (ayl_ref, sm_yl)))]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+    def win_body(w, carry):
+        (dzr, dzi, dze, it, done, active,
+         zxh, zxl, zyh, zyl, a_ptr, blocks_loaded) = carry
+
+        # keep >= ANC_BLK anchors of headroom (a window consumes at
+        # most one per step)
+        need = (blocks_loaded * ANC_BLK - a_ptr < ANC_BLK) & \
+            (blocks_loaded < n_blocks)
+
+        @pl.when(need)
+        def _():
+            refill(blocks_loaded)
+        blocks_loaded = jnp.where(need, blocks_loaded + 1, blocks_loaded)
+
+        base = w * WIN
+
+        def step(s_local, c):
+            (dzr, dzi, dze, it, done, active,
+             zxh, zxl, zyh, zyl, a_ptr) = c
+            s = base + s_local
+            live = (active > 0) & (it < max_iter) & (s < max_ref)
+
+            # ---- reconstruct Z[s+1]: anchor hit or df32 recurrence ----
+            am = a_ptr & (ANC_POOL - 1)
+            hit = sm_i[am] == (s + 1)
+            zx = DF(zxh, zxl)
+            zy = DF(zyh, zyl)
+            # z' = (x^2 - y^2 + cx, 2xy + cy)
+            rx = dfm.df_add(dfm.df_sub(dfm.df_sqr(zx), dfm.df_sqr(zy)),
+                            ccx)
+            ry = dfm.df_add(dfm.df_mul_pow2(dfm.df_mul(zx, zy), 2.0), ccy)
+            nzxh = jnp.where(hit, sm_xh[am], rx.hi)
+            nzxl = jnp.where(hit, sm_xl[am], rx.lo)
+            nzyh = jnp.where(hit, sm_yh[am], ry.hi)
+            nzyl = jnp.where(hit, sm_yl[am], ry.lo)
+            a_ptr = a_ptr + hit.astype(jnp.int32)
+
+            # ---- perturbation step (identical to the plain kernel) ----
+            dz = HDRComplex(dzr, dzi, dze)
+            zj = HDRComplex(jnp.full(shape, zxh, jnp.float32),
+                            jnp.full(shape, zyh, jnp.float32),
+                            jnp.zeros(shape, jnp.int32))
+            t = hdr.complex_add(hdr.complex_mul_pow2(zj, 1), dz)
+            ndz = hdr.reduce_complex(
+                hdr.complex_add(hdr.complex_mul(t, dz), dc))
+            zf = hdr.reduce_complex(hdr.complex_add(
+                HDRComplex(jnp.full(shape, nzxh, jnp.float32),
+                           jnp.full(shape, nzyh, jnp.float32),
+                           jnp.zeros(shape, jnp.int32)), ndz))
+            nsq = hdr.reduce(hdr.norm_squared(zf))
+            dsq = hdr.reduce(hdr.norm_squared(ndz))
+            esc = hdr.gt_reduced(nsq, two56)
+            reb = hdr.lt_reduced(nsq, dsq) | (s + 1 >= max_ref)
+            esc_px = live & esc
+            upd = live & ~esc
+            reb_px = upd & reb
+            dzr = jnp.where(upd, jnp.where(reb, zf.re, ndz.re), dzr)
+            dzi = jnp.where(upd, jnp.where(reb, zf.im, ndz.im), dzi)
+            dze = jnp.where(upd, jnp.where(reb, zf.e, ndz.e), dze)
+            it = it + upd.astype(jnp.int32)
+            done = jnp.maximum(
+                done, (esc_px | (it >= max_iter)).astype(jnp.int32))
+            active = jnp.where(esc_px | reb_px | (it >= max_iter),
+                               0, active)
+            return (dzr, dzi, dze, it, done, active,
+                    nzxh, nzxl, nzyh, nzyl, a_ptr)
+
+        c = (dzr, dzi, dze, it, done, active, zxh, zxl, zyh, zyl, a_ptr)
+        c = jax.lax.fori_loop(jnp.int32(0), jnp.int32(WIN), step, c)
+        return c + (blocks_loaded,)
+
+    def sweep_cond(carry):
+        return jnp.min(carry[4]) < 1
+
+    def sweep(carry):
+        dzr, dzi, dze, it, done = carry[:5]
+        active = 1 - done
+
+        def wcond(c2):
+            w = c2[0]
+            return jnp.logical_and(w < n_win, jnp.max(c2[1][5]) > 0)
+
+        def wbody(c2):
+            w, c = c2
+            return w + 1, win_body(w, c)
+
+        # sweep restart: reconstruction state = anchor 0 (Z[0] is always
+        # stored), anchor pointer 1, pool reloaded lazily from block 0
+        refill(jnp.int32(0))
+        init = (dzr, dzi, dze, it, done, active,
+                sm_xh[0], sm_xl[0], sm_yh[0], sm_yl[0],
+                jnp.int32(1), jnp.int32(1))
+        _, c = jax.lax.while_loop(wcond, wbody, (jnp.int32(0), init))
+        return c[:10]
+
+    init = (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
+            minbig, jnp.zeros(shape, jnp.int32),
+            jnp.zeros(shape, jnp.int32), jnp.zeros(shape, jnp.int32),
+            jnp.float32(0), jnp.float32(0), jnp.float32(0), jnp.float32(0))
+    out = jax.lax.while_loop(sweep_cond, sweep, init)
+    out_ref[:] = out[3].astype(jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "height", "width",
+                                             "interpret"))
+def _rc_render_impl(scal, cvals, ai, axh, axl, ayh, ayl, dcr, dci, dce,
+                    tile_h, height, width, interpret):
+    grid = (pl.cdiv(height, tile_h), pl.cdiv(width, LANE))
+    kernel = functools.partial(_rc_kernel, tile_h=tile_h)
+    ph = grid[0] * tile_h
+    pw = grid[1] * LANE
+
+    def pad(a, fill=0):
+        return jnp.pad(a, ((0, ph - height), (0, pw - width)),
+                       constant_values=fill)
+
+    tile_spec = pl.BlockSpec((tile_h, LANE), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            tile_spec, tile_spec, tile_spec,
+        ],
+        out_specs=tile_spec,
+        out_shape=jax.ShapeDtypeStruct((ph, pw), jnp.uint32),
+        scratch_shapes=[
+            pltpu.SMEM((ANC_POOL,), jnp.int32),
+            pltpu.SMEM((ANC_POOL,), jnp.float32),
+            pltpu.SMEM((ANC_POOL,), jnp.float32),
+            pltpu.SMEM((ANC_POOL,), jnp.float32),
+            pltpu.SMEM((ANC_POOL,), jnp.float32),
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+        interpret=interpret,
+    )(scal, cvals, ai, axh, axl, ayh, ayl, pad(dcr), pad(dci),
+      pad(dce, fill=int(hdr.MIN_BIG_EXPONENT)))
+    return out[:height, :width]
+
+
+def perturb_render_stream_rc(compressed, center_x, center_y,
+                             ptz: PointZoomBBConverter,
+                             width: int, height: int, max_iter: int,
+                             tile_h: int = 64, interpret: bool = False):
+    """Perturbation render directly from a CompressedOrbit: the kernel
+    reconstructs reference-orbit values on device from anchors + the
+    low-precision recurrence; the uncompressed orbit never exists.
+
+    ``center_x/center_y`` are the orbit's high-precision center (for
+    the pixel delta grid)."""
+    if max_iter >= (1 << 31):
+        return None
+    M = len(compressed.anchors_x)
+    if M == 0:
+        return None
+    mpad = -(-M // ANC_BLK) * ANC_BLK
+    ai = np.full(mpad, np.int32(0x7FFFFFFF), np.int32)
+    ai[:M] = compressed.anchor_index.astype(np.int32)
+    xh = np.zeros(mpad, np.float32)
+    xl = np.zeros(mpad, np.float32)
+    yh = np.zeros(mpad, np.float32)
+    yl = np.zeros(mpad, np.float32)
+    xh[:M] = compressed.anchors_x.astype(np.float32)
+    xl[:M] = (compressed.anchors_x - xh[:M]).astype(np.float32)
+    yh[:M] = compressed.anchors_y.astype(np.float32)
+    yl[:M] = (compressed.anchors_y - yh[:M]).astype(np.float32)
+
+    max_ref = compressed.total_count - 1
+    n_win = -(-max_ref // WIN)
+    cx = np.float32(compressed.cx_low)
+    cy = np.float32(compressed.cy_low)
+    cvals = jnp.asarray([cx, np.float32(compressed.cx_low - float(cx)),
+                         cy, np.float32(compressed.cy_low - float(cy))],
+                        jnp.float32)
+    dx, dy, cxo, cyo = delta_params(ptz, center_x, center_y,
+                                    width, height)
+    dc = _dc_grids_hdr(dx, dy, cxo, cyo, width, height, np.float32)
+    scal = jnp.asarray([max_iter, max_ref, n_win, mpad // ANC_BLK],
+                       jnp.int32)
+    with jax.enable_x64(False):
+        return _rc_render_impl(scal, cvals, jnp.asarray(ai),
+                               jnp.asarray(xh), jnp.asarray(xl),
+                               jnp.asarray(yh), jnp.asarray(yl),
+                               dc.re, dc.im, dc.e, tile_h, height, width,
+                               interpret)

@@ -50,3 +50,138 @@ def test_stream_multi_window(deep):
     xla = np.asarray(perturb.perturb_render_hdr(
         res, ptz, 32, 32, 1800, sub_dtype=np.float32))
     np.testing.assert_array_equal(np.asarray(out), xla)
+
+
+def _fake_results(x, y, cx, cy):
+    import types
+
+    import numpy as np
+
+    def device_orbit(dtype=np.float64):
+        xx = x.astype(dtype)
+        yy = y.astype(dtype)
+        return (np.concatenate([xx, xx[-1:]]),
+                np.concatenate([yy, yy[-1:]]))
+
+    return types.SimpleNamespace(
+        count_orbit_entries=lambda: len(x),
+        max_ref_iteration=lambda: len(x) - 1,
+        device_orbit=device_orbit, center_x=cx, center_y=cy)
+
+
+def _df32_reconstruct(comp):
+    """Host mirror of the kernel's double-float reconstruction (exact
+    same IEEE f32 operation sequence); returns the f32 orbit the kernel
+    sees."""
+    f = np.float32
+    split_c = f(4097.0)  # 2^12 + 1 (Dekker splitter for f32)
+
+    def two_sum(a, b):
+        s = f(a + b)
+        bb = f(s - a)
+        e = f(f(a - f(s - bb)) + f(b - bb))
+        return s, e
+
+    def quick_two_sum(a, b):
+        s = f(a + b)
+        return s, f(b - f(s - a))
+
+    def split(a):
+        c = f(split_c * a)
+        hi = f(c - f(c - a))
+        return hi, f(a - hi)
+
+    def two_prod(a, b):
+        p = f(a * b)
+        ah, al = split(a)
+        bh, bl = split(b)
+        e = f(f(f(f(ah * bh) - p) + f(ah * bl) + f(al * bh)) + f(al * bl))
+        return p, e
+
+    def df_add(a, b):
+        s1, s2 = two_sum(a[0], b[0])
+        t1, t2 = two_sum(a[1], b[1])
+        s2 = f(s2 + t1)
+        s1, s2 = quick_two_sum(s1, s2)
+        s2 = f(s2 + t2)
+        return quick_two_sum(s1, s2)
+
+    def df_sub(a, b):
+        return df_add(a, (f(-b[0]), f(-b[1])))
+
+    def df_mul(a, b):
+        p1, p2 = two_prod(a[0], b[0])
+        p2 = f(f(p2 + f(a[0] * b[1])) + f(a[1] * b[0]))
+        return quick_two_sum(p1, p2)
+
+    def df_sqr(a):
+        p1, p2 = two_prod(a[0], a[0])
+        p2 = f(p2 + f(f(f(2.0) * a[0]) * a[1]))
+        return quick_two_sum(p1, p2)
+
+    cx = (f(comp.cx_low), f(comp.cx_low - float(f(comp.cx_low))))
+    cy = (f(comp.cy_low), f(comp.cy_low - float(f(comp.cy_low))))
+    n = comp.total_count
+    ox = np.empty(n, np.float32)
+    oy = np.empty(n, np.float32)
+    ai = comp.anchor_index
+    a = 0
+    zx = zy = (f(0), f(0))
+    for i in range(n):
+        if a < len(ai) and ai[a] == i:
+            xh = f(comp.anchors_x[a])
+            yh = f(comp.anchors_y[a])
+            zx = (xh, f(comp.anchors_x[a] - float(xh)))
+            zy = (yh, f(comp.anchors_y[a] - float(yh)))
+            a += 1
+        else:
+            x2 = df_sqr(zx)
+            y2 = df_sqr(zy)
+            xy = df_mul(zx, zy)
+            nzx = df_add(df_sub(x2, y2), cx)
+            nzy = df_add((f(xy[0] * 2), f(xy[1] * 2)), cy)
+            zx, zy = nzx, nzy
+        ox[i] = zx[0]
+        oy[i] = zy[0]
+    return ox, oy
+
+
+def test_rc_kernel_matches_df32_mirror(deep):
+    """On-device decompression (anchors + in-kernel df32 recurrence,
+    Perturb.cuh:8-120 analogue): bit-exact against a host mirror of the
+    same reconstruction arithmetic, even at a coarse threshold where
+    long spans amplify rounding."""
+    from fractalshark_tpu.engine.perturbation_results import \
+        CompressedOrbit
+    from fractalshark_tpu.ops.perturb_stream import \
+        perturb_render_stream_rc
+
+    ptz, res = deep
+    comp = CompressedOrbit.from_uncompressed(res, error_exp=8)
+    assert comp.compression_ratio() > 1.5, "want real compression"
+    rc = perturb_render_stream_rc(comp, res.center_x, res.center_y,
+                                  ptz, 48, 48, 1800, tile_h=16,
+                                  interpret=True)
+    mx, my = _df32_reconstruct(comp)
+    fake = _fake_results(mx, my, res.center_x, res.center_y)
+    plain = perturb_render_stream(fake, ptz, 48, 48, 1800, tile_h=16,
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(rc), np.asarray(plain))
+
+
+def test_rc_kernel_default_threshold_exact(deep):
+    """At the reference default error exponent (20) reconstruction is
+    f32-exact, so the RC render equals the uncompressed render."""
+    from fractalshark_tpu.engine.perturbation_results import \
+        CompressedOrbit
+    from fractalshark_tpu.ops.perturb_stream import \
+        perturb_render_stream_rc
+
+    ptz, res = deep
+    comp = CompressedOrbit.from_uncompressed(res, error_exp=20)
+    rc = perturb_render_stream_rc(comp, res.center_x, res.center_y,
+                                  ptz, 48, 48, 1800, tile_h=16,
+                                  interpret=True)
+    plain = perturb_render_stream(res, ptz, 48, 48, 1800, tile_h=16,
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(rc), np.asarray(plain))
