@@ -100,6 +100,29 @@ def calc_perturbed(fractal, alg: RenderAlgorithm):
 
     if alg.dtype in ("hdr32", "hdr64"):
         sub = np.float64 if alg.dtype == "hdr64" else np.float32
+        if (alg.runtime_decompression and fractal.backend == "tpu"
+                and sub == np.float32):
+            # RC: render straight from the compressed orbit — the
+            # kernel reconstructs reference values on device
+            # (Perturb.cuh:8-120 analogue); the full orbit is never
+            # uploaded
+            from fractalshark_tpu.engine.perturbation_results import \
+                CompressedOrbit
+            from fractalshark_tpu.ops.perturb_stream import \
+                perturb_render_stream_rc
+            comp = results.extra.get("compressed_orbit")
+            if comp is None:
+                comp = CompressedOrbit.from_uncompressed(
+                    results, error_exp=fractal.compression_error_exp)
+                results.extra["compressed_orbit"] = comp
+            fractal.benchmark.extra["compression_ratio"] = round(
+                comp.compression_ratio(), 2)
+            out = perturb_render_stream_rc(
+                comp, results.center_x, results.center_y, fractal.ptz,
+                w, h, fractal.num_iterations)
+            if out is not None:
+                fractal.benchmark.extra["kernel"] = "pallas-stream-rc"
+                return out
         if fractal.backend == "tpu" and sub == np.float32:
             # VMEM-resident Pallas kernel (~40× the XLA gather path);
             # returns None when the orbit exceeds its VMEM budget
