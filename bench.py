@@ -221,7 +221,9 @@ def _ntt(extra):
     # Notes/FractalShark-07-GpuArithmetic.tex:28); CPU fallback uses a
     # small size to keep CI fast
     limbs = 16384 if jax.default_backend() == "tpu" else 256
-    steps = 32
+    # big chunk: per-dispatch tunnel overhead (~30-45 ms through axon)
+    # swamps a 32-step chunk; production orbit runs use large chunks
+    steps = 256 if jax.default_backend() == "tpu" else 32
     spec = FP.FixedSpec.for_limbs(limbs)
     prec = spec.frac_bits - 20
     cx = HighPrecision("-0.743643887037158704752191506114774", prec=prec)

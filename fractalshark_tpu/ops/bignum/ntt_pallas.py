@@ -432,3 +432,114 @@ def ntt_nr_iter_products(vx, vy, vdx, vdy, signs, nfft: int,
     out = _ntt_products(x, signs, n=nfft, n_values=4, pair_plan=plan,
                         interpret=interpret)
     return out.reshape(8, nfft)
+
+
+# ---------------------------------------------------------------------------
+# Per-phase sublane transforms (for four-step sizes beyond MAX_NFFT)
+# ---------------------------------------------------------------------------
+#
+# At nfft 65536 the whole-multiply kernel above exceeds VMEM, and the
+# XLA four-step pays ~35 small stage passes per multiply (measured
+# overhead/HBM-bound: per-iter time grows only 1.3x for 4x the data).
+# Middle ground: ONE Pallas kernel per four-step *phase* — all
+# log2(n1) butterfly stages over the sublane axis of [R, n1, n2] run
+# VMEM-resident in a single pass, lanes untouched (no lane rolls, no
+# transpose in-kernel; the inter-phase transpose and T1 twiddle stay
+# in XLA).  Working set ~[R, n1, n2] u32 + twiddle planes: ~3 MB at
+# n = 65536 — far under the 16 MB VMEM budget.
+
+
+def _phase_offsets(m: int, inverse: bool):
+    """Per-stage packing offsets into the twiddle planes, every slot
+    8-SUBLANE-ALIGNED (unaligned sublane slices force Mosaic
+    relayouts — measured 3.4x on the DIT kernels whose natural offsets
+    are 2^s - 1)."""
+    stages = m.bit_length() - 1
+    offs = []
+    off = 0
+    for s in range(stages):
+        hm = (1 << s) if inverse else (m >> (s + 1))
+        offs.append(off)
+        off += max(8, hm)
+    return offs, off
+
+
+@functools.lru_cache(maxsize=32)
+def _phase_tables(m: int, rows: int, inverse: bool, lanes: int):
+    """(w, wp) planes [rows, H, lanes] with stage-s twiddles at
+    8-aligned packing offsets and values REPLICATED across lanes — the
+    butterfly needs the twiddle on the sublane axis, and a
+    lane->sublane reshape is a relayout Mosaic rejects.  Values are
+    ntt._stage_tw_shoup's plain-domain Shoup pairs."""
+    from fractalshark_tpu.ops.bignum.ntt import _stage_tw_shoup
+    tws = _stage_tw_shoup(m, rows, inverse)
+    offs, H = _phase_offsets(m, inverse)
+    H = -(-H // 8) * 8
+    w = np.zeros((rows, H, 1), np.uint32)
+    wp = np.zeros((rows, H, 1), np.uint32)
+    stages = m.bit_length() - 1
+    for s in range(stages):
+        hm = (1 << s) if inverse else (m >> (s + 1))
+        off = offs[s]
+        w[:, off:off + hm, 0] = tws[s][0]
+        wp[:, off:off + hm, 0] = tws[s][1]
+    return (np.broadcast_to(w, (rows, H, lanes)).copy(),
+            np.broadcast_to(wp, (rows, H, lanes)).copy())
+
+
+def _phase_kernel(inverse: bool, m: int):
+    stages = m.bit_length() - 1
+    offs, _ = _phase_offsets(m, inverse)
+
+    def kernel(y_ref, w_ref, wp_ref, p_ref, o_ref):
+        R = y_ref.shape[0]
+        L = y_ref.shape[2]
+        y = y_ref[...]
+        p = p_ref[...]                       # [R, 1, 1]
+        pc = p.reshape(R, 1, 1, 1)
+        for s in range(stages):
+            off = offs[s]
+            if inverse:
+                hm = 1 << s
+                yv = y.reshape(R, m >> (s + 1), 2, hm, L)
+            else:
+                hm = m >> (s + 1)
+                yv = y.reshape(R, 1 << s, 2, hm, L)
+            w = w_ref[:, off:off + hm, :][:, None]    # [R, 1, hm, L]
+            wp = wp_ref[:, off:off + hm, :][:, None]
+            a = yv[:, :, 0]
+            b = yv[:, :, 1]
+            if inverse:
+                u = _smul(b, w, wp, pc)
+                t0 = _madd(a, u, pc)
+                t1 = _msub(a, u, pc)
+                y = jnp.stack([t0, t1], axis=2).reshape(R, m, L)
+            else:
+                t = _madd(a, b, pc)
+                u = _smul(_msub(a, b, pc), w, wp, pc)
+                y = jnp.stack([t, u], axis=2).reshape(R, m, L)
+        o_ref[...] = y
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("m", "inverse", "interpret"))
+def sublane_transform(y, *, m: int, inverse: bool,
+                      interpret: bool = False):
+    """All radix-2 stages over axis 1 of [R, m, L] as one Pallas
+    kernel; bit-identical to ntt._axis0_dif / _axis0_dit."""
+    rows, m_, L = y.shape
+    assert m_ == m
+    w, wp = _phase_tables(m, rows, inverse, L)
+    from fractalshark_tpu.ops.bignum.ntt import P1, P2
+    p = np.asarray([(P1, P2)[r % 2] for r in range(rows)],
+                   np.uint32).reshape(rows, 1, 1)
+    kern = _phase_kernel(inverse, m)
+    # NOTE: no enable_x64 toggle here — this is called mid-trace from
+    # x64 outer jits (orbit_chunk's scan); the kernel body is pure u32
+    # so nothing traces as i64.
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((rows, m, L), jnp.uint32),
+        interpret=interpret,
+    )(y, jnp.asarray(w), jnp.asarray(wp), jnp.asarray(p))
