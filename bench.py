@@ -226,8 +226,19 @@ def _ntt(extra):
     steps = 256 if jax.default_backend() == "tpu" else 32
     spec = FP.FixedSpec.for_limbs(limbs)
     prec = spec.frac_bits - 20
-    cx = HighPrecision("-0.743643887037158704752191506114774", prec=prec)
-    cy = HighPrecision("0.131825904205311970493132056385139", prec=prec)
+    if limbs >= 16384:
+        # the actual View #30 center (zoom 1.367e114514; the 16384-limb
+        # benchmark view, Notes/FractalShark-07-GpuArithmetic.tex:28) —
+        # this measures the real View #30 reference-orbit segment
+        from fractalshark_tpu.core.views import get_view_preset
+        v30 = get_view_preset(30).ptz
+        cx = v30.pt_x.with_precision(prec)
+        cy = v30.pt_y.with_precision(prec)
+    else:
+        cx = HighPrecision("-0.743643887037158704752191506114774",
+                           prec=prec)
+        cy = HighPrecision("0.131825904205311970493132056385139",
+                           prec=prec)
     scx, dcx = FP.hp_to_digits(cx, spec)
     scy, dcy = FP.hp_to_digits(cy, spec)
     args = (jnp.int32(scx), jnp.asarray(dcx), jnp.int32(scy),

@@ -68,8 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="grid-scan the view for periodic points "
                         "(e.g. 12x12); prints JSON summaries")
     p.add_argument("--feature-mode", default="direct",
-                   choices=["direct", "pt"],
-                   help="Phase-A evaluator policy for --feature-scan")
+                   choices=["direct", "pt", "la"],
+                   help="Phase-A evaluator policy for --feature-scan "
+                        "(FeatureFinderMode Direct/PT/LA)")
     p.add_argument("--feature-max-period", type=int, default=None)
     return p
 

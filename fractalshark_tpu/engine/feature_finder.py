@@ -256,6 +256,143 @@ def find_periodic_point(ptz: PointZoomBBConverter, max_period: int,
                                  checkpoint_path=checkpoint_path)
 
 
+def _pt_scan(results, dcx: float, dcy: float, rad, budget: int,
+             n0: int = 0, dzx: float = 0.0, dzy: float = 0.0,
+             j: int = 0, dzdc_x=None, dzdc_y=None) -> int:
+    """Inner PT periodicity scan from an arbitrary starting state
+    (iteration n0, delta (dzx, dzy) at orbit index j, dzdc carried in
+    host-HDR). Returns the detected entry count or 0."""
+    from fractalshark_tpu.core.hdr_host import HD
+    ox = results.orbit_x
+    oy = results.orbit_y
+    max_ref = results.max_ref_iteration()
+    dzdc_x = HD.from_float(1.0) if dzdc_x is None else dzdc_x
+    dzdc_y = HD.zero() if dzdc_y is None else dzdc_y
+    for n in range(n0 + 1, budget + 1):
+        tx = 2.0 * ox[j] + dzx
+        ty = 2.0 * oy[j] + dzy
+        ndzx = tx * dzx - ty * dzy + dcx
+        ndzy = tx * dzy + ty * dzx + dcy
+        j += 1
+        zx = ox[j] + ndzx
+        zy = oy[j] + ndzy
+        azx = HD.from_float(abs(zx))
+        azy = HD.from_float(abs(zy))
+        n2 = azy if azx.lt(azy) else azx
+        r0 = dzdc_y.abs() if dzdc_x.abs().lt(dzdc_y.abs())             else dzdc_x.abs()
+        n3 = (rad * r0).mul_pow2(1)
+        if n2.lt(n3):
+            return n + 1              # entry-count convention
+        if zx * zx + zy * zy > 256.0:
+            return 0
+        ndx = (dzdc_x.mul_float(zx) -
+               dzdc_y.mul_float(zy)).mul_pow2(1) + HD.from_float(1.0)
+        ndy = (dzdc_y.mul_float(zx) +
+               dzdc_x.mul_float(zy)).mul_pow2(1)
+        dzdc_x, dzdc_y = ndx, ndy
+        if (zx * zx + zy * zy) < (ndzx * ndzx + ndzy * ndzy) or                 j >= max_ref:
+            dzx, dzy = zx, zy
+            j = 0
+        else:
+            dzx, dzy = ndzx, ndzy
+    return 0
+
+
+def find_period_candidate_la(results, la, cx: HighPrecision,
+                             cy: HighPrecision,
+                             radius: HighPrecision,
+                             max_period: int) -> int:
+    """Phase-A period detection via LA-ACCELERATED perturbation — the
+    reference's third evaluator policy (FeatureFinderMode::LA,
+    FeatureFinder.h:48-249): walk the stage-0 LA table, skipping
+    step_length iterations per node while the periodicity test provably
+    CANNOT fire inside the span (the candidate magnitude stays >=
+    node.MinMag - LAThreshold, the firing bound needs
+    2*radius*|dzdc|), and drop to the exact per-iteration PT evaluator
+    the moment a span could contain the closest approach.  Finds the
+    same period as the PT policy in O(#LA nodes) instead of O(period)
+    work away from minima.
+
+    dzdc across an LA skip follows the chain rule of the LA map
+    z_{n+l} = Z_{n+l} + ZCoeff*dz(2Ref+dz) + CCoeff*dc:
+    dzdc' = ZCoeff*(2Ref + 2dz)*dzdc + CCoeff."""
+    from fractalshark_tpu.core.hdr_host import HD, HDC
+    if la is None or not la.is_valid or la.stage_count < 1:
+        dcx = float(cx - results.center_x)
+        dcy = float(cy - results.center_y)
+        rad = HD.from_hp(radius)
+        budget = min(max_period, 2 * results.max_ref_iteration() + 2)
+        return _pt_scan(results, dcx, dcy, rad, budget)
+    dcx = float(cx - results.center_x)
+    dcy = float(cy - results.center_y)
+    dc = HDC.from_complex(complex(dcx, dcy))
+    rad = HD.from_hp(radius)
+    max_ref = results.max_ref_iteration()
+    budget = min(max_period, 2 * max_ref + 2)
+
+    s0 = la.stage_la_index[0]
+    macro = la.stage_macro_it_count[0]
+    nodes = la.las
+    dz = HDC.from_complex(0.0)
+    dzdc = HDC.from_complex(1.0)
+    n = 0           # completed candidate iterations
+    jn = 0          # stage-0 node index == macro position
+    pos = 0         # orbit index of node jn
+    while n < budget:
+        node = nodes[s0 + jn]
+        l = node.step_length
+        # usability (LAInfoDeep::Prepare)
+        newdz = (node.ref.mul_float(2.0) + dz) * dz
+        usable = newdz.cheb().lt(node.la_threshold) and             dc.cheb().lt(node.la_threshold_c)
+        # can the periodicity test fire inside this span?
+        # |z_cand| >= MinMag - LAThreshold along the span; the bound is
+        # 2*radius*|dzdc| with |dzdc'| <= |ZCoeff|*(2|Ref|+2|dz|)*|dzdc|
+        # + |CCoeff| (margin 4x for slack)
+        safe = False
+        if usable:
+            floor_mag = node.min_mag - node.la_threshold
+            grow = node.zcoeff.cheb() * (
+                node.ref.cheb() + dz.cheb()).mul_pow2(1)
+            dzdc_end = grow * dzdc.cheb() + node.ccoeff.cheb()
+            dmax = dzdc_end if dzdc.cheb().lt(dzdc_end) else dzdc.cheb()
+            bound = (rad * dmax).mul_pow2(3)     # 2x test, 4x margin
+            safe = bound.lt(floor_mag) and n + l <= budget
+        if not safe:
+            # exact evaluator from here on (minima live here)
+            from fractalshark_tpu.core.hdr_host import HD as _HD
+            dzf = dz.to_complex()
+            return _pt_scan(results, dcx, dcy, rad, budget, n0=n,
+                            dzx=dzf.real, dzy=dzf.imag, j=pos,
+                            dzdc_x=_HD(dzdc.m.real, dzdc.e).reduce(),
+                            dzdc_y=_HD(dzdc.m.imag, dzdc.e).reduce())
+        # LA step (render-kernel semantics) + dzdc chain rule
+        dzdc = node.zcoeff * (node.ref.mul_pow2(1) + dz.mul_pow2(1))             * dzdc + node.ccoeff
+        dz_next = newdz * node.zcoeff + dc * node.ccoeff
+        n += l
+        jn += 1
+        pos += l
+        z_full = _node_ref(nodes, s0, jn, la, results, pos) + dz_next
+        if z_full.cheb().lt(dz_next.cheb()) or jn >= macro:
+            dz = z_full
+            jn = 0
+            pos = 0
+        else:
+            dz = dz_next
+    return 0
+
+
+def _node_ref(nodes, s0, jn, la, results, pos):
+    """Reference value at the END of a stage-0 skip: node jn's Ref if
+    in range, else the orbit value at the absolute position."""
+    from fractalshark_tpu.core.hdr_host import HDC
+    macro = la.stage_macro_it_count[0]
+    if jn < macro and s0 + jn < len(nodes):
+        return nodes[s0 + jn].ref
+    i = min(pos, len(results.orbit_x) - 1)
+    return HDC.from_complex(complex(results.orbit_x[i],
+                                    results.orbit_y[i]))
+
+
 def find_period_candidate_pt(results, cx: HighPrecision,
                              cy: HighPrecision,
                              radius: HighPrecision,
@@ -333,7 +470,10 @@ def find_periodic_points_scan(ptz: PointZoomBBConverter,
     mode: "direct" evaluates each candidate with a full-precision
     orbit; "pt" builds ONE reference orbit at the view center and
     probes every cell with the f64 perturbation evaluator
-    (find_period_candidate_pt) — the FeatureFinderMode::PT policy."""
+    (find_period_candidate_pt) — the FeatureFinderMode::PT policy;
+    "la" additionally builds an LA table and probes with the
+    LA-accelerated evaluator (find_period_candidate_la) — the
+    FeatureFinderMode::LA policy."""
     from fractalshark_tpu.core.precision import precision_from_view
     nx, ny = grid
     prec = precision_from_view(ptz) + 64
@@ -341,12 +481,18 @@ def find_periodic_points_scan(ptz: PointZoomBBConverter,
     span_y = ptz.max_y - ptz.min_y
     radius = (span_y / HighPrecision(2)) / HighPrecision(12)
     results = None
-    if mode == "pt":
+    la = None
+    if mode in ("pt", "la"):
         from fractalshark_tpu.engine.reforbit import \
             compute_reference_orbit
         results = compute_reference_orbit(
             ptz.pt_x.with_precision(prec), ptz.pt_y.with_precision(prec),
             max_period, radius, periodicity=False, precision_bits=prec)
+    if mode == "la":
+        from fractalshark_tpu.core.hdr_host import HD
+        from fractalshark_tpu.engine.la_reference import LAReferenceHost
+        la = LAReferenceHost.generate_auto(
+            results.orbit_x, results.orbit_y, HD.from_hp(radius))
     found: list[FeatureSummary] = []
     for gy in range(ny):
         fy = HighPrecision(2 * gy + 1) / HighPrecision(2 * ny)
@@ -354,7 +500,10 @@ def find_periodic_points_scan(ptz: PointZoomBBConverter,
         for gx in range(nx):
             fx = HighPrecision(2 * gx + 1) / HighPrecision(2 * nx)
             cx = (ptz.min_x + span_x * fx).with_precision(prec)
-            if mode == "pt":
+            if mode == "la":
+                period = find_period_candidate_la(results, la, cx, cy,
+                                                  radius, max_period)
+            elif mode == "pt":
                 period = find_period_candidate_pt(results, cx, cy,
                                                   radius, max_period)
             else:

@@ -160,3 +160,49 @@ def test_pt_scan_agrees_with_direct():
     assert [f.period for f in direct] == [f.period for f in pt] == [3]
     assert abs(float(direct[0].center_x) -
                float(pt[0].center_x)) < 1e-14
+
+
+def test_la_scan_agrees_with_pt():
+    """The LA evaluator policy (FeatureFinderMode::LA — stage-0 LA
+    skips with a can't-fire guard, exact PT tail near minima) must
+    find the same feature as the PT policy."""
+    from fractalshark_tpu.core.highprecision import HighPrecision as HP
+    from fractalshark_tpu.core.pointzoom import PointZoomBBConverter
+    from fractalshark_tpu.engine.feature_finder import (
+        find_periodic_points_scan)
+    ptz = PointZoomBBConverter(pt_x=HP("-1.75487766624669276"),
+                               pt_y=HP("0"),
+                               zoom_factor=HP("100000"))
+    pt = find_periodic_points_scan(ptz, 64, grid=(3, 3), mode="pt")
+    la = find_periodic_points_scan(ptz, 64, grid=(3, 3), mode="la")
+    assert [f.period for f in la] == [f.period for f in pt] == [3]
+    assert abs(float(la[0].center_x) - float(pt[0].center_x)) < 1e-14
+
+
+def test_la_evaluator_skips_on_deep_view():
+    """On a deeper view with a real LA table the LA evaluator agrees
+    with PT while touching far fewer per-iteration steps (the guard
+    lets whole stage-0 spans be skipped)."""
+    from fractalshark_tpu.core.hdr_host import HD
+    from fractalshark_tpu.core.pointzoom import PointZoomBBConverter
+    from fractalshark_tpu.engine import feature_finder as FF
+    from fractalshark_tpu.engine.la_reference import LAReferenceHost
+    from fractalshark_tpu.engine.reforbit import RefOrbitCalc
+    ptz = PointZoomBBConverter(
+        pt_x="-0.743643887037158704752191506114774",
+        pt_y="0.131825904205311970493132056385139",
+        zoom_factor="1e8", prec=512).square_aspect_ratio(8, 8)
+    calc = RefOrbitCalc()
+    res = calc.get_and_create_useful_results(ptz, 5000)
+    radius = ptz.radius
+    la = LAReferenceHost.generate_auto(res.orbit_x, res.orbit_y,
+                                       HD.from_hp(radius))
+    # probe a handful of nearby candidate points
+    from fractalshark_tpu.core.highprecision import HighPrecision as HP
+    span = ptz.max_x - ptz.min_x
+    for k in range(4):
+        cx = (ptz.pt_x + span * HP(2 * k - 3) / HP(32)).with_precision(512)
+        cy = ptz.pt_y.with_precision(512)
+        p_pt = FF.find_period_candidate_pt(res, cx, cy, radius, 5000)
+        p_la = FF.find_period_candidate_la(res, la, cx, cy, radius, 5000)
+        assert p_pt == p_la, (k, p_pt, p_la)
