@@ -77,9 +77,9 @@ def _iter_dtype(max_iter: int):
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "dtype", "iter_dtype"))
 def _escape_jax_impl(min_x, max_y, dx, dy, max_iter, radius_sq, width,
-                     height, dtype, iter_dtype):
+                     height, dtype, iter_dtype, y0=0):
     xs = jnp.arange(width, dtype=dtype)
-    ys = jnp.arange(height, dtype=dtype)
+    ys = jnp.arange(height, dtype=dtype) + jnp.asarray(y0, dtype)
     cx = (min_x + xs * dx)[None, :] * jnp.ones((height, 1), dtype)
     cy = (max_y - ys * dy)[:, None] * jnp.ones((1, width), dtype)
 
@@ -118,11 +118,14 @@ def _escape_jax_impl(min_x, max_y, dx, dy, max_iter, radius_sq, width,
 
 
 def escape_jax(params: PlainParams, width: int, height: int, max_iter: int,
-               dtype=jnp.float64, escape_radius_sq: float = 4.0):
+               dtype=jnp.float64, escape_radius_sq: float = 4.0,
+               y0: int = 0):
     """Lockstep masked escape iteration over the full image.
 
     escape_radius_sq: 4 for plain renders (Fractal.cpp:2168); pass 256
-    to mirror the perturbation renderers' escape test for comparisons."""
+    to mirror the perturbation renderers' escape test for comparisons.
+    y0: row offset for tile-band renders — cy is computed as
+    max_y - (y0+y)*dy so bands are bit-identical to the whole image."""
     iter_dtype = _iter_dtype(max_iter)
     dtype = jnp.dtype(dtype)
     return _escape_jax_impl(
@@ -130,7 +133,7 @@ def escape_jax(params: PlainParams, width: int, height: int, max_iter: int,
         jnp.asarray(params.dx, dtype), jnp.asarray(params.dy, dtype),
         jnp.asarray(max_iter, iter_dtype),
         jnp.asarray(escape_radius_sq, dtype),
-        width, height, dtype, iter_dtype)
+        width, height, dtype, iter_dtype, y0=y0)
 
 
 # --------------------------------------------------------------------------
