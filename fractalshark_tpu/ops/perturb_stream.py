@@ -49,7 +49,16 @@ WIN = 1024
 
 
 def _kernel(scal_ref, z0_ref, oxh_ref, oyh_ref, dcr_ref, dci_ref, dce_ref,
-            out_ref, winx, winy, semx, semy, *, tile_h):
+            dzr_i, dzi_i, dze_i, it_i, done_i, active_i, tst_i, tzc_i,
+            dzr_o, dzi_o, dze_o, it_o, done_o, active_o, tst_o, tzc_o,
+            winx, winy, semx, semy, *, tile_h, budget):
+    """Budget-bounded, RESUMABLE lockstep-sweep kernel: processes at
+    most `budget` windows for this tile, then suspends — per-tile sweep
+    position and the carried Z[s] scalar persist in the tstate operands
+    so the host can relaunch until every pixel resolves (the
+    reference's chunked cooperative-kernel relaunch,
+    RefOrbitCalc.cpp:2205-2233; bounded dispatches also keep the
+    device watchdog and abort latency in check)."""
     shape = (tile_h, LANE)
     max_iter = scal_ref[0]
     max_ref = scal_ref[1]
@@ -58,7 +67,6 @@ def _kernel(scal_ref, z0_ref, oxh_ref, oyh_ref, dcr_ref, dci_ref, dce_ref,
     dc = HDRComplex(dcr_ref[:], dci_ref[:], dce_ref[:])
     two56 = HDR(jnp.full(shape, 1.0, jnp.float32),
                 jnp.full(shape, 8, jnp.int32))
-    minbig = jnp.full(shape, hdr.MIN_BIG_EXPONENT, jnp.int32)
 
     def win_body(w, carry):
         dzr, dzi, dze, it, done, active, zcx, zcy = carry
@@ -112,62 +120,84 @@ def _kernel(scal_ref, z0_ref, oxh_ref, oyh_ref, dcr_ref, dci_ref, dce_ref,
         c = jax.lax.fori_loop(jnp.int32(0), jnp.int32(WIN), step, c)
         return c
 
-    def sweep_cond(carry):
-        return jnp.min(carry[4]) < 1
+    def cond(c):
+        b = c[0]
+        done = c[6]
+        return jnp.logical_and(b < budget, jnp.min(done) < 1)
 
-    def sweep(carry):
-        dzr, dzi, dze, it, done = carry[:5]
-        active = 1 - done
+    def body(c):
+        b, wpos, dzr, dzi, dze, it, done, active, zcx, zcy = c
+        at_start = wpos == 0
+        active = jnp.where(at_start, 1 - done, active)
+        zcx = jnp.where(at_start, z0_ref[0], zcx)
+        zcy = jnp.where(at_start, z0_ref[1], zcy)
+        (dzr, dzi, dze, it, done, active, zcx, zcy) = win_body(
+            wpos, (dzr, dzi, dze, it, done, active, zcx, zcy))
+        wpos = wpos + 1
+        sweep_end = jnp.logical_or(wpos >= n_win, jnp.max(active) < 1)
+        wpos = jnp.where(sweep_end, 0, wpos)
+        return (b + 1, wpos, dzr, dzi, dze, it, done, active, zcx, zcy)
 
-        def wcond(c2):
-            w = c2[0]
-            return jnp.logical_and(w < n_win, jnp.max(c2[1][5]) > 0)
-
-        def wbody(c2):
-            w, c = c2
-            return w + 1, win_body(w, c)
-
-        _, c = jax.lax.while_loop(
-            wcond, wbody,
-            (jnp.int32(0), (dzr, dzi, dze, it, done, active,
-                            z0_ref[0], z0_ref[1])))
-        return c
-
-    init = (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
-            minbig, jnp.zeros(shape, jnp.int32),
-            jnp.zeros(shape, jnp.int32), jnp.zeros(shape, jnp.int32),
-            z0_ref[0], z0_ref[1])
-    out = jax.lax.while_loop(sweep_cond, sweep, init)
-    out_ref[:] = out[3].astype(jnp.uint32)
+    init = (jnp.int32(0), tst_i[0, 0],
+            dzr_i[...], dzi_i[...], dze_i[...], it_i[...],
+            done_i[...], active_i[...],
+            tzc_i[0, 0], tzc_i[0, 1])
+    out = jax.lax.while_loop(cond, body, init)
+    (_, wpos, dzr, dzi, dze, it, done, active, zcx, zcy) = out
+    dzr_o[...] = dzr
+    dzi_o[...] = dzi
+    dze_o[...] = dze
+    it_o[...] = it
+    done_o[...] = done
+    active_o[...] = active
+    tst_o[0, 0] = wpos
+    tst_o[0, 1] = jnp.min(done)      # per-tile all-done flag
+    tzc_o[0, 0] = zcx
+    tzc_o[0, 1] = zcy
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "height", "width",
-                                             "interpret"))
-def _render_impl(scal, z0, oxh, oyh, dcr, dci, dce, tile_h, height, width,
-                 interpret):
+                                             "budget", "interpret"))
+def _launch(scal, z0, oxh, oyh, dcr, dci, dce, state, tile_h, height,
+            width, budget, interpret):
+    """One bounded launch over the whole tile grid; `state` is the
+    9-tuple of resume arrays (6 pixel-state arrays on the padded grid +
+    3 per-tile scalars)."""
     grid = (pl.cdiv(height, tile_h), pl.cdiv(width, LANE))
-    kernel = functools.partial(_kernel, tile_h=tile_h)
-    ph = grid[0] * tile_h
-    pw = grid[1] * LANE
-
-    def pad(a, fill=0):
-        return jnp.pad(a, ((0, ph - height), (0, pw - width)),
-                       constant_values=fill)
+    gw = grid[1]
+    kernel = functools.partial(_kernel, tile_h=tile_h, budget=budget)
 
     tile_spec = pl.BlockSpec((tile_h, LANE), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    # per-tile scalar state: one (8, 128) i32 SMEM block per tile
+    # (Pallas TPU blocks must be (8,128)-divisible); row 0 holds
+    # [wpos, zcx_bits, zcy_bits, all_done]
+    tscal = pl.BlockSpec((8, 128), lambda i, j: (i * gw + j, 0),
+                         memory_space=pltpu.SMEM)
+    n_state = 6
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        tile_spec, tile_spec, tile_spec,
+    ] + [tile_spec] * n_state + [tscal, tscal]
+    ph = grid[0] * tile_h
+    pw = grid[1] * LANE
+    n_tiles = grid[0] * grid[1]
+    out_shape = (
+        [jax.ShapeDtypeStruct((ph, pw), jnp.float32)] * 2 +
+        [jax.ShapeDtypeStruct((ph, pw), jnp.int32)] * 4 +
+        [jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.int32)] +
+        [jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32)])
+    out_specs = ([tile_spec] * n_state + [tscal, tscal])
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            tile_spec, tile_spec, tile_spec,
-        ],
-        out_specs=tile_spec,
-        out_shape=jax.ShapeDtypeStruct((ph, pw), jnp.uint32),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases={7 + k: k for k in range(8)},
         scratch_shapes=[
             pltpu.SMEM((WIN,), jnp.float32),
             pltpu.SMEM((WIN,), jnp.float32),
@@ -175,19 +205,23 @@ def _render_impl(scal, z0, oxh, oyh, dcr, dci, dce, tile_h, height, width,
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(scal, z0, oxh, oyh, pad(dcr), pad(dci),
-      pad(dce, fill=int(hdr.MIN_BIG_EXPONENT)))
-    return out[:height, :width]
+    )(scal, z0, oxh, oyh, dcr, dci, dce, *state)
+    return outs
 
 
 def perturb_render_stream(results, ptz: PointZoomBBConverter,
                           width: int, height: int, max_iter: int,
-                          tile_h: int = 64, interpret: bool = False):
+                          tile_h: int = 64, interpret: bool = False,
+                          launch_windows: int | None = None,
+                          abort_monitor=None):
     """HDR-f32 perturbation render streaming the orbit from HBM.
 
     No orbit-length cap: the orbit lives in HBM and is DMA'd into SMEM
     one WIN-entry window at a time as all live pixels sweep it in
-    lockstep."""
+    lockstep.  Dispatches are bounded (`launch_windows` windows per
+    tile per launch) with suspend/resume state, so arbitrarily deep
+    renders never exceed the device watchdog and can be aborted
+    between launches."""
     if max_iter >= (1 << 31):
         return None
     count = results.count_orbit_entries() + 1  # + wraparound entry
@@ -208,10 +242,50 @@ def perturb_render_stream(results, ptz: PointZoomBBConverter,
                                     results.center_y, width, height)
     dc = _dc_grids_hdr(dx, dy, cxo, cyo, width, height, np.float32)
     scal = jnp.asarray([max_iter, max_ref, n_win], jnp.int32)
+
+    grid = (-(-height // tile_h), -(-width // LANE))
+    ph = grid[0] * tile_h
+    pw = grid[1] * LANE
+    n_tiles = grid[0] * grid[1]
+    if launch_windows is None:
+        # keep one dispatch to a few seconds of worst-case stepping
+        launch_windows = max(4, (4 << 20) // (WIN * max(1, n_tiles)))
+
+    def pad(a, fill=0):
+        return jnp.pad(a, ((0, ph - height), (0, pw - width)),
+                       constant_values=fill)
+
+    # padding pixels start DONE so partially-covered tiles don't burn
+    # max_iter steps on them
+    done0 = np.ones((ph, pw), np.int32)
+    done0[:height, :width] = 0
+    state = (
+        jnp.zeros((ph, pw), jnp.float32),
+        jnp.zeros((ph, pw), jnp.float32),
+        jnp.full((ph, pw), int(hdr.MIN_BIG_EXPONENT), jnp.int32),
+        jnp.zeros((ph, pw), jnp.int32),
+        jnp.asarray(done0),
+        jnp.zeros((ph, pw), jnp.int32),
+        jnp.zeros((n_tiles * 8, 128), jnp.int32),
+        jnp.zeros((n_tiles * 8, 128), jnp.float32),
+    )
+    dcr = pad(dc.re)
+    dci = pad(dc.im)
+    dce = pad(dc.e, fill=int(hdr.MIN_BIG_EXPONENT))
+    oxj = jnp.asarray(oxp)
+    oyj = jnp.asarray(oyp)
     with jax.enable_x64(False):
-        return _render_impl(scal, z0, jnp.asarray(oxp), jnp.asarray(oyp),
-                            dc.re, dc.im, dc.e, tile_h, height, width,
-                            interpret)
+        while True:
+            state = _launch(scal, z0, oxj, oyj, dcr, dci, dce,
+                            state, tile_h, height, width,
+                            int(launch_windows), interpret)
+            flags = np.asarray(state[6])[::8, 1]
+            if flags.min() >= 1:
+                break
+            if abort_monitor is not None and abort_monitor.aborted:
+                break
+    iters = state[3].astype(jnp.uint32)
+    return iters[:height, :width]
 
 
 # ---------------------------------------------------------------------------

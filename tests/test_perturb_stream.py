@@ -185,3 +185,14 @@ def test_rc_kernel_default_threshold_exact(deep):
     plain = perturb_render_stream(res, ptz, 48, 48, 1800, tile_h=16,
                                   interpret=True)
     np.testing.assert_array_equal(np.asarray(rc), np.asarray(plain))
+
+
+def test_stream_chunked_relaunch_bit_exact(deep):
+    """launch_windows=1 forces a host relaunch per window (suspend /
+    resume through the per-tile state); must be invisible."""
+    ptz, res = deep
+    one = perturb_render_stream(res, ptz, 48, 48, 1500, tile_h=16,
+                                interpret=True)
+    many = perturb_render_stream(res, ptz, 48, 48, 1500, tile_h=16,
+                                 interpret=True, launch_windows=1)
+    np.testing.assert_array_equal(np.asarray(one), np.asarray(many))
