@@ -32,7 +32,7 @@ _build_failed = False
 
 def _build() -> bool:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-march=native",
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-march=native", "-pthread",
            "-o", _SO, _SRC, "-l:libgmp.so.10"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)

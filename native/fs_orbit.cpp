@@ -13,9 +13,12 @@
 // Sign convention: sign-magnitude; limb arrays little-endian, L limbs
 // of 64 bits with ONE integer limb (value = mag / 2^(64*(L-1))).
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <cmath>
+#include <cstdlib>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -108,6 +111,42 @@ static void signed_add(mp_limb_t *r, int &rs,
     }
 }
 
+// MT3 squaring pipeline (reference RefOrbitCalc.cpp:1540-2148): two
+// worker threads own zx^2 and zy^2 while the coordinator computes the
+// cross product and the periodicity/shadow bookkeeping — spin-wait
+// handoff per iteration (the reference's CheckStartCriteria /
+// CheckFinishCriteria lock-free slot exchange).
+struct SqrWorker {
+    std::atomic<int64_t> go{0};
+    std::atomic<int64_t> done{0};
+    const mp_limb_t *src = nullptr;  // zx or zy (stable pointers)
+    mp_limb_t *out = nullptr;        // x2 / y2 (L limbs, shifted)
+    mp_limb_t *scratch = nullptr;    // 2L+2
+    mp_size_t L = 0;
+    std::thread th;
+
+    void loop() {
+        int64_t seen = 0;
+        int idle = 0;
+        for (;;) {
+            int64_t g = go.load(std::memory_order_acquire);
+            if (g < 0) return;
+            if (g == seen) {
+#if defined(__x86_64__)
+                __builtin_ia32_pause();
+#endif
+                if (++idle > 64) { std::this_thread::yield(); idle = 0; }
+                continue;
+            }
+            idle = 0;
+            seen = g;
+            __gmpn_sqr(scratch, src, L);
+            std::memcpy(out, scratch + (L - 1), L * sizeof(mp_limb_t));
+            done.store(seen, std::memory_order_release);
+        }
+    }
+};
+
 }  // namespace
 
 extern "C" {
@@ -126,6 +165,31 @@ int64_t fs_reference_orbit(const mp_limb_t *cx_mag, int cx_sign,
     std::vector<mp_limb_t> zx(cx_mag, cx_mag + L), zy(cy_mag, cy_mag + L);
     int sx = cx_sign, sy = cy_sign;
     std::vector<mp_limb_t> t2(2 * L + 2), x2(L), y2(L), xy2(L), tmp(L);
+
+    // MT3: spin-wait squaring workers pay off once a squaring costs
+    // more than the handoff (~1 us); 16 limbs = 1024 bits.
+    // FS_ORBIT_MT=1/0 forces the mode (tests; constrained cgroups).
+    const char *mt_env = std::getenv("FS_ORBIT_MT");
+    bool mt = L >= 16 && std::thread::hardware_concurrency() >= 3;
+    if (mt_env && mt_env[0] == '1') mt = L >= 4;
+    if (mt_env && mt_env[0] == '0') mt = false;
+    std::vector<mp_limb_t> sc_a(2 * L + 2), sc_b(2 * L + 2);
+    SqrWorker wa, wb;
+    if (mt) {
+        wa.src = zx.data(); wa.out = x2.data(); wa.scratch = sc_a.data();
+        wb.src = zy.data(); wb.out = y2.data(); wb.scratch = sc_b.data();
+        wa.L = wb.L = L;
+        wa.th = std::thread(&SqrWorker::loop, &wa);
+        wb.th = std::thread(&SqrWorker::loop, &wb);
+    }
+    struct JoinGuard {
+        bool on; SqrWorker &a, &b;
+        ~JoinGuard() {
+            if (!on) return;
+            a.go.store(-1); b.go.store(-1);
+            a.th.join(); b.th.join();
+        }
+    } guard{mt, wa, wb};
 
     const double cxf = shadow(cx_mag, cx_sign, L);
     const double cyf = shadow(cy_mag, cy_sign, L);
@@ -173,14 +237,31 @@ int64_t fs_reference_orbit(const mp_limb_t *cx_mag, int cx_sign,
 
         // x2 = zx^2 >> F, y2 = zy^2 >> F, xy2 = 2*zx*zy >> F
         // (F = 64*(L-1) bits: take limbs [L-1 .. 2L-2])
-        __gmpn_sqr(t2.data(), zx.data(), L);
-        std::memcpy(x2.data(), t2.data() + (L - 1), L * sizeof(mp_limb_t));
-        __gmpn_sqr(t2.data(), zy.data(), L);
-        std::memcpy(y2.data(), t2.data() + (L - 1), L * sizeof(mp_limb_t));
+        if (mt) {
+            wa.go.store(i + 1, std::memory_order_release);
+            wb.go.store(i + 1, std::memory_order_release);
+        } else {
+            __gmpn_sqr(t2.data(), zx.data(), L);
+            std::memcpy(x2.data(), t2.data() + (L - 1),
+                        L * sizeof(mp_limb_t));
+            __gmpn_sqr(t2.data(), zy.data(), L);
+            std::memcpy(y2.data(), t2.data() + (L - 1),
+                        L * sizeof(mp_limb_t));
+        }
         __gmpn_mul_n(t2.data(), zx.data(), zy.data(), L);
         std::memcpy(xy2.data(), t2.data() + (L - 1), L * sizeof(mp_limb_t));
         mp_limb_t cl = __gmpn_lshift(xy2.data(), xy2.data(), L, 1);
         (void)cl;  // headroom in the integer limb absorbs the doubling
+        if (mt) {
+            int idle = 0;
+            while (wa.done.load(std::memory_order_acquire) != i + 1 ||
+                   wb.done.load(std::memory_order_acquire) != i + 1) {
+#if defined(__x86_64__)
+                __builtin_ia32_pause();
+#endif
+                if (++idle > 64) { std::this_thread::yield(); idle = 0; }
+            }
+        }
 
         // new zx = x2 - y2 + cx ; new zy = sign(zx*zy)*xy2 + cy
         int s1;

@@ -59,3 +59,34 @@ def test_auto_backend_prefers_native():
                                prec=256)
     calc.get_and_create_useful_results(ptz, 500)
     assert calc.last_details["backend"] == "native"
+
+
+def test_mt3_pipeline_matches_single_thread(monkeypatch):
+    """The MT3 squaring pipeline (2 workers + coordinator, the
+    reference's RefOrbitCalc MT3 analogue) must produce the exact
+    orbit of the single-threaded path."""
+    import importlib
+    import os
+
+    from fractalshark_tpu.core.highprecision import HighPrecision
+    import fractalshark_tpu.engine.native_orbit as m
+    if not m.available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    prec = 2048
+    cx = HighPrecision("-0.743643887037158704752191506114774", prec=prec)
+    cy = HighPrecision("0.131825904205311970493132056385139", prec=prec)
+    rad = HighPrecision("1e-30", prec=64)
+
+    def run():
+        return m.compute_reference_orbit_native(
+            cx, cy, 200, rad, periodicity=True, precision_bits=prec)
+
+    monkeypatch.setenv("FS_ORBIT_MT", "0")
+    st = run()
+    monkeypatch.setenv("FS_ORBIT_MT", "1")
+    mt = run()
+    import numpy as np
+    np.testing.assert_array_equal(st.orbit_x, mt.orbit_x)
+    np.testing.assert_array_equal(st.orbit_y, mt.orbit_y)
+    assert st.period == mt.period
