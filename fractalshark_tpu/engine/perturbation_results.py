@@ -86,6 +86,21 @@ class PerturbationResults:
     def max_ref_iteration(self) -> int:
         return self.count_orbit_entries() - 1
 
+    def device_orbit_jax(self, dtype=np.float64):
+        """Device-resident orbit arrays, cached on this results object —
+        the analogue of the reference's generation-keyed device orbit
+        cache (GPU_Types.h:177-389 PerturbResultsCollection): repeated
+        renders from the same orbit reuse the HBM upload; the cache
+        dies with the results object (one generation = one orbit)."""
+        import jax.numpy as jnp
+        key = f"dev_orbit_{np.dtype(dtype).name}"
+        arrs = self.extra.get(key)
+        if arrs is None:
+            ox, oy = self.device_orbit(dtype)
+            arrs = (jnp.asarray(ox), jnp.asarray(oy))
+            self.extra[key] = arrs
+        return arrs
+
     def device_orbit(self, dtype=np.float64):
         """Orbit arrays for device upload, with ONE extra wraparound
         entry so kernels may read Z[j+1] at j == maxRefIteration before

@@ -361,19 +361,23 @@ def la_perturb_render(results, la, ptz: PointZoomBBConverter,
         else:
             chunk_steps = 0
     max_ref = results.max_ref_iteration()
+    # generation-keyed device cache: the packed node/orbit tables are
+    # uploaded once per (la, dtype) and live as long as the LA table
+    # (PerturbResultsCollection analogue)
     cache = getattr(la, "_packed_cache", None)
     if cache is None:
         cache = la._packed_cache = {}
     key = np.dtype(sub_dtype).name
     if key not in cache:
-        cache[key] = (_pack_nodes(arrs, sub_dtype),
-                      _pack_orbit(np.asarray(ox), np.asarray(oy),
-                                  int(max_ref)))
-    packed_np, orbit_np = cache[key]
+        cache[key] = (jnp.asarray(_pack_nodes(arrs, sub_dtype)),
+                      jnp.asarray(_pack_orbit(np.asarray(ox),
+                                              np.asarray(oy),
+                                              int(max_ref))))
+    packed_dev, orbit_dev = cache[key]
     args = (
-        jnp.asarray(orbit_np),
+        orbit_dev,
         dc.re, dc.im, dc.e,
-        jnp.asarray(packed_np),
+        packed_dev,
         jnp.asarray(arrs["thrc_m"]), jnp.asarray(arrs["thrc_e"]),
         jnp.asarray(arrs["stage_la_index"]),
         jnp.asarray(arrs["stage_macro_it_count"]),

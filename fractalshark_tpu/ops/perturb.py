@@ -147,7 +147,7 @@ def perturb_render_float(results, ptz: PointZoomBBConverter,
                          width: int, height: int, max_iter: int,
                          dtype=np.float64):
     """Full perturbation render (native float deltas)."""
-    ox, oy = results.device_orbit(dtype)
+    ox, oy = results.device_orbit_jax(dtype)
     dx, dy, cxo, cyo = delta_params(ptz, results.center_x, results.center_y,
                                     width, height)
     dcx, dcy = _dc_grids_float(dx, dy, cxo, cyo, width, height, dtype)
@@ -214,7 +214,7 @@ def _perturb_hdr_impl(orbit_x, orbit_y, dc_re, dc_im, dc_e, max_iter,
 def perturb_render_hdr(results, ptz: PointZoomBBConverter,
                        width: int, height: int, max_iter: int,
                        sub_dtype=np.float32):
-    ox, oy = results.device_orbit(sub_dtype)
+    ox, oy = results.device_orbit_jax(sub_dtype)
     dx, dy, cxo, cyo = delta_params(ptz, results.center_x, results.center_y,
                                     width, height)
     dc = _dc_grids_hdr(dx, dy, cxo, cyo, width, height, sub_dtype)
