@@ -233,7 +233,12 @@ class TpuOrbitSession:
 
     def run(self, max_iterations: int, periodicity: bool = True,
             abort_flag: threading.Event | None = None,
-            progress_cb=None) -> PerturbationResults:
+            progress_cb=None,
+            store_path: str | None = None) -> PerturbationResults:
+        """store_path: when given, the orbit accumulates in
+        memory-mapped file-backed GrowableArrays (<path>.x / <path>.y)
+        — appends land directly in the on-disk store, so saving is
+        free (Vectors.h AddPointOptions::EnableWithSave)."""
         spec = self.spec
         scx_i, cx_d = FP.hp_to_digits(self.center_x, spec)
         scy_i, cy_d = FP.hp_to_digits(self.center_y, spec)
@@ -252,8 +257,17 @@ class TpuOrbitSession:
         cxf = float(self.center_x)
         cyf = float(self.center_y)
 
-        chunks_x = [np.zeros(1)]  # zero seed entry (Perturbation
-        chunks_y = [np.zeros(1)]  # Results.cpp:866)
+        from fractalshark_tpu.utils.growable import (AddPointOptions,
+                                                     GrowableArray)
+        if store_path is not None:
+            opt = AddPointOptions.ENABLE_WITH_SAVE
+            gx = GrowableArray(np.float64, store_path + ".x", opt)
+            gy = GrowableArray(np.float64, store_path + ".y", opt)
+        else:
+            gx = GrowableArray(np.float64)
+            gy = GrowableArray(np.float64)
+        gx.append(0.0)  # zero seed entry (PerturbationResults.cpp:866)
+        gy.append(0.0)
         count = 1
         period = 0
         escaped_at = 0
@@ -275,8 +289,8 @@ class TpuOrbitSession:
                                              pflag.any()) else steps
             eidx = int(np.argmax(eflag)) if eflag.any() else steps
             take = min(steps, pidx + 1, eidx + 1)
-            chunks_x.append(lzx[:take])
-            chunks_y.append(lzy[:take])
+            gx.extend(lzx[:take])
+            gy.extend(lzy[:take])
             count += take
             if periodicity and pidx < steps and pidx <= eidx:
                 period = count
@@ -288,8 +302,8 @@ class TpuOrbitSession:
             if progress_cb is not None:
                 progress_cb(it, max_iterations, time.perf_counter() - t0)
 
-        xs = np.concatenate(chunks_x)
-        ys = np.concatenate(chunks_y)
+        xs = gx.finalize()
+        ys = gy.finalize()
         return PerturbationResults(
             center_x=self.center_x, center_y=self.center_y,
             orbit_x=np.asarray(xs, np.float64),

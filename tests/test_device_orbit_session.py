@@ -53,3 +53,49 @@ def test_device_session_budget_run():
                                          periodicity=False, chunk_steps=64)
     assert dev.count_orbit_entries() == host.count_orbit_entries() == 301
     np.testing.assert_allclose(dev.orbit_x, host.orbit_x, rtol=0, atol=1e-14)
+
+
+def test_growable_store_roundtrip(tmp_path):
+    """GrowableArray (Vectors.h analogue): anonymous and file-backed
+    growth, sidecar finalize, open_existing."""
+    import numpy as np
+
+    from fractalshark_tpu.utils.growable import (AddPointOptions,
+                                                 GrowableArray)
+    g = GrowableArray(np.float64, capacity=4)
+    for i in range(100):
+        g.append(i * 0.5)
+    assert len(g) == 100 and g.view()[99] == 49.5
+
+    path = str(tmp_path / "orbit.x")
+    f = GrowableArray(np.float64, path, AddPointOptions.ENABLE_WITH_SAVE,
+                      capacity=8)
+    f.extend(np.arange(1000, dtype=np.float64))
+    f.finalize()
+    f.close()
+    r = GrowableArray.open_existing(path)
+    assert len(r) == 1000
+    np.testing.assert_array_equal(r.view(), np.arange(1000.0))
+
+
+def test_session_file_backed_store(tmp_path):
+    """A device-orbit session with store_path writes the orbit into
+    the mmap store as it computes; the store reopens to the same
+    orbit."""
+    import numpy as np
+
+    from fractalshark_tpu.core.highprecision import HighPrecision
+    from fractalshark_tpu.ops.bignum import fixedpoint as FP
+    from fractalshark_tpu.ops.bignum.orbit import TpuOrbitSession
+    from fractalshark_tpu.utils.growable import GrowableArray
+
+    spec = FP.FixedSpec.for_limbs(8)
+    prec = spec.frac_bits - 20
+    cx = HighPrecision("-0.5", prec=prec)
+    cy = HighPrecision("0.3", prec=prec)
+    rad = HighPrecision("1e-6", prec=64)
+    sess = TpuOrbitSession(spec, cx, cy, rad, chunk_steps=32)
+    store = str(tmp_path / "orb")
+    res = sess.run(100, periodicity=False, store_path=store)
+    rx = GrowableArray.open_existing(store + ".x")
+    np.testing.assert_array_equal(res.orbit_x, rx.view())
