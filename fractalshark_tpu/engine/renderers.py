@@ -53,6 +53,18 @@ def calc_perturbed(fractal, alg: RenderAlgorithm):
         from fractalshark_tpu.ops import la_kernel
         sub = np.float32 if alg.dtype in ("f32", "hdr32", "2x32",
                                           "hdr2x32") else np.float64
+        if (alg.runtime_decompression and fractal.backend == "tpu"
+                and sub == np.float32
+                and alg.la_mode is LAMode.FULL
+                and fractal.num_iterations < (1 << 31)):
+            # LAv2-RC two-phase: LA stepping from the node table, then
+            # the perturbation tail straight from the COMPRESSED orbit
+            # (per-pixel jwait handoff into the RC streaming kernel) —
+            # the uncompressed orbit is never uploaded
+            out = la_rc_render(fractal, results, la, w, h)
+            if out is not None:
+                fractal.benchmark.extra["kernel"] = "lav2-rc-stream"
+                return out
         if (fractal.backend == "tpu" and sub == np.float32 and
                 alg.la_mode is not LAMode.LAO):
             from fractalshark_tpu.ops.la_pallas import la_render_pallas
@@ -146,3 +158,39 @@ def calc_perturbed(fractal, alg: RenderAlgorithm):
             results, fractal.ptz, w, h, fractal.num_iterations,
             sub_dtype=sub)
     raise NotImplementedError(f"perturbed dtype {alg.dtype}")
+
+
+def la_rc_render(fractal, results, la, w, h):
+    """Two-phase LAv2-RC: phase 1 runs the LA machine to tail entry
+    (la_only + state export); phase 2 finishes every pixel in the RC
+    streaming kernel from the compressed orbit, joining the lockstep at
+    its per-pixel ref_iter (the reference decompresses inside the
+    render kernel, Perturb.cuh:8-120 — here the tail phase does)."""
+    import numpy as np
+
+    from fractalshark_tpu.engine.perturbation_results import \
+        CompressedOrbit
+    from fractalshark_tpu.ops import la_kernel
+    from fractalshark_tpu.ops.perturb_stream import \
+        perturb_render_stream_rc
+
+    comp = results.extra.get("compressed_orbit")
+    if comp is None:
+        comp = CompressedOrbit.from_uncompressed(
+            results, error_exp=fractal.compression_error_exp)
+        results.extra["compressed_orbit"] = comp
+    fractal.benchmark.extra["compression_ratio"] = round(
+        comp.compression_ratio(), 2)
+    n = fractal.num_iterations
+    state = la_kernel.la_perturb_render(
+        results, la, fractal.ptz, w, h, n, sub_dtype=np.float32,
+        la_only=True, return_state=True)
+    _, _, ref_iter, dzr, dzi, dze, it, _ = state
+    it32 = np.asarray(it).astype(np.int32)
+    init = {"dzr": np.asarray(dzr), "dzi": np.asarray(dzi),
+            "dze": np.asarray(dze), "it": it32,
+            "jwait": np.asarray(ref_iter).astype(np.int32),
+            "done": (it32 >= n).astype(np.int32)}
+    return perturb_render_stream_rc(
+        comp, results.center_x, results.center_y, fractal.ptz, w, h,
+        n, init_state=init)

@@ -321,7 +321,7 @@ def la_perturb_render(results, la, ptz: PointZoomBBConverter,
                       width: int, height: int, max_iter: int,
                       sub_dtype=np.float32, la_only: bool = False,
                       chunk_steps: int | None = None,
-                      abort_monitor=None):
+                      abort_monitor=None, return_state: bool = False):
     """Full LAv2 render: AT skip → LA stages → perturbation tail.
 
     On accelerators the state machine runs in bounded *chunks* of body
@@ -391,6 +391,8 @@ def la_perturb_render(results, la, ptz: PointZoomBBConverter,
         if abort_monitor is not None and abort_monitor.aborted:
             break
         state, all_done = _lav2_impl(*args, **kw, resume_state=state)
+    if return_state:
+        return state
     iters = state[6]
     return iters.astype(jnp.uint64 if max_iter >= (1 << 31)
                         else jnp.uint32)

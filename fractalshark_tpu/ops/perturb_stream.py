@@ -319,8 +319,20 @@ ANC_BLK = 1024
 
 
 def _rc_kernel(scal_ref, cval_ref, aih_ref, axh_ref, axl_ref, ayh_ref,
-               ayl_ref, dcr_ref, dci_ref, dce_ref, out_ref,
-               sm_i, sm_xh, sm_xl, sm_yh, sm_yl, sems, *, tile_h):
+               ayl_ref, dcr_ref, dci_ref, dce_ref,
+               dzr_i, dzi_i, dze_i, it_i, done_i, active_i, wait_i,
+               jwait_i, tst_i, tzc_i,
+               dzr_o, dzi_o, dze_o, it_o, done_o, active_o, wait_o,
+               jwait_o, tst_o, tzc_o,
+               sm_i, sm_xh, sm_xl, sm_yh, sm_yl, sems, *,
+               tile_h, budget):
+    """RC lockstep-sweep kernel: on-device decompression (df32
+    reconstruction from SMEM-pooled anchors), budget-bounded resumable
+    dispatches, and PER-PIXEL START OFFSETS: a pixel with
+    ``jwait = j0`` sits in the `waiting` state until the sweep position
+    reaches j0, then joins the lockstep — this is how an LA phase hands
+    its per-pixel (dz, ref_iter, it) straight to the compressed-orbit
+    tail (LAv2-RC), and how resumed launches re-enter mid-render."""
     from fractalshark_tpu.ops import dblflt as dfm
     DF = dfm.DF
 
@@ -335,7 +347,6 @@ def _rc_kernel(scal_ref, cval_ref, aih_ref, axh_ref, axl_ref, ayh_ref,
     dc = HDRComplex(dcr_ref[:], dci_ref[:], dce_ref[:])
     two56 = HDR(jnp.full(shape, 1.0, jnp.float32),
                 jnp.full(shape, 8, jnp.int32))
-    minbig = jnp.full(shape, hdr.MIN_BIG_EXPONENT, jnp.int32)
 
     def refill(blocks_loaded):
         """DMA anchor block `blocks_loaded` into pool slot (b & 1)."""
@@ -354,7 +365,7 @@ def _rc_kernel(scal_ref, cval_ref, aih_ref, axh_ref, axl_ref, ayh_ref,
             c.wait()
 
     def win_body(w, carry):
-        (dzr, dzi, dze, it, done, active,
+        (dzr, dzi, dze, it, done, active, wait, jwait,
          zxh, zxl, zyh, zyl, a_ptr, blocks_loaded) = carry
 
         # keep >= ANC_BLK anchors of headroom (a window consumes at
@@ -370,9 +381,13 @@ def _rc_kernel(scal_ref, cval_ref, aih_ref, axh_ref, axl_ref, ayh_ref,
         base = w * WIN
 
         def step(s_local, c):
-            (dzr, dzi, dze, it, done, active,
+            (dzr, dzi, dze, it, done, active, wait, jwait,
              zxh, zxl, zyh, zyl, a_ptr) = c
             s = base + s_local
+            # waiting pixels join the lockstep at their start offset
+            act_now = (wait > 0) & (jwait == s)
+            active = jnp.maximum(active, act_now.astype(jnp.int32))
+            wait = jnp.where(act_now, 0, wait)
             live = (active > 0) & (it < max_iter) & (s < max_ref)
 
             # ---- reconstruct Z[s+1]: anchor hit or df32 recurrence ----
@@ -380,10 +395,10 @@ def _rc_kernel(scal_ref, cval_ref, aih_ref, axh_ref, axl_ref, ayh_ref,
             hit = sm_i[am] == (s + 1)
             zx = DF(zxh, zxl)
             zy = DF(zyh, zyl)
-            # z' = (x^2 - y^2 + cx, 2xy + cy)
             rx = dfm.df_add(dfm.df_sub(dfm.df_sqr(zx), dfm.df_sqr(zy)),
                             ccx)
-            ry = dfm.df_add(dfm.df_mul_pow2(dfm.df_mul(zx, zy), 2.0), ccy)
+            ry = dfm.df_add(dfm.df_mul_pow2(dfm.df_mul(zx, zy), 2.0),
+                            ccy)
             nzxh = jnp.where(hit, sm_xh[am], rx.hi)
             nzxl = jnp.where(hit, sm_xl[am], rx.lo)
             nzyh = jnp.where(hit, sm_yh[am], ry.hi)
@@ -417,75 +432,123 @@ def _rc_kernel(scal_ref, cval_ref, aih_ref, axh_ref, axl_ref, ayh_ref,
                 done, (esc_px | (it >= max_iter)).astype(jnp.int32))
             active = jnp.where(esc_px | reb_px | (it >= max_iter),
                                0, active)
-            return (dzr, dzi, dze, it, done, active,
+            return (dzr, dzi, dze, it, done, active, wait, jwait,
                     nzxh, nzxl, nzyh, nzyl, a_ptr)
 
-        c = (dzr, dzi, dze, it, done, active, zxh, zxl, zyh, zyl, a_ptr)
+        c = (dzr, dzi, dze, it, done, active, wait, jwait,
+             zxh, zxl, zyh, zyl, a_ptr)
         c = jax.lax.fori_loop(jnp.int32(0), jnp.int32(WIN), step, c)
         return c + (blocks_loaded,)
 
-    def sweep_cond(carry):
-        return jnp.min(carry[4]) < 1
+    def cond(c):
+        b = c[0]
+        done = c[6]
+        return jnp.logical_and(b < budget, jnp.min(done) < 1)
 
-    def sweep(carry):
-        dzr, dzi, dze, it, done = carry[:5]
-        active = 1 - done
+    def body(c):
+        (b, wpos, dzr, dzi, dze, it, done, active, wait, jwait,
+         zxh, zxl, zyh, zyl, a_ptr, blocks_loaded) = c
+        at_start = wpos == 0
 
-        def wcond(c2):
-            w = c2[0]
-            return jnp.logical_and(w < n_win, jnp.max(c2[1][5]) > 0)
+        @pl.when(at_start)
+        def _():
+            refill(jnp.int32(0))
+        # sweep restart: stalled (rebased) pixels reactivate; waiting
+        # pixels keep waiting for their jwait
+        active = jnp.where(at_start,
+                           (1 - done) * (1 - wait), active)
+        zxh = jnp.where(at_start, sm_xh[0], zxh)
+        zxl = jnp.where(at_start, sm_xl[0], zxl)
+        zyh = jnp.where(at_start, sm_yh[0], zyh)
+        zyl = jnp.where(at_start, sm_yl[0], zyl)
+        a_ptr = jnp.where(at_start, 1, a_ptr)
+        blocks_loaded = jnp.where(at_start, 1, blocks_loaded)
+        out = win_body(wpos, (dzr, dzi, dze, it, done, active, wait,
+                              jwait, zxh, zxl, zyh, zyl, a_ptr,
+                              blocks_loaded))
+        (dzr, dzi, dze, it, done, active, wait, jwait,
+         zxh, zxl, zyh, zyl, a_ptr, blocks_loaded) = out
+        wpos = wpos + 1
+        still = jnp.maximum(jnp.max(active), jnp.max(wait))
+        sweep_end = jnp.logical_or(wpos >= n_win, still < 1)
+        wpos = jnp.where(sweep_end, 0, wpos)
+        return (b + 1, wpos, dzr, dzi, dze, it, done, active, wait,
+                jwait, zxh, zxl, zyh, zyl, a_ptr, blocks_loaded)
 
-        def wbody(c2):
-            w, c = c2
-            return w + 1, win_body(w, c)
+    # resume: reload the anchor pool for a mid-sweep continuation
+    bl0 = tst_i[0, 2]
 
-        # sweep restart: reconstruction state = anchor 0 (Z[0] is always
-        # stored), anchor pointer 1, pool reloaded lazily from block 0
-        refill(jnp.int32(0))
-        init = (dzr, dzi, dze, it, done, active,
-                sm_xh[0], sm_xl[0], sm_yh[0], sm_yl[0],
-                jnp.int32(1), jnp.int32(1))
-        _, c = jax.lax.while_loop(wcond, wbody, (jnp.int32(0), init))
-        return c[:10]
+    @pl.when(bl0 >= 2)
+    def _():
+        refill(bl0 - 2)
 
-    init = (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
-            minbig, jnp.zeros(shape, jnp.int32),
-            jnp.zeros(shape, jnp.int32), jnp.zeros(shape, jnp.int32),
-            jnp.float32(0), jnp.float32(0), jnp.float32(0), jnp.float32(0))
-    out = jax.lax.while_loop(sweep_cond, sweep, init)
-    out_ref[:] = out[3].astype(jnp.uint32)
+    @pl.when(bl0 >= 1)
+    def _():
+        refill(bl0 - 1)
+
+    init = (jnp.int32(0), tst_i[0, 0],
+            dzr_i[...], dzi_i[...], dze_i[...], it_i[...],
+            done_i[...], active_i[...], wait_i[...], jwait_i[...],
+            tzc_i[0, 0], tzc_i[0, 1], tzc_i[0, 2], tzc_i[0, 3],
+            tst_i[0, 1], bl0)
+    out = jax.lax.while_loop(cond, body, init)
+    (_, wpos, dzr, dzi, dze, it, done, active, wait, jwait,
+     zxh, zxl, zyh, zyl, a_ptr, blocks_loaded) = out
+    dzr_o[...] = dzr
+    dzi_o[...] = dzi
+    dze_o[...] = dze
+    it_o[...] = it
+    done_o[...] = done
+    active_o[...] = active
+    wait_o[...] = wait
+    jwait_o[...] = jwait
+    tst_o[0, 0] = wpos
+    tst_o[0, 1] = a_ptr
+    tst_o[0, 2] = blocks_loaded
+    tst_o[0, 3] = jnp.min(done)
+    tzc_o[0, 0] = zxh
+    tzc_o[0, 1] = zxl
+    tzc_o[0, 2] = zyh
+    tzc_o[0, 3] = zyl
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "height", "width",
-                                             "interpret"))
-def _rc_render_impl(scal, cvals, ai, axh, axl, ayh, ayl, dcr, dci, dce,
-                    tile_h, height, width, interpret):
+                                             "budget", "interpret"))
+def _rc_launch(scal, cvals, ai, axh, axl, ayh, ayl, dcr, dci, dce,
+               state, tile_h, height, width, budget, interpret):
     grid = (pl.cdiv(height, tile_h), pl.cdiv(width, LANE))
-    kernel = functools.partial(_rc_kernel, tile_h=tile_h)
-    ph = grid[0] * tile_h
-    pw = grid[1] * LANE
-
-    def pad(a, fill=0):
-        return jnp.pad(a, ((0, ph - height), (0, pw - width)),
-                       constant_values=fill)
-
+    gw = grid[1]
+    kernel = functools.partial(_rc_kernel, tile_h=tile_h, budget=budget)
     tile_spec = pl.BlockSpec((tile_h, LANE), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    tscal = pl.BlockSpec((8, 128), lambda i, j: (i * gw + j, 0),
+                         memory_space=pltpu.SMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        tile_spec, tile_spec, tile_spec,
+    ] + [tile_spec] * 8 + [tscal, tscal]
+    ph = grid[0] * tile_h
+    pw = grid[1] * LANE
+    n_tiles = grid[0] * grid[1]
+    out_shape = (
+        [jax.ShapeDtypeStruct((ph, pw), jnp.float32)] * 2 +
+        [jax.ShapeDtypeStruct((ph, pw), jnp.int32)] * 6 +
+        [jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.int32)] +
+        [jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32)])
+    out_specs = ([tile_spec] * 8 + [tscal, tscal])
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            tile_spec, tile_spec, tile_spec,
-        ],
-        out_specs=tile_spec,
-        out_shape=jax.ShapeDtypeStruct((ph, pw), jnp.uint32),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases={10 + k: k for k in range(10)},
         scratch_shapes=[
             pltpu.SMEM((ANC_POOL,), jnp.int32),
             pltpu.SMEM((ANC_POOL,), jnp.float32),
@@ -495,26 +558,12 @@ def _rc_render_impl(scal, cvals, ai, axh, axl, ayh, ayl, dcr, dci, dce,
             pltpu.SemaphoreType.DMA((5,)),
         ],
         interpret=interpret,
-    )(scal, cvals, ai, axh, axl, ayh, ayl, pad(dcr), pad(dci),
-      pad(dce, fill=int(hdr.MIN_BIG_EXPONENT)))
-    return out[:height, :width]
+    )(scal, cvals, ai, axh, axl, ayh, ayl, dcr, dci, dce, *state)
+    return outs
 
 
-def perturb_render_stream_rc(compressed, center_x, center_y,
-                             ptz: PointZoomBBConverter,
-                             width: int, height: int, max_iter: int,
-                             tile_h: int = 64, interpret: bool = False):
-    """Perturbation render directly from a CompressedOrbit: the kernel
-    reconstructs reference-orbit values on device from anchors + the
-    low-precision recurrence; the uncompressed orbit never exists.
-
-    ``center_x/center_y`` are the orbit's high-precision center (for
-    the pixel delta grid)."""
-    if max_iter >= (1 << 31):
-        return None
+def _prep_anchors(compressed):
     M = len(compressed.anchors_x)
-    if M == 0:
-        return None
     mpad = -(-M // ANC_BLK) * ANC_BLK
     ai = np.full(mpad, np.int32(0x7FFFFFFF), np.int32)
     ai[:M] = compressed.anchor_index.astype(np.int32)
@@ -526,6 +575,30 @@ def perturb_render_stream_rc(compressed, center_x, center_y,
     xl[:M] = (compressed.anchors_x - xh[:M]).astype(np.float32)
     yh[:M] = compressed.anchors_y.astype(np.float32)
     yl[:M] = (compressed.anchors_y - yh[:M]).astype(np.float32)
+    return ai, xh, xl, yh, yl, mpad
+
+
+def perturb_render_stream_rc(compressed, center_x, center_y,
+                             ptz: PointZoomBBConverter,
+                             width: int, height: int, max_iter: int,
+                             tile_h: int = 64, interpret: bool = False,
+                             launch_windows: int | None = None,
+                             abort_monitor=None,
+                             init_state=None):
+    """Perturbation render directly from a CompressedOrbit: the kernel
+    reconstructs reference-orbit values on device from anchors + the
+    low-precision recurrence; the uncompressed orbit never exists.
+
+    ``init_state``: optional per-pixel handoff from an LA phase —
+    dict with 'dzr','dzi','dze' (HDR f32 delta), 'it' (completed
+    iterations), 'jwait' (orbit index to resume at), 'done' — all
+    [height, width] arrays."""
+    if max_iter >= (1 << 31):
+        return None
+    M = len(compressed.anchors_x)
+    if M == 0:
+        return None
+    ai, xh, xl, yh, yl, mpad = _prep_anchors(compressed)
 
     max_ref = compressed.total_count - 1
     n_win = -(-max_ref // WIN)
@@ -539,9 +612,66 @@ def perturb_render_stream_rc(compressed, center_x, center_y,
     dc = _dc_grids_hdr(dx, dy, cxo, cyo, width, height, np.float32)
     scal = jnp.asarray([max_iter, max_ref, n_win, mpad // ANC_BLK],
                        jnp.int32)
+
+    grid = (-(-height // tile_h), -(-width // LANE))
+    ph = grid[0] * tile_h
+    pw = grid[1] * LANE
+    n_tiles = grid[0] * grid[1]
+    if launch_windows is None:
+        launch_windows = max(4, (4 << 20) // (WIN * max(1, n_tiles)))
+
+    def padi(a, fill=0, dtype=np.int32):
+        out = np.full((ph, pw), fill, dtype)
+        out[:height, :width] = a
+        return jnp.asarray(out)
+
+    def padj(a, fill=0):
+        return jnp.pad(a, ((0, ph - height), (0, pw - width)),
+                       constant_values=fill)
+
+    done0 = np.ones((ph, pw), np.int32)
+    if init_state is None:
+        done0[:height, :width] = 0
+        st = (jnp.zeros((ph, pw), jnp.float32),
+              jnp.zeros((ph, pw), jnp.float32),
+              jnp.asarray(np.full((ph, pw), int(hdr.MIN_BIG_EXPONENT),
+                                  np.int32)),
+              jnp.zeros((ph, pw), jnp.int32),
+              jnp.asarray(done0),
+              jnp.zeros((ph, pw), jnp.int32),
+              jnp.zeros((ph, pw), jnp.int32),
+              jnp.zeros((ph, pw), jnp.int32))
+    else:
+        done0[:height, :width] = np.asarray(init_state["done"],
+                                            np.int32)
+        jw = np.clip(np.asarray(init_state["jwait"], np.int32),
+                     0, max(0, max_ref - 1))
+        st = (padi(init_state["dzr"], 0.0, np.float32),
+              padi(init_state["dzi"], 0.0, np.float32),
+              padi(init_state["dze"], int(hdr.MIN_BIG_EXPONENT)),
+              padi(init_state["it"], 0),
+              jnp.asarray(done0),
+              jnp.zeros((ph, pw), jnp.int32),
+              padi((1 - np.asarray(init_state["done"], np.int32)) *
+                   (jw > 0), 0),
+              padi(jw, 0))
+        # pixels with jwait == 0 start active at the sweep head like a
+        # fresh render (sweep-start activation covers them)
+    state = st + (jnp.zeros((n_tiles * 8, 128), jnp.int32),
+                  jnp.zeros((n_tiles * 8, 128), jnp.float32))
     with jax.enable_x64(False):
-        return _rc_render_impl(scal, cvals, jnp.asarray(ai),
+        while True:
+            state = _rc_launch(scal, cvals, jnp.asarray(ai),
                                jnp.asarray(xh), jnp.asarray(xl),
                                jnp.asarray(yh), jnp.asarray(yl),
-                               dc.re, dc.im, dc.e, tile_h, height, width,
-                               interpret)
+                               padj(dc.re), padj(dc.im),
+                               padj(dc.e, fill=int(hdr.MIN_BIG_EXPONENT)),
+                               state, tile_h, height, width,
+                               int(launch_windows), interpret)
+            flags = np.asarray(state[8])[::8, 3]
+            if flags.min() >= 1:
+                break
+            if abort_monitor is not None and abort_monitor.aborted:
+                break
+    iters = state[3].astype(jnp.uint32)
+    return iters[:height, :width]

@@ -196,3 +196,40 @@ def test_stream_chunked_relaunch_bit_exact(deep):
     many = perturb_render_stream(res, ptz, 48, 48, 1500, tile_h=16,
                                  interpret=True, launch_windows=1)
     np.testing.assert_array_equal(np.asarray(one), np.asarray(many))
+
+
+def test_lav2_rc_two_phase_matches_full(deep):
+    """LAv2-RC: LA phase to tail entry, then the RC streaming tail
+    from the compressed orbit with per-pixel jwait handoff — must
+    reproduce the one-kernel FULL LAv2 render at the default error
+    exponent (reconstruction is f32-exact there)."""
+    from fractalshark_tpu.core.hdr_host import HD
+    from fractalshark_tpu.engine.la_reference import LAReferenceHost
+    from fractalshark_tpu.engine.perturbation_results import \
+        CompressedOrbit
+    from fractalshark_tpu.ops import la_kernel
+    from fractalshark_tpu.ops.perturb_stream import \
+        perturb_render_stream_rc
+
+    ptz, res = deep
+    la = LAReferenceHost.generate(res.orbit_x, res.orbit_y,
+                                  HD.from_hp(res.max_radius))
+    assert la.is_valid
+    n = 1800
+    full = np.asarray(la_kernel.la_perturb_render(
+        res, la, ptz, 32, 32, n, sub_dtype=np.float32))
+    state = la_kernel.la_perturb_render(
+        res, la, ptz, 32, 32, n, sub_dtype=np.float32,
+        la_only=True, return_state=True)
+    _, _, ref_iter, dzr, dzi, dze, it, _ = state
+    it32 = np.asarray(it).astype(np.int32)
+    init = {"dzr": np.asarray(dzr), "dzi": np.asarray(dzi),
+            "dze": np.asarray(dze), "it": it32,
+            "jwait": np.asarray(ref_iter).astype(np.int32),
+            "done": (it32 >= n).astype(np.int32)}
+    comp = CompressedOrbit.from_uncompressed(res, error_exp=20)
+    rc = np.asarray(perturb_render_stream_rc(
+        comp, res.center_x, res.center_y, ptz, 32, 32, n,
+        tile_h=16, interpret=True, init_state=init))
+    match = (rc == full).mean()
+    assert match >= 0.995, match
