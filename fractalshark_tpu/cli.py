@@ -179,6 +179,8 @@ def main(argv=None) -> int:
         from fractalshark_tpu.utils.aux import MemoryBudget
         budget = MemoryBudget(args.commit_cap_bytes)
         budget.reserve(f.width * f.height * f.antialiasing ** 2 * 4)
+        # orbit cache evicts against the same cap (OptimizeMemory)
+        get_orbit_calc(f).memory_budget = budget
 
     if args.interactive:
         return interactive_loop(f)

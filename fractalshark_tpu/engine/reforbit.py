@@ -189,6 +189,10 @@ class RefOrbitCalc:
     cache: list[PerturbationResults] = field(default_factory=list)
     lock: threading.Lock = field(default_factory=threading.Lock)
     max_cached: int = 8
+    # optional byte budget over cached orbits (m_CommitLimitInBytes /
+    # OptimizeMemory, RefOrbitCalc.cpp:128): oldest orbits evict until
+    # the cache fits
+    memory_budget = None
     last_details: dict = field(default_factory=dict)
     # "auto"  = native if buildable, else host
     # "native"= C++/GMP mpn fixed-point evaluator (MT3-CPU analogue)
@@ -230,8 +234,7 @@ class RefOrbitCalc:
                 dt = time.perf_counter() - t0
                 with self.lock:
                     self.cache.append(res)
-                    if len(self.cache) > self.max_cached:
-                        self.cache.pop(0)
+                    self._enforce_budget()
                     self.last_details = {
                         "cache_hit": False, "reused": True,
                         "backend": "reuse",
@@ -282,9 +285,7 @@ class RefOrbitCalc:
         dt = time.perf_counter() - t0
         with self.lock:
             self.cache.append(res)
-            if len(self.cache) > self.max_cached:
-                # evict oldest (OptimizeMemory, RefOrbitCalc.cpp:128)
-                self.cache.pop(0)
+            self._enforce_budget()
             self.last_details = {
                 "cache_hit": False,
                 "backend": backend,
@@ -295,6 +296,27 @@ class RefOrbitCalc:
                 "ref_orbit_s": dt,
             }
         return res
+
+    def _enforce_budget(self):
+        """Evict oldest orbits past max_cached, and — when a
+        MemoryBudget is attached — until the cache's orbit bytes fit
+        its limit (OptimizeMemory / commit-cap semantics). Caller
+        holds the lock."""
+        while len(self.cache) > self.max_cached:
+            self.cache.pop(0)
+        b = self.memory_budget
+        if b is None or b.limit is None:
+            return
+
+        def nbytes(r):
+            n = r.orbit_x.nbytes + r.orbit_y.nbytes
+            for v in r.extra.values():
+                if hasattr(v, "nbytes"):
+                    n += v.nbytes
+            return n
+
+        while len(self.cache) > 1 and                 sum(nbytes(r) for r in self.cache) + b.committed > b.limit:
+            self.cache.pop(0)
 
     def _try_reuse(self, ptz, num_iterations, needed_prec, cx, cy,
                    periodicity):

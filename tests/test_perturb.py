@@ -272,3 +272,26 @@ def test_save_honors_compression_flag(tmp_path):
         assert loaded.count_orbit_entries() == res.count_orbit_entries()
         mag = np.maximum(np.abs(res.orbit_x), 1e-30)
         assert (np.abs(loaded.orbit_x - res.orbit_x) / mag).max() < 1e-9
+
+
+def test_memory_budget_evicts_orbits():
+    """A MemoryBudget attached to RefOrbitCalc evicts oldest cached
+    orbits until the cache fits the commit cap (OptimizeMemory,
+    RefOrbitCalc.cpp:128)."""
+    from fractalshark_tpu.core.pointzoom import PointZoomBBConverter
+    from fractalshark_tpu.engine.reforbit import RefOrbitCalc
+    from fractalshark_tpu.utils.aux import MemoryBudget
+
+    calc = RefOrbitCalc()
+    calc.memory_budget = MemoryBudget(64 * 1024)  # 64 KB cap
+
+    def view(cx):
+        return PointZoomBBConverter(
+            pt_x=cx, pt_y="0.3", zoom_factor="1e6",
+            prec=256).square_aspect_ratio(16, 16)
+
+    r1 = calc.get_and_create_useful_results(view("-0.5"), 3000)
+    r2 = calc.get_and_create_useful_results(view("0.1"), 3000)
+    total = sum(r.orbit_x.nbytes + r.orbit_y.nbytes for r in calc.cache)
+    assert total <= 64 * 1024 or len(calc.cache) == 1
+    assert calc.cache[-1] is r2
