@@ -106,40 +106,69 @@ def digits_to_float(sign: int, digits: np.ndarray, spec: FixedSpec) -> float:
 # ------------------------------------------------------------ carry/borrow
 
 
+# Carry/borrow resolution is CARRY-LOOKAHEAD, not a ripple: a data-
+# dependent while-loop moves a carry ONE digit per trip, and real
+# operands hit the pathological case — View #30's center is -2+eps,
+# whose magnitude is ~380,000 consecutive 1-bits (all-0xFFFF digits),
+# so every +c rippled across ~23k digits per trip (measured 17.5x
+# slowdown on the whole orbit iteration).  One bulk trip reduces all
+# carries to <=1, then a Kogge-Stone (generate, propagate) prefix scan
+# resolves every chain in log2(L) passes, data-independent (the
+# reference bounds its grid carry passes the same way, Add.cu).
+
+
+def _shift_up(a):
+    return jnp.concatenate(
+        [jnp.zeros(a.shape[:-1] + (1,), jnp.uint32), a[..., :-1]],
+        axis=-1)
+
+
+def _ks_prefix(g, p):
+    """Inclusive Kogge-Stone/Hillis-Steele prefix of the carry monoid
+    (g, p) along the last axis: G_i = OR over j<=i of (g_j AND p_{j+1}
+    .. p_i).  Hand-rolled doubling — log2(L) fused pad+elementwise
+    passes (jax.lax.associative_scan's gather-based lowering measured
+    ~1.3 ms per call at L=65536 on v5e)."""
+    L = g.shape[-1]
+    nd = g.ndim
+    k = 1
+    while k < L:
+        padg = [(0, 0)] * (nd - 1) + [(k, 0)]
+        gs = jnp.pad(g, padg)[..., :L]
+        ps = jnp.pad(p, padg, constant_values=1)[..., :L]
+        g = g | (p & gs)
+        p = p & ps
+        k <<= 1
+    return g
+
+
 def carry_propagate(acc):
-    """Normalize an array of per-digit sums (each < 2^32) into canonical
-    16-bit digits: repeatedly move the overflow of digit i into digit
-    i+1 (the reference's grid-parallel carry passes)."""
-    def cond(a):
-        return jnp.max(a >> DIGIT_BITS) > 0
-
-    def body(a):
-        low = a & DIGIT_MASK
-        car = a >> DIGIT_BITS
-        car = jnp.concatenate(
-            [jnp.zeros((1,), jnp.uint32), car[:-1]])
-        return low + car
-
-    return jax.lax.while_loop(cond, body, acc)
+    """Normalize an array of per-digit sums (each < 2^32) into
+    canonical 16-bit digits along the LAST axis (carry-lookahead; cost
+    is data-INDEPENDENT — a ripple loop hits pathological operands:
+    View #30's center is -2+eps, i.e. ~23k consecutive 0xFFFF digits,
+    and rippled one digit per trip)."""
+    low = acc & DIGIT_MASK
+    a = low + _shift_up(acc >> DIGIT_BITS)      # bulk trip: carries <= 1
+    d = a & DIGIT_MASK
+    g = a >> DIGIT_BITS                          # in {0, 1}
+    prop = (d == DIGIT_MASK).astype(jnp.uint32)
+    G = _ks_prefix(g, prop)
+    return (d + _shift_up(G)) & DIGIT_MASK
 
 
 def borrow_propagate(acc):
     """acc holds per-digit signed values as uint32 with wraparound
-    (a_i − b_i); ripple borrows until every digit is canonical."""
-    def cond(a):
-        return jnp.max(a >> DIGIT_BITS) > 0
-
-    def body(a):
-        low = a & DIGIT_MASK
-        # top bits set ⇒ this digit borrowed (wrapped negative)
-        borrow = (a >> DIGIT_BITS) & np.uint32(1)
-        # a digit that wrapped is ≥ 2^32 − 2^17: its low 16 bits are the
-        # correct digit; subtract the borrow from the next digit up
-        borrow_up = jnp.concatenate(
-            [jnp.zeros((1,), jnp.uint32), borrow[:-1]])
-        return low - borrow_up
-
-    return jax.lax.while_loop(cond, body, acc)
+    (a_i − b_i, borrows in {0,1}); canonicalize along the last axis
+    (borrow-lookahead)."""
+    d0 = acc & DIGIT_MASK
+    b0 = (acc >> DIGIT_BITS) & np.uint32(1)
+    t = d0 - _shift_up(b0)                       # in [-1, 0xFFFF]
+    d = t & DIGIT_MASK
+    g = (t >> DIGIT_BITS) & np.uint32(1)
+    prop = (d == 0).astype(jnp.uint32)
+    G = _ks_prefix(g, prop)
+    return (d - _shift_up(G)) & DIGIT_MASK
 
 
 def add_mag(a, b):
@@ -422,36 +451,13 @@ def _finish_signed(acc_p, acc_n, F: int, D: int, round_digit: int):
 
 
 def _carry_rows(acc):
-    """carry_propagate over the last axis of [K, L] (ONE while loop
-    for all K streams — the latency floor of an orbit update is the
-    ripple chain, so batching rows matters more than their width)."""
-    def cond(a):
-        return jnp.max(a >> DIGIT_BITS) > 0
-
-    def body(a):
-        low = a & DIGIT_MASK
-        car = a >> DIGIT_BITS
-        car = jnp.concatenate(
-            [jnp.zeros(car.shape[:-1] + (1,), jnp.uint32),
-             car[..., :-1]], axis=-1)
-        return low + car
-
-    return jax.lax.while_loop(cond, body, acc)
+    """carry_propagate over the last axis of [K, L] (one lookahead
+    pass covers all K streams)."""
+    return carry_propagate(acc)
 
 
 def _borrow_rows(acc):
-    def cond(a):
-        return jnp.max(a >> DIGIT_BITS) > 0
-
-    def body(a):
-        low = a & DIGIT_MASK
-        borrow = (a >> DIGIT_BITS) & np.uint32(1)
-        borrow_up = jnp.concatenate(
-            [jnp.zeros(borrow.shape[:-1] + (1,), jnp.uint32),
-             borrow[..., :-1]], axis=-1)
-        return low - borrow_up
-
-    return jax.lax.while_loop(cond, body, acc)
+    return borrow_propagate(acc)
 
 
 def _finish_signed_rows(acc_p, acc_n, F: int, D: int, round_digit: int):
@@ -460,8 +466,9 @@ def _finish_signed_rows(acc_p, acc_n, F: int, D: int, round_digit: int):
     ripple replace 3K sequential ones."""
     K, L = acc_p.shape
     acc_p = acc_p.at[:, round_digit].add(np.uint32(1 << 15))
-    pos = _carry_rows(acc_p)
-    neg = _carry_rows(acc_n)
+    both = _carry_rows(jnp.concatenate([acc_p, acc_n], axis=0))
+    pos = both[:K]
+    neg = both[K:]
     # per-row magnitude compare (top differing digit)
     diff = pos != neg
     idx = jnp.where(diff, jnp.arange(L, dtype=jnp.int32)[None, :],
