@@ -197,14 +197,19 @@ def _deep_la(extra):
                                   HD.from_hp(res.max_radius))
     extra["deep_la_build_s"] = round(time.perf_counter() - t0, 3)
     from fractalshark_tpu.ops import la_kernel
+
+    def run():
+        out = la_kernel.la_perturb_render(res, la, ptz, size, size,
+                                          budget, sub_dtype=np.float32)
+        return np.asarray(out)
+
+    o = run()                       # warm (compiles the chunk program)
     t0 = time.perf_counter()
-    out = la_kernel.la_perturb_render(res, la, ptz, size, size, budget,
-                                      sub_dtype=np.float32)
-    val = int(np.asarray(out).astype(np.int64).sum())
+    o = run()
     dt = time.perf_counter() - t0
     extra["deep_la_render_s"] = round(dt, 3)
     extra["deep_la_mpix_s"] = round(size * size / dt / 1e6, 3)
-    extra["deep_iter_sum"] = val
+    extra["deep_iter_sum"] = int(o.astype(np.int64).sum())
 
 
 def _ntt(extra):

@@ -26,6 +26,11 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=None)
     p.add_argument("--abort-file", default=None,
                    help="touch this file to stop the queue")
+    p.add_argument("--tile-rows", type=int, default=None,
+                   help="poster mode: render in checkpointed row bands "
+                        "of this height (resumable across runs)")
+    p.add_argument("--ckpt-dir", default=None,
+                   help="tile checkpoint directory (default: out-dir)")
     args = p.parse_args(argv)
 
     from fractalshark_tpu.engine.fractal import Fractal
@@ -55,7 +60,31 @@ def main(argv=None) -> int:
                     algorithm=args.render_algorithm,
                     num_iterations=loc.num_iterations,
                     antialiasing=max(1, loc.antialiasing))
-        rgba = np.asarray(f.render())
+        if args.tile_rows:
+            # poster mode: checkpointed resumable tile farm — a killed
+            # queue resumes from the finished bands (direct escape
+            # algorithms; y0-offset bands are bit-identical to the
+            # whole image)
+            import jax.numpy as jnp
+
+            from fractalshark_tpu.parallel.tile_farm import TileFarm
+            from fractalshark_tpu.ops import escape
+
+            ck = os.path.join(args.ckpt_dir or args.out_dir,
+                              f"tiles_{i:03d}")
+            farm = TileFarm(f.ptz, w, h, args.tile_rows, ck)
+
+            def render_band(ptz, width, height, y0, th):
+                pp = escape.PlainParams.from_view(ptz, width, height)
+                return np.asarray(escape.escape_jax(
+                    pp, width, th, f.num_iterations,
+                    dtype=jnp.float64, y0=y0))
+
+            farm.run(render_band)
+            iters = farm.gather_local()
+            rgba = np.asarray(f.color(jnp.asarray(iters)))
+        else:
+            rgba = np.asarray(f.render())
         name = (loc.description.replace(" ", "_")[:40] or f"location{i}")
         out = os.path.join(args.out_dir, f"{i:03d}_{name}.png")
         write_png_parallel(out, rgba16_to_rgba8(rgba))
