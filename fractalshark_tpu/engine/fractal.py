@@ -183,8 +183,11 @@ class Fractal:
             return dblflt.escape_df(self.ptz, w, h, n, variant=alg.dtype,
                                     backend=self.backend)
         if alg.dtype in ("4x32", "4x64"):
-            from fractalshark_tpu.ops import quadflt
-            return quadflt.escape_qf(self.ptz, w, h, n, variant=alg.dtype)
+            # true renormalizing QD (ops/quadd.py) — the reference's
+            # GQF/GQD class; the compensated QF path remains as the
+            # faster lower-precision alternative
+            from fractalshark_tpu.ops import quadd
+            return quadd.escape_qd(self.ptz, w, h, n, variant=alg.dtype)
         if alg.dtype in ("hdr32", "hdr64"):
             from fractalshark_tpu.ops import hdr_escape
             return hdr_escape.escape_hdr(

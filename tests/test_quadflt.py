@@ -92,3 +92,75 @@ def test_engine_4x32_dispatch():
     out = np.asarray(f.calc_fractal())
     assert out.shape == (24, 24)
     assert out.max() == 100
+
+
+def _qd_bits(dtype, ops=200, seed=0):
+    """Measured effective precision of QD ops vs a HighPrecision
+    oracle over random mul/add chains."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from fractalshark_tpu.core.highprecision import HighPrecision as HP
+    from fractalshark_tpu.ops import quadd as Q
+
+    rng = np.random.default_rng(seed)
+    prec = 400
+    a_hp = HP(rng.uniform(0.5, 2.0), prec=prec)
+    b_hp = HP(rng.uniform(0.5, 2.0), prec=prec)
+
+    def to_qd(h):
+        comps = Q.qd_from_hp(h, dtype)
+        return Q.QD(*(jnp.asarray(np.full((1,), c)) for c in comps))
+
+    a = to_qd(a_hp)
+    b = to_qd(b_hp)
+    worst = 1e9
+    for k in range(ops):
+        if k % 2 == 0:
+            a = Q.qd_mul(a, b)
+            a_hp = a_hp * b_hp
+        else:
+            a = Q.qd_add(a, b)
+            a_hp = a_hp + b_hp
+        # keep magnitudes in range
+        if abs(float(a_hp)) > 1e6 or abs(float(a_hp)) < 1e-6:
+            scale = 2.0 ** -int(np.log2(abs(float(a_hp))))
+            a = Q.qd_mul_pow2(a, dtype(scale))
+            a_hp = a_hp * HP(scale, prec=prec)
+        got = sum(HP(float(np.asarray(c)[0]), prec=prec)
+                  for c in a)
+        err = abs(float((got - a_hp) / a_hp))
+        if err > 0:
+            worst = min(worst, -np.log2(err))
+    return worst
+
+
+def test_qd32_effective_precision():
+    """True renormalizing QD (4xf32) must beat the compensated
+    pair-of-DFs' ~76-bit floor: expect >= 85 effective bits worst-case
+    over random op chains (textbook ~3.9x24 ≈ 93)."""
+    bits = _qd_bits(np.float32)
+    assert bits >= 85, bits
+
+
+def test_qd64_effective_precision():
+    bits = _qd_bits(np.float64, ops=60)
+    assert bits >= 180, bits
+
+
+def test_escape_qd_matches_qf_on_deep_view():
+    """The QD escape render agrees with the QF render away from its
+    precision floor and is at least as accurate (both beyond f64)."""
+    import numpy as np
+
+    from fractalshark_tpu.core.pointzoom import PointZoomBBConverter
+    from fractalshark_tpu.ops.quadd import escape_qd
+    from fractalshark_tpu.ops.quadflt import escape_qf
+
+    ptz = PointZoomBBConverter(
+        pt_x="-0.743643887037151", pt_y="0.131825904205330",
+        zoom_factor="1e17", prec=256).square_aspect_ratio(24, 24)
+    qd = np.asarray(escape_qd(ptz, 24, 24, 600, variant="4x32"))
+    qf = np.asarray(escape_qf(ptz, 24, 24, 600, variant="4x32"))
+    assert (qd == qf).mean() > 0.9
