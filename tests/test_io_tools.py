@@ -81,3 +81,24 @@ def test_ntt_stage_checksums_match_oracle():
     dev_bad = checksum_multiply_3way(dx_bad, dy, spec)
     diffs = diff_checksums(dev_bad, host)
     assert "input_x_digits" in diffs
+
+
+def test_tray_poster_mode_resumable(tmp_path):
+    """--tile-rows renders through the checkpointed TileFarm and a
+    second run resumes (no tiles recomputed) while producing the same
+    PNG."""
+    import os
+
+    from fractalshark_tpu.tray import main
+
+    loc = tmp_path / "locs.txt"
+    loc.write_text("96 96 -2.5 -1.5 1.5 1.5 64 1 poster\n")
+    out1 = tmp_path / "o1"
+    main([str(loc), "--out-dir", str(out1), "--tile-rows", "32"])
+    png = next(p for p in os.listdir(out1) if p.endswith(".png"))
+    first = (out1 / png).read_bytes()
+    # second run with the same ckpt dir: all tiles done -> same output
+    main([str(loc), "--out-dir", str(out1), "--tile-rows", "32"])
+    assert (out1 / png).read_bytes() == first
+    ck = out1 / "tiles_000"
+    assert any(f.endswith(".npy") for f in os.listdir(ck))
