@@ -354,10 +354,11 @@ def la_perturb_render(results, la, ptz: PointZoomBBConverter,
         at_step = 0
 
     if chunk_steps is None:
-        # keep a single dispatch to a few seconds: per-body-step cost
-        # scales with pixel count (gather-bound)
+        # keep a single dispatch to ~1-3 s: per-body-step cost scales
+        # with pixel count (gather-bound; ~0.6 ms/step at 128² with
+        # packed gathers on v5e)
         if jax.default_backend() == "tpu":
-            chunk_steps = max(64, (1 << 23) // max(1, width * height))
+            chunk_steps = max(64, (1 << 25) // max(1, width * height))
         else:
             chunk_steps = 0
     max_ref = results.max_ref_iteration()
