@@ -148,7 +148,9 @@ def perturb_render_pallas(results, ptz: PointZoomBBConverter,
     the orbit exceeds the VMEM budget (caller falls back to XLA)."""
     count = results.count_orbit_entries() + 1  # + wraparound entry
     R = -(-count // LANE)
-    if R > MAX_ORBIT_ROWS or max_iter >= (1 << 31):
+    # big budgets go to the resumable streaming kernel instead: this
+    # kernel runs one unbounded dispatch (device-watchdog risk)
+    if R > MAX_ORBIT_ROWS or max_iter > 200_000:
         return None
     ox, oy = results.device_orbit(np.float32)
     oxp = np.zeros((R, LANE), np.float32)
