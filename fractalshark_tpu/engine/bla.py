@@ -211,7 +211,8 @@ def get_or_build_bla(results) -> BLATable:
     if bla is None:
         from fractalshark_tpu.core.hdr_host import HD
         rad = HD.from_hp(results.max_radius)
-        bla = BLATable.build(results.orbit_x, results.orbit_y,
+        bx, by = results.orbit_plain()
+        bla = BLATable.build(bx, by,
                              rad.m, rad.e)
         results.extra["bla_table"] = bla
     return bla

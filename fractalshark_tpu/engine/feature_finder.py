@@ -263,8 +263,7 @@ def _pt_scan(results, dcx: float, dcy: float, rad, budget: int,
     (iteration n0, delta (dzx, dzy) at orbit index j, dzdc carried in
     host-HDR). Returns the detected entry count or 0."""
     from fractalshark_tpu.core.hdr_host import HD
-    ox = results.orbit_x
-    oy = results.orbit_y
+    ox, oy = results.orbit_plain()
     max_ref = results.max_ref_iteration()
     dzdc_x = HD.from_float(1.0) if dzdc_x is None else dzdc_x
     dzdc_y = HD.zero() if dzdc_y is None else dzdc_y
@@ -389,8 +388,7 @@ def _node_ref(nodes, s0, jn, la, results, pos):
     if jn < macro and s0 + jn < len(nodes):
         return nodes[s0 + jn].ref
     i = min(pos, len(results.orbit_x) - 1)
-    return HDC.from_complex(complex(results.orbit_x[i],
-                                    results.orbit_y[i]))
+    return HDC.from_complex(results.get_complex(i))
 
 
 def find_period_candidate_pt(results, cx: HighPrecision,
@@ -407,8 +405,7 @@ def find_period_candidate_pt(results, cx: HighPrecision,
     Returns the detected entry count (period + 1 convention of the
     direct path) or 0."""
     from fractalshark_tpu.core.hdr_host import HD
-    ox = results.orbit_x
-    oy = results.orbit_y
+    ox, oy = results.orbit_plain()
     max_ref = results.max_ref_iteration()
     dcx = float(cx - results.center_x)
     dcy = float(cy - results.center_y)

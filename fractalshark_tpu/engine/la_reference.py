@@ -98,6 +98,10 @@ def _detect_period(p: LAParameters, node: LANode, z: HDC) -> bool:
 
 
 def _hd_div(a: HD, b: HD) -> HD:
+    if b.m == 0.0:
+        # divisor underflowed (orbit dip below the mantissa range):
+        # treat the quotient as zero-threshold (conservative)
+        return HD(0.0, 0)
     return HD(a.m / b.m, a.e - b.e).reduce()
 
 
@@ -195,6 +199,20 @@ def _at_usable(at: ATInfo, sqr_radius: HD) -> bool:
             four.lt(at.sqr_escape_radius))
 
 
+def _orbit_accessor(orbit):
+    if isinstance(orbit, tuple):
+        vals, exps = orbit
+
+        def gc(i):
+            c = HDC.from_complex(vals[i])
+            if c.m == 0:
+                return c
+            return HDC(c.m, c.e + int(exps[i]))
+
+        return gc
+    return lambda i: HDC.from_complex(orbit[i])
+
+
 @dataclass
 class LAReferenceHost:
     """Built LA table (host form)."""
@@ -212,13 +230,21 @@ class LAReferenceHost:
     @staticmethod
     def generate(orbit_x: np.ndarray, orbit_y: np.ndarray,
                  radius_hd: HD, params: LAParameters | None = None,
-                 sub_is_f32: bool = True) -> "LAReferenceHost":
-        """GenerateApproximationData (LAReference.cpp:974-1017)."""
+                 sub_is_f32: bool = True,
+                 orbit_e: np.ndarray | None = None) -> "LAReferenceHost":
+        """GenerateApproximationData (LAReference.cpp:974-1017).
+
+        orbit_e: optional per-entry power-of-two exponents — at extreme
+        depth the orbit's near-period dips (|Z| ~ the minibrot scale)
+        underflow plain f64, and a zero Ref poisons node coefficients;
+        the reference stores HDRFloat orbits for the same reason."""
         self = LAReferenceHost(params=params or LAParameters())
         max_ref = len(orbit_x) - 1
         if max_ref == 0:
             return self
         orbit = orbit_x.astype(np.float64) + 1j * orbit_y.astype(np.float64)
+        if orbit_e is not None:
+            orbit = (orbit, np.asarray(orbit_e, np.int64))
         detected = self._create_la_from_orbit(orbit, max_ref)
         if not detected:
             return self
@@ -226,31 +252,35 @@ class LAReferenceHost:
             detected = self._create_new_la_stage(orbit, max_ref)
             if not detected:
                 break
-        self._create_at_from_la(radius_hd, sub_is_f32)
+        self._create_at_from_la(radius_hd, sub_is_f32, max_ref)
         self.is_valid = True
         return self
 
     @staticmethod
     def generate_auto(orbit_x: np.ndarray, orbit_y: np.ndarray,
                       radius_hd: HD, params: LAParameters | None = None,
-                      sub_is_f32: bool = True) -> "LAReferenceHost":
+                      sub_is_f32: bool = True,
+                      orbit_e: np.ndarray | None = None
+                      ) -> "LAReferenceHost":
         """Native C++ builder when available (LAReference.cpp's CPU
         build path — ~1000× the Python walk), else the Python oracle."""
         from fractalshark_tpu.engine import native_la
         la = native_la.generate_native(orbit_x, orbit_y, radius_hd,
                                        params=params,
-                                       sub_is_f32=sub_is_f32)
+                                       sub_is_f32=sub_is_f32,
+                                       orbit_e=orbit_e)
         if la is not None:
             return la
         return LAReferenceHost.generate(orbit_x, orbit_y, radius_hd,
                                         params=params,
-                                        sub_is_f32=sub_is_f32)
+                                        sub_is_f32=sub_is_f32,
+                                        orbit_e=orbit_e)
 
     def _create_la_from_orbit(self, orbit: np.ndarray,
                               max_ref: int) -> bool:
         """Stage-0 build (LAReference.cpp:31-208, single-threaded)."""
         p = self.params
-        gc = lambda i: HDC.from_complex(orbit[i])  # noqa: E731
+        gc = _orbit_accessor(orbit)
         self.stage_la_index = [0]
         self.stage_macro_it_count = [0]
         self.use_at = False
@@ -347,7 +377,7 @@ class LAReferenceHost:
     def _create_new_la_stage(self, orbit: np.ndarray, max_ref: int) -> bool:
         """Higher-stage build (LAReference.cpp:777-972)."""
         p = self.params
-        gc = lambda i: HDC.from_complex(orbit[i])  # noqa: E731
+        gc = _orbit_accessor(orbit)
         prev_stage = self.stage_count - 1
         cur_stage = self.stage_count
         prev_idx = self.stage_la_index[prev_stage]
@@ -461,12 +491,24 @@ class LAReferenceHost:
         # another stage is worthwhile while this one is still big
         return self.stage_macro_it_count[cur_stage] > LOW_BOUND
 
-    def _create_at_from_la(self, radius_hd: HD, sub_is_f32: bool) -> None:
-        """CreateATFromLA (LAReference.cpp:1052-1074)."""
+    def _create_at_from_la(self, radius_hd: HD, sub_is_f32: bool,
+                           max_ref: int = 0) -> None:
+        """CreateATFromLA (LAReference.cpp:1052-1074) — with one extra
+        guard the reference's Usable test lacks: the AT node's window
+        must cover (essentially) the WHOLE orbit.  The AT model
+        iterates z' <- z'^2 + c', which is the renormalized dynamics
+        only when the window is a full period; a sub-period window
+        passes Usable at extreme depth (RefC at a dip is tiny) yet
+        cannot model the per-window amplification of dc — measured on
+        View #30: AT-on consumed the entire 200M budget on every pixel
+        while the true first escapes are at ~0.46 x period."""
         sqr_radius = (radius_hd * radius_hd).reduce()
         for stage in range(self.stage_count - 1, -1, -1):
             idx = self.stage_la_index[stage]
-            at = _create_at(self.las[idx], self.las[idx + 1], sub_is_f32)
+            node = self.las[idx]
+            if max_ref > 0 and node.step_length * 2 <= max_ref:
+                continue       # sub-period window: model invalid
+            at = _create_at(node, self.las[idx + 1], sub_is_f32)
             if at.step_length > 0 and _at_usable(at, sqr_radius):
                 self.at = at
                 self.use_at = True
@@ -529,6 +571,7 @@ def get_or_build_la(fractal, results) -> LAReferenceHost | None:
         params = LAParameters()
         la = LAReferenceHost.generate_auto(
             results.orbit_x, results.orbit_y,
-            HD.from_hp(results.max_radius), params=params)
+            HD.from_hp(results.max_radius), params=params,
+            orbit_e=results.orbit_e)
         results.extra["la_reference"] = la
     return la if la.is_valid else None

@@ -67,6 +67,7 @@ def _load():
         lib.fs_la_generate.restype = ctypes.c_int64
         lib.fs_la_generate.argtypes = [
             _D, _D, ctypes.c_int64,                      # orbit
+            ctypes.c_void_p,                             # orbit exps (opt)
             ctypes.c_double, ctypes.c_int64,             # radius
             ctypes.c_int, ctypes.c_double, ctypes.c_double,
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
@@ -149,7 +150,8 @@ class _NodeView:
 
 def generate_native(orbit_x: np.ndarray, orbit_y: np.ndarray,
                     radius_hd: HD, params: LAParameters | None = None,
-                    sub_is_f32: bool = True):
+                    sub_is_f32: bool = True,
+                    orbit_e: np.ndarray | None = None):
     """Native LAReferenceHost.generate. Returns None when the library
     is unavailable or the orbit yields no valid table (callers fall
     back to the Python builder / direct render)."""
@@ -186,8 +188,13 @@ def generate_native(orbit_x: np.ndarray, orbit_y: np.ndarray,
         return a.ctypes.data_as(_I)
 
     rad = radius_hd.reduce()
+    if orbit_e is not None:
+        oe = np.ascontiguousarray(orbit_e, np.int32)
+        oe_ptr = oe.ctypes.data_as(ctypes.c_void_p)
+    else:
+        oe_ptr = None
     cnt = lib.fs_la_generate(
-        dp(ox), dp(oy), n, float(rad.m), int(rad.e),
+        dp(ox), dp(oy), n, oe_ptr, float(rad.m), int(rad.e),
         p.detection_method, p.la_threshold_scale, p.la_threshold_c_scale,
         p.stage0_period_detection_threshold2,
         p.period_detection_threshold2,

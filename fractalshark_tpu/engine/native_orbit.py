@@ -64,7 +64,8 @@ def _load():
             ctypes.c_double, ctypes.c_int64, ctypes.c_int,
             ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double),
-            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),   # out_e (HDR exponents)
+            ctypes.POINTER(ctypes.c_int32),   # status
         ]
         _lib = lib
         return _lib
@@ -115,6 +116,7 @@ def compute_reference_orbit_native(center_x: HighPrecision,
     rad = HD.from_hp(max_radius)
     out_x = np.zeros(max_iterations + 2, np.float64)
     out_y = np.zeros(max_iterations + 2, np.float64)
+    out_e = np.zeros(max_iterations + 2, np.int32)
     status = ctypes.c_int32(0)
     count = lib.fs_reference_orbit(
         cx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), sx,
@@ -122,11 +124,14 @@ def compute_reference_orbit_native(center_x: HighPrecision,
         nlimbs, max_iterations, rad.m, rad.e, int(periodicity),
         out_x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         out_y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        out_e.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ctypes.byref(status))
     period = count if status.value == 1 else 0
     escaped = count if status.value == 2 else 0
+    oe = out_e[:count]
     return PerturbationResults(
         center_x=center_x, center_y=center_y,
         orbit_x=out_x[:count].copy(), orbit_y=out_y[:count].copy(),
         max_radius=max_radius, period=period, escaped_at=escaped,
-        max_iterations=max_iterations, precision_bits=prec)
+        max_iterations=max_iterations, precision_bits=prec,
+        orbit_e=oe.copy() if (oe != 0).any() else None)

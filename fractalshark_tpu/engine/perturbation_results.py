@@ -47,6 +47,11 @@ class PerturbationResults:
     max_iterations: int = 0            # budget the orbit was computed for
     precision_bits: int = 0
     compression_error_exp: int | None = None
+    # optional per-entry power-of-two exponents: at extreme depth the
+    # orbit's near-period dips underflow f64 (|Z| ~ the minibrot
+    # scale); entries with orbit_e[i] != 0 hold (mantissa, exp) —
+    # the reference stores HDRFloat orbits for the same reason
+    orbit_e: np.ndarray | None = None
     # intermediate-precision reuse orbit (perturbed perturbation) — later
     extra: dict = field(default_factory=dict)
 
@@ -55,8 +60,18 @@ class PerturbationResults:
     def count_orbit_entries(self) -> int:
         return len(self.orbit_x)
 
+    def orbit_plain(self) -> tuple[np.ndarray, np.ndarray]:
+        """f64 orbit values with sub-f64 dips flushed to 0 (plain-float
+        consumers: compressors, BLA build, f64 evaluators)."""
+        if self.orbit_e is None:
+            return self.orbit_x, self.orbit_y
+        return (np.ldexp(self.orbit_x, self.orbit_e),
+                np.ldexp(self.orbit_y, self.orbit_e))
+
     def get_complex(self, j: int) -> complex:
-        return complex(self.orbit_x[j], self.orbit_y[j])
+        x, y = (self.orbit_x, self.orbit_y) if self.orbit_e is None \
+            else self.orbit_plain()
+        return complex(x[j], y[j])
 
     def period_maybe_zero(self) -> int:
         return self.period
@@ -105,9 +120,15 @@ class PerturbationResults:
         """Orbit arrays for device upload, with ONE extra wraparound
         entry so kernels may read Z[j+1] at j == maxRefIteration before
         the rebase test fires: Z[count] = Z[0] for periodic orbits
-        (z_{n+p} = z_n), else the last value repeated."""
-        x = self.orbit_x.astype(dtype, copy=False)
-        y = self.orbit_y.astype(dtype, copy=False)
+        (z_{n+p} = z_n), else the last value repeated.  Sub-f64 dips
+        (orbit_e != 0) flush to 0 — correct for the delta kernels,
+        whose rebasing covers the near-period window."""
+        if self.orbit_e is not None:
+            x = np.ldexp(self.orbit_x, self.orbit_e).astype(dtype)
+            y = np.ldexp(self.orbit_y, self.orbit_e).astype(dtype)
+        else:
+            x = self.orbit_x.astype(dtype, copy=False)
+            y = self.orbit_y.astype(dtype, copy=False)
         if self.period > 0:
             wx, wy = x[:1], y[:1]
         else:
@@ -175,6 +196,8 @@ class PerturbationResults:
             # the file IS the orbit store
             np.save(path + ".orbit.x.npy", self.orbit_x)
             np.save(path + ".orbit.y.npy", self.orbit_y)
+            if self.orbit_e is not None:
+                np.save(path + ".orbit.e.npy", self.orbit_e)
         else:
             raise ValueError(f"unknown compression {compression!r}")
 
@@ -198,10 +221,15 @@ class PerturbationResults:
             mode = "r" if mmap else None
             arrs = {"x": np.load(path + ".orbit.x.npy", mmap_mode=mode),
                     "y": np.load(path + ".orbit.y.npy", mmap_mode=mode)}
+            import os as _os
+            if _os.path.exists(path + ".orbit.e.npy"):
+                arrs["e"] = np.load(path + ".orbit.e.npy",
+                                    mmap_mode=mode)
         return PerturbationResults(
             center_x=HighPrecision(meta["center_x"], prec=prec),
             center_y=HighPrecision(meta["center_y"], prec=prec),
             orbit_x=arrs["x"], orbit_y=arrs["y"],
+            orbit_e=arrs.get("e"),
             max_radius=HighPrecision(meta["max_radius"], prec=64),
             period=meta["period"], escaped_at=meta["escaped_at"],
             max_iterations=meta["max_iterations"],
@@ -234,8 +262,7 @@ class CompressedOrbit:
         ``CompressionError = pow(10, CompressionErrorExp)`` applied ONCE
         to the squared error), so the interop defaults 20/450 mean the
         same thing here."""
-        x = res.orbit_x
-        y = res.orbit_y
+        x, y = res.orbit_plain()
         n = len(x)
         cx = float(res.center_x)
         cy = float(res.center_y)
@@ -341,8 +368,7 @@ class MaxCompressedOrbit:
     @staticmethod
     def from_uncompressed(res: PerturbationResults,
                           error_exp: int = 20) -> "MaxCompressedOrbit":
-        X = res.orbit_x
-        Y = res.orbit_y
+        X, Y = res.orbit_plain()
         n = len(X)
         cx = float(res.center_x)
         cy = float(res.center_y)

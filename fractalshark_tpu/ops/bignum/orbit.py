@@ -91,10 +91,16 @@ def orbit_chunk(sx, x, sy, y, dzdc_x, dzdc_y, dzdc_e,
         mzx, ezx = _shadow_hdr(sx, x, F)
         mzy, ezy = _shadow_hdr(sy, y, F)
 
-        # plain-f64 shadow (orbit values are O(1); exponents below
-        # f64 range underflow to 0, which is the correct shadow)
+        # plain-f64 shadow for escape/periodicity math (exponents
+        # below f64 range underflow to 0) PLUS the shared-exponent HDR
+        # form for the emitted orbit: near-period dips at extreme depth
+        # (|Z| ~ minibrot scale, e.g. 2^-380k on View #30) are only
+        # representable as (mantissa, exp)
         lzx = mzx * jnp.exp2(jnp.asarray(ezx, jnp.float64))
         lzy = mzy * jnp.exp2(jnp.asarray(ezy, jnp.float64))
+        e_sh = jnp.maximum(ezx, ezy)
+        sh_mx = mzx * jnp.exp2(jnp.asarray(ezx - e_sh, jnp.float64))
+        sh_my = mzy * jnp.exp2(jnp.asarray(ezy - e_sh, jnp.float64))
 
         # ---- periodicity test BEFORE the dzdc update (checker order):
         # max(|zx|,|zy|) < radius · max(|dzdcX|,|dzdcY|) · 2.
@@ -146,7 +152,7 @@ def orbit_chunk(sx, x, sy, y, dzdc_x, dzdc_y, dzdc_e,
         nsx, nx, nsy, ny = FP.iterate_z(sx, x, sy, y,
                                         scx, cx, scy, cy, spec)
         return ((nsx, nx, nsy, ny, ndx, ndy, nde),
-                (lzx, lzy, period_flag, escape_flag))
+                (lzx, lzy, period_flag, escape_flag, sh_mx, sh_my, e_sh))
 
     state, out = jax.lax.scan(
         body, (sx, x, sy, y, dzdc_x, dzdc_y, dzdc_e), None, length=steps)
@@ -268,6 +274,8 @@ class TpuOrbitSession:
             gy = GrowableArray(np.float64)
         gx.append(0.0)  # zero seed entry (PerturbationResults.cpp:866)
         gy.append(0.0)
+        ge = GrowableArray(np.int32)
+        ge.append(0)
         count = 1
         period = 0
         escaped_at = 0
@@ -283,14 +291,24 @@ class TpuOrbitSession:
                                      rad_m, rad_e,
                                      jnp.float64(cxf), jnp.float64(cyf),
                                      spec=spec, steps=steps)
-            lzx, lzy, pflag, eflag = (np.asarray(v) for v in out)
+            (lzx, lzy, pflag, eflag,
+             sh_mx, sh_my, e_sh) = (np.asarray(v) for v in out)
             # vectorized host bookkeeping: truncate at the first flag
             pidx = int(np.argmax(pflag)) if (periodicity and
                                              pflag.any()) else steps
             eidx = int(np.argmax(eflag)) if eflag.any() else steps
             take = min(steps, pidx + 1, eidx + 1)
-            gx.extend(lzx[:take])
-            gy.extend(lzy[:take])
+            # store the HDR form: mantissa + exponent (plain value
+            # when representable — exponent folded in, e = 0)
+            rep = np.abs(lzx[:take]) + np.abs(lzy[:take]) > 0.0
+            dip = (~rep) & ((np.abs(sh_mx[:take]) +
+                             np.abs(sh_my[:take])) > 0.0)
+            mx = np.where(dip, sh_mx[:take], lzx[:take])
+            my = np.where(dip, sh_my[:take], lzy[:take])
+            ee = np.where(dip, e_sh[:take], 0).astype(np.int32)
+            gx.extend(mx)
+            gy.extend(my)
+            ge.extend(ee)
             count += take
             if periodicity and pidx < steps and pidx <= eidx:
                 period = count
@@ -304,6 +322,9 @@ class TpuOrbitSession:
 
         xs = gx.finalize()
         ys = gy.finalize()
+        es = ge.finalize()
+        orbit_e = np.asarray(es, np.int32) if (np.asarray(es) != 0).any() \
+            else None
         return PerturbationResults(
             center_x=self.center_x, center_y=self.center_y,
             orbit_x=np.asarray(xs, np.float64),
@@ -311,7 +332,8 @@ class TpuOrbitSession:
             max_radius=self.max_radius,
             period=period, escaped_at=escaped_at,
             max_iterations=max_iterations,
-            precision_bits=spec.frac_bits)
+            precision_bits=spec.frac_bits,
+            orbit_e=orbit_e)
 
 
 def compute_reference_orbit_device(center_x: HighPrecision,

@@ -68,17 +68,27 @@ static bool hd_lt_abs(HDd a, HDd b) {  // |a| < |b|
     return a.m < b.m;
 }
 
-// f64 shadow of a sign-magnitude fixed-point number (frac = 64*(L-1) bits)
-static double shadow(const mp_limb_t *v, int sign, mp_size_t L) {
+// HDR shadow of a sign-magnitude fixed-point number (frac = 64*(L-1)
+// bits): mantissa (normalized to the top limbs) + power-of-two
+// exponent.  At extreme depth the near-period dips are far below the
+// f64 range (|Z| ~ the minibrot scale), so the plain double form
+// underflows — the reference stores HDRFloat orbits for this reason.
+static double shadow_me(const mp_limb_t *v, int sign, mp_size_t L,
+                        int64_t *e_out) {
     mp_size_t top = L - 1;
     while (top >= 0 && v[top] == 0) top--;
-    if (top < 0) return 0.0;
-    // use up to 128 bits from the top
+    if (top < 0) { *e_out = 0; return 0.0; }
     double hi = (double)v[top];
     double lo = top > 0 ? (double)v[top - 1] : 0.0;
     double m = hi + std::ldexp(lo, -64);
-    int64_t e = 64 * (top - (L - 1));
-    return sign * std::ldexp(m, (int)e);
+    *e_out = 64 * (top - (L - 1));
+    return sign * m;   // |m| in [1, 2^64)
+}
+
+static double shadow(const mp_limb_t *v, int sign, mp_size_t L) {
+    int64_t e;
+    double m = shadow_me(v, sign, L, &e);
+    return std::ldexp(m, (int)e);
 }
 
 // magnitude helpers ---------------------------------------------------------
@@ -160,6 +170,7 @@ int64_t fs_reference_orbit(const mp_limb_t *cx_mag, int cx_sign,
                            double radius_m, int64_t radius_e,
                            int periodicity,
                            double *out_x, double *out_y,
+                           int32_t *out_e,  // nullable: HDR exponents
                            int32_t *status_out) {
     const mp_size_t L = (mp_size_t)nlimbs;
     std::vector<mp_limb_t> zx(cx_mag, cx_mag + L), zy(cy_mag, cy_mag + L);
@@ -201,19 +212,36 @@ int64_t fs_reference_orbit(const mp_limb_t *cx_mag, int cx_sign,
     int64_t count = 0;
     out_x[count] = 0.0;  // zero seed entry (PerturbationResults.cpp:866)
     out_y[count] = 0.0;
+    if (out_e) out_e[count] = 0;
     count++;
 
     int32_t status = 0;
     for (int64_t i = 0; i < max_iter; i++) {
-        const double lzx = shadow(zx.data(), sx, L);
-        const double lzy = shadow(zy.data(), sy, L);
-        out_x[count] = lzx;
-        out_y[count] = lzy;
+        int64_t ex, ey;
+        const double mx = shadow_me(zx.data(), sx, L, &ex);
+        const double my = shadow_me(zy.data(), sy, L, &ey);
+        const double lzx = std::ldexp(mx, (int)ex);
+        const double lzy = std::ldexp(my, (int)ey);
+        if ((lzx != 0.0 || lzy != 0.0) || (mx == 0.0 && my == 0.0) ||
+            !out_e) {
+            out_x[count] = lzx;
+            out_y[count] = lzy;
+            if (out_e) out_e[count] = 0;
+        } else {
+            // sub-f64 dip: store the shared-exponent HDR form
+            int64_t e_sh = (std::fabs(mx) >= std::fabs(my) || my == 0.0)
+                               ? ex : ey;
+            if (mx == 0.0) e_sh = ey;
+            if (my == 0.0) e_sh = ex;
+            out_x[count] = std::ldexp(mx, (int)(ex - e_sh));
+            out_y[count] = std::ldexp(my, (int)(ey - e_sh));
+            out_e[count] = (int32_t)e_sh;
+        }
         count++;
 
         if (periodicity) {
-            HDd azx = hd_from_double(std::fabs(lzx));
-            HDd azy = hd_from_double(std::fabs(lzy));
+            HDd azx = hd_reduce({std::fabs(mx), ex});
+            HDd azy = hd_reduce({std::fabs(my), ey});
             HDd n2 = hd_lt_abs(azx, azy) ? azy : azx;
             HDd r0x = hd_reduce({std::fabs(dzdc_x.m), dzdc_x.e});
             HDd r0y = hd_reduce({std::fabs(dzdc_y.m), dzdc_y.e});

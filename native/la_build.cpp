@@ -244,13 +244,18 @@ static LANode composite(const Params &p, const LANode &node,
 struct Builder {
     Params p;
     const double *ox, *oy;
+    const int32_t *oe = nullptr;
     int64_t max_ref;
     std::vector<LANode> las;
     std::vector<int64_t> stage_la_index;
     std::vector<int64_t> stage_macro_it_count;
     int64_t stage_count = 0;
 
-    HDC gc(int64_t i) const { return hdc_from_complex(ox[i], oy[i]); }
+    HDC gc(int64_t i) const {
+        HDC c = hdc_from_complex(ox[i], oy[i]);
+        if (oe && (c.re != 0.0 || c.im != 0.0)) c.e += oe[i];
+        return c;
+    }
 
     // mirrors _create_la_from_orbit (la_reference.py)
     bool create_la_from_orbit() {
@@ -511,6 +516,7 @@ extern "C" {
 // flags: [0]=is_valid, [1]=use_at, [2]=at_step_length, [3]=stage_count
 int64_t fs_la_generate(
     const double *orbit_x, const double *orbit_y, int64_t n_orbit,
+    const int32_t *orbit_exp,  // nullable: per-entry 2^e scale (HDR orbit)
     double radius_m, int64_t radius_e,
     int detection_method, double la_threshold_scale,
     double la_threshold_c_scale, double stage0_pdt2, double pdt2,
@@ -528,6 +534,7 @@ int64_t fs_la_generate(
            stage0_pdt2, pdt2, stage0_pdt, pdt, period_divisor};
     b.ox = orbit_x;
     b.oy = orbit_y;
+    b.oe = orbit_exp;
     b.max_ref = n_orbit - 1;
     flags[0] = 0;
     flags[1] = 0;
@@ -556,6 +563,10 @@ int64_t fs_la_generate(
         int64_t idx = b.stage_la_index[stage];
         const LANode &node = b.las[idx];
         const LANode &next_node = b.las[idx + 1];
+        // full-period window guard (see la_reference._create_at_from_la:
+        // a sub-period AT window passes Usable at extreme depth yet
+        // cannot model the per-window amplification of dc)
+        if (node.step_length * 2 <= b.max_ref) continue;
         // _create_at
         HDC zc = node.zcoeff;
         HDC cc = hdc_mul(zc, node.ccoeff);

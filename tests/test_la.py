@@ -186,3 +186,50 @@ def test_chunked_relaunch_bit_exact(deep_view):
         res, la, ptz, 32, 32, 3000, sub_dtype=np.float32,
         chunk_steps=37))
     np.testing.assert_array_equal(one, chunked)
+
+
+def test_hdr_orbit_exponents_reach_la_nodes():
+    """Sub-f64 orbit dips ship as (mantissa, exp); the LA builders must
+    carry the exponents into node Refs instead of seeing zeros (the
+    View #30 failure: every stage-boundary ref underflowed to 0 and a
+    spuriously-usable AT consumed the whole budget). Native and Python
+    builders must agree on the exponent-carrying orbit."""
+    from fractalshark_tpu.engine import native_la
+    ptz = PointZoomBBConverter(
+        pt_x="-0.743643887037158704752191506114774",
+        pt_y="0.131825904205311970493132056385139",
+        zoom_factor="1e8", prec=512)
+    from fractalshark_tpu.engine.reforbit import compute_reference_orbit
+    res = compute_reference_orbit(
+        ptz.pt_x.with_precision(512), ptz.pt_y.with_precision(512),
+        4000, ptz.radius, periodicity=True, precision_bits=512)
+    n = res.count_orbit_entries()
+    # synthesize dips: every 500th entry becomes mantissa*2^-3000
+    ox = res.orbit_x.copy()
+    oy = res.orbit_y.copy()
+    oe = np.zeros(n, np.int32)
+    for i in range(250, n - 2, 500):
+        oe[i] = -3000
+    rad = HD.from_hp(res.max_radius)
+    la_p = LAReferenceHost.generate(ox, oy, rad, orbit_e=oe)
+    assert la_p.is_valid
+    # some node must carry a deep-exponent ref
+    deep = [nd for nd in la_p.las if nd.ref.e < -1000]
+    assert deep, "no node picked up the dip exponents"
+    if native_la.available():
+        la_n = native_la.generate_native(ox, oy, rad, orbit_e=oe)
+        assert la_n is not None
+        an = la_n.device_arrays(np.float64)
+        ap = la_p.device_arrays(np.float64)
+        np.testing.assert_array_equal(an["ref_e"], ap["ref_e"])
+        np.testing.assert_array_equal(an["ref_m"], ap["ref_m"])
+
+
+def test_at_requires_full_period_window(deep_view):
+    """The AT engages only when its window covers (essentially) the
+    whole orbit — a sub-period window's z'^2+c' model cannot represent
+    the per-window amplification of dc (View #30 regression)."""
+    ptz, res, la = deep_view
+    if la.use_at:
+        idx = la.stage_la_index[-1]
+        assert la.las[idx].step_length * 2 > res.max_ref_iteration()

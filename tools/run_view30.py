@@ -50,6 +50,10 @@ state.update(phase="orbit_done", orbit_s=round(orbit_s, 1),
 save()
 np.save("/tmp/view30_orbit_x.npy", res.orbit_x)
 np.save("/tmp/view30_orbit_y.npy", res.orbit_y)
+if res.orbit_e is not None:
+    np.save("/tmp/view30_orbit_e.npy", res.orbit_e)
+state["use_hdr_orbit"] = bool(res.orbit_e is not None)
+save()
 
 if res.period > 0 or res.count_orbit_entries() > 1000:
     from fractalshark_tpu.core.hdr_host import HD
@@ -58,7 +62,8 @@ if res.period > 0 or res.count_orbit_entries() > 1000:
     save()
     t0 = time.perf_counter()
     la = LAReferenceHost.generate_auto(res.orbit_x, res.orbit_y,
-                                       HD.from_hp(res.max_radius))
+                                       HD.from_hp(res.max_radius),
+                                       orbit_e=res.orbit_e)
     state.update(la_build_s=round(time.perf_counter() - t0, 1),
                  la_valid=bool(la.is_valid),
                  la_stages=int(la.stage_count))
