@@ -152,7 +152,8 @@ def _perturb_and_la(extra):
     from fractalshark_tpu.ops import la_kernel
     t0 = time.perf_counter()
     la = LAReferenceHost.generate_auto(res.orbit_x, res.orbit_y,
-                                  HD.from_hp(res.max_radius))
+                                  HD.from_hp(res.max_radius),
+                                  orbit_e=res.orbit_e)
     extra["la_build_s"] = round(time.perf_counter() - t0, 3)
     if on_tpu:
         from fractalshark_tpu.ops.la_pallas import la_render_pallas
@@ -194,7 +195,8 @@ def _deep_la(extra):
     extra["deep_orbit_len"] = res.count_orbit_entries()
     t0 = time.perf_counter()
     la = LAReferenceHost.generate_auto(res.orbit_x, res.orbit_y,
-                                  HD.from_hp(res.max_radius))
+                                  HD.from_hp(res.max_radius),
+                                  orbit_e=res.orbit_e)
     extra["deep_la_build_s"] = round(time.perf_counter() - t0, 3)
     from fractalshark_tpu.ops import la_kernel
 
