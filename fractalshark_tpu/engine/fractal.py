@@ -53,6 +53,9 @@ class Fractal:
         # SimpleCompression error exponent (10^-exp/2 relative bound;
         # reference default 20 — DefaultCompressionErrorExp)
         self.compression_error_exp = compression_error_exp
+        # optional AbortMonitor: chunked kernels poll it between
+        # bounded dispatches (AbortMonitor.h:7-35 semantics)
+        self.abort_monitor = None
         self.palette = FractalPalette()
         self.backend = backend or jax.default_backend()
         self.algorithm_name = algorithm

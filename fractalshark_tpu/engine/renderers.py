@@ -76,7 +76,8 @@ def calc_perturbed(fractal, alg: RenderAlgorithm):
         return la_kernel.la_perturb_render(
             results, la, fractal.ptz, w, h, fractal.num_iterations,
             sub_dtype=sub,
-            la_only=(alg.la_mode is LAMode.LAO))
+            la_only=(alg.la_mode is LAMode.LAO),
+            abort_monitor=fractal.abort_monitor)
 
     if alg.family is Family.PERTURB_SCALED:
         from fractalshark_tpu.ops import scaled
@@ -131,7 +132,8 @@ def calc_perturbed(fractal, alg: RenderAlgorithm):
                 comp.compression_ratio(), 2)
             out = perturb_render_stream_rc(
                 comp, results.center_x, results.center_y, fractal.ptz,
-                w, h, fractal.num_iterations)
+                w, h, fractal.num_iterations,
+                abort_monitor=fractal.abort_monitor)
             if out is not None:
                 fractal.benchmark.extra["kernel"] = "pallas-stream-rc"
                 return out
@@ -150,7 +152,8 @@ def calc_perturbed(fractal, alg: RenderAlgorithm):
             from fractalshark_tpu.ops.perturb_stream import \
                 perturb_render_stream
             out = perturb_render_stream(
-                results, fractal.ptz, w, h, fractal.num_iterations)
+                results, fractal.ptz, w, h, fractal.num_iterations,
+                abort_monitor=fractal.abort_monitor)
             if out is not None:
                 fractal.benchmark.extra["kernel"] = "pallas-stream"
                 return out
@@ -193,4 +196,4 @@ def la_rc_render(fractal, results, la, w, h):
             "done": (it32 >= n).astype(np.int32)}
     return perturb_render_stream_rc(
         comp, results.center_x, results.center_y, fractal.ptz, w, h,
-        n, init_state=init)
+        n, init_state=init, abort_monitor=fractal.abort_monitor)

@@ -389,7 +389,7 @@ def la_perturb_render(results, la, ptz: PointZoomBBConverter,
               chunk_steps=int(chunk_steps))
     state, all_done = _lav2_impl(*args, **kw)
     while not bool(all_done):
-        if abort_monitor is not None and abort_monitor.aborted:
+        if abort_monitor is not None and abort_monitor.aborted():
             break
         state, all_done = _lav2_impl(*args, **kw, resume_state=state)
     if return_state:

@@ -286,7 +286,7 @@ def perturb_render_stream(results, ptz: PointZoomBBConverter,
             flags = np.asarray(state[6])[::8, 1]
             if flags.min() >= 1:
                 break
-            if abort_monitor is not None and abort_monitor.aborted:
+            if abort_monitor is not None and abort_monitor.aborted():
                 break
     iters = state[3].astype(jnp.uint32)
     return iters[:height, :width]
@@ -671,7 +671,7 @@ def perturb_render_stream_rc(compressed, center_x, center_y,
             flags = np.asarray(state[8])[::8, 3]
             if flags.min() >= 1:
                 break
-            if abort_monitor is not None and abort_monitor.aborted:
+            if abort_monitor is not None and abort_monitor.aborted():
                 break
     iters = state[3].astype(jnp.uint32)
     return iters[:height, :width]

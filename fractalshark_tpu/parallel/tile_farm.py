@@ -95,7 +95,7 @@ class TileFarm:
         Already-checkpointed tiles are skipped (resume)."""
         n = 0
         for t in self.pending():
-            if abort_monitor is not None and abort_monitor.aborted:
+            if abort_monitor is not None and abort_monitor.aborted():
                 break
             out = np.asarray(render_tile(self.ptz, self.width,
                                          self.height, t.y0, t.h))

@@ -233,3 +233,28 @@ def test_lav2_rc_two_phase_matches_full(deep):
         tile_h=16, interpret=True, init_state=init))
     match = (rc == full).mean()
     assert match >= 0.995, match
+
+
+def test_abort_monitor_semantics(deep):
+    """A live (non-aborted) monitor must NOT stop the render (the
+    .aborted attribute is a METHOD — regression for truthiness bugs);
+    a pre-aborted monitor stops between launches."""
+    from fractalshark_tpu.utils.aux import AbortMonitor
+
+    ptz, res = deep
+    mon = AbortMonitor()
+    try:
+        full = perturb_render_stream(res, ptz, 32, 32, 1200, tile_h=16,
+                                     interpret=True, launch_windows=1,
+                                     abort_monitor=mon)
+        ref = perturb_render_stream(res, ptz, 32, 32, 1200, tile_h=16,
+                                    interpret=True)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(ref))
+        mon.flag.set()
+        partial = perturb_render_stream(res, ptz, 32, 32, 1200,
+                                        tile_h=16, interpret=True,
+                                        launch_windows=1,
+                                        abort_monitor=mon)
+        assert int(np.asarray(partial).max()) <= int(np.asarray(ref).max())
+    finally:
+        mon.close()
