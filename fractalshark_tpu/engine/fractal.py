@@ -12,6 +12,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
+import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -253,11 +254,49 @@ class Fractal:
 
     def render(self) -> jnp.ndarray:
         t0 = time.perf_counter()
-        iters = self.calc_fractal()
-        rgba = self.color(iters)
+        fused = self._render_fused_direct()
+        if fused is not None:
+            iters, rgba = fused
+            self._iters_cache = iters
+        else:
+            iters = self.calc_fractal()
+            rgba = self.color(iters)
         rgba.block_until_ready()
         self.benchmark.overall_s = time.perf_counter() - t0
         return rgba
+
+    def _render_fused_direct(self):
+        """ONE device dispatch for direct escape renders: iterate +
+        color in the same jit program (launch-overhead amortization —
+        each dispatch through the axon tunnel costs ~30-40 ms, more
+        than a 4096² frame's device time; the reference similarly runs
+        its reductions/AA in the render stream, ReductionKernels.cuh).
+        Returns (iters, rgba) or None when not applicable."""
+        alg = self.resolve_algorithm()
+        if alg.family is not Family.DIRECT or \
+                alg.dtype not in ("f32", "f64") or \
+                self.num_iterations >= (1 << 31):
+            return None
+        w, h = self._render_dims()
+        params = escape.PlainParams.from_view(
+            self.ptz, self.width, self.height, self.antialiasing)
+        pal = np.roll(self.palette.current(), -self.palette.rotation,
+                      axis=0)
+        dt = jnp.float32 if alg.dtype == "f32" else jnp.float64
+        use_pallas = (self.backend == "tpu" and alg.dtype == "f32")
+        t0 = time.perf_counter()
+        iters, rgba = _fused_escape_color(
+            jnp.asarray([params.min_x, params.max_y, params.dx,
+                         params.dy], jnp.float64),
+            jnp.asarray(pal),
+            jnp.asarray(self.num_iterations, jnp.uint64),
+            jnp.asarray(self.palette.aux_depth, jnp.uint32),
+            w, h, int(self.num_iterations), dt.dtype.name,
+            self.antialiasing, use_pallas)
+        self.benchmark.per_pixel_s = time.perf_counter() - t0
+        return iters, rgba
+
+    # (fused direct path uses module-level _fused_escape_color below)
 
     def save_png(self, path: str, bit_depth: int = 8) -> None:
         rgba = np.asarray(self.render())
@@ -363,3 +402,22 @@ class Fractal:
                                len(glyphs) - 1)] if v < n else " "
                     for v in row))
         return "\n".join(lines)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "h", "max_iter",
+                                             "dtype_name", "aa",
+                                             "use_pallas"))
+def _fused_escape_color(scal, pal, n_iter_u64, aux_depth, w, h,
+                        max_iter, dtype_name, aa, use_pallas):
+    """iterate + color as ONE compiled program (single dispatch)."""
+    dt = jnp.dtype(dtype_name)
+    p = escape.PlainParams(min_x=scal[0], max_y=scal[1],
+                           dx=scal[2], dy=scal[3])
+    if use_pallas:
+        iters = escape.escape_pallas(p, w, h, max_iter, dtype=jnp.float32,
+                                     tile_h=64, tile_w=256)
+    else:
+        iters = escape.escape_jax(p, w, h, max_iter, dtype=dt)
+    rgba = color_from_iters(iters, pal, n_iter_u64, aux_depth,
+                            antialiasing=aa)
+    return iters, rgba

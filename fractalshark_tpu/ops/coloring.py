@@ -30,6 +30,10 @@ def color_from_iters(iters, palette, n_iterations, aux_depth, antialiasing=1):
     num_colors = palette.shape[0]
     idx = (iters >> aux_depth.astype(iters.dtype)) % jnp.asarray(
         num_colors, iters.dtype)
+    # NOTE: an unrolled 256-way select ladder was tried here for the
+    # TPU (per-pixel gather is latency-bound, ~30 ms kernel-side at
+    # 4096²): kernel time dropped ~2.5x but compile time of the fused
+    # render exploded (>9 min) — rejected; the gather stays.
     rgb = palette[idx.astype(jnp.int32)]  # [Haa, Waa, 3]
     interior = (iters >= n_iterations.astype(iters.dtype))[..., None]
     rgb = jnp.where(interior, jnp.zeros_like(rgb), rgb)
