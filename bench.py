@@ -94,10 +94,7 @@ def _headline(extra):
         # (Fractal.render's fused direct path)
         from fractalshark_tpu.engine.fractal import Fractal
         f = Fractal(width=size, height=size, view=0,
-                    algorithm="Gpu1x32", max_iter_override=None) \
-            if False else Fractal(width=size, height=size, view=0,
-                                  algorithm="Gpu1x32",
-                                  num_iterations=max_iter)
+                    algorithm="Gpu1x32", num_iterations=max_iter)
         np.asarray(f.render())
         t0 = time.perf_counter()
         for _ in range(n_rep):
