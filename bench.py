@@ -90,18 +90,6 @@ def _headline(extra):
         dt1 = (time.perf_counter() - t0) / n_rep
         extra["single_frame_wall_s"] = round(dt1, 4)
         extra["single_frame_mpix_s"] = round(size * size / dt1 / 1e6, 2)
-        # full interactive frame: iterate + color in ONE dispatch
-        # (Fractal.render's fused direct path)
-        from fractalshark_tpu.engine.fractal import Fractal
-        f = Fractal(width=size, height=size, view=0,
-                    algorithm="Gpu1x32", num_iterations=max_iter)
-        np.asarray(f.render())
-        t0 = time.perf_counter()
-        for _ in range(n_rep):
-            r = f.render()
-        np.asarray(r[-1, -1])
-        dtf = (time.perf_counter() - t0) / n_rep
-        extra["fused_frame_mpix_s"] = round(size * size / dtf / 1e6, 2)
     return {
         "metric": (f"escape_f32_view0_zoomseq{n_frames}_"
                    f"{size}x{size}_{max_iter}it"),
