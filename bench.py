@@ -280,8 +280,10 @@ def main() -> int:
     budget_s = float(os.environ.get("FRACTALSHARK_BENCH_BUDGET_S", "480"))
     t_start = time.perf_counter()
     extra = {}
-    parts = [("native", _native), ("perturb/la", _perturb_and_la),
-             ("ntt", _ntt), ("deep_la", _deep_la)]
+    # NTT first: the View #30 orbit rate is the most important
+    # companion metric and must not be starved by a slow compile window
+    parts = [("native", _native), ("ntt", _ntt),
+             ("perturb/la", _perturb_and_la), ("deep_la", _deep_la)]
     headline = None
     try:
         headline = _headline(extra)
@@ -289,7 +291,7 @@ def main() -> int:
         extra["headline_error"] = repr(e)[:200]
     # rough first-compile cost of each part through the remote-compile
     # tunnel; a part only starts if it plausibly fits the remaining budget
-    est_s = {"native": 5, "ntt": 150, "perturb/la": 240, "deep_la": 180}
+    est_s = {"native": 5, "ntt": 100, "perturb/la": 110, "deep_la": 130}
     for name, fn in parts:
         remaining = budget_s - (time.perf_counter() - t_start)
         if remaining < est_s.get(name, 60):
