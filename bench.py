@@ -276,8 +276,11 @@ def _ntt(extra):
 
 
 def main() -> int:
+    """Prints the result JSON line after the headline AND after every
+    companion part (last line wins): a driver-side timeout mid-part
+    still leaves a complete, valid line on stdout."""
     import os
-    budget_s = float(os.environ.get("FRACTALSHARK_BENCH_BUDGET_S", "480"))
+    budget_s = float(os.environ.get("FRACTALSHARK_BENCH_BUDGET_S", "1200"))
     t_start = time.perf_counter()
     extra = {}
     # NTT first: the View #30 orbit rate is the most important
@@ -289,6 +292,16 @@ def main() -> int:
         headline = _headline(extra)
     except Exception as e:  # noqa: BLE001
         extra["headline_error"] = repr(e)[:200]
+
+    def emit():
+        line = headline or {"metric": "plain_escape_f32_view0",
+                            "value": 0.0, "unit": "Mpix/s",
+                            "vs_baseline": 0.0}
+        line = dict(line)
+        line["extra"] = extra
+        print(json.dumps(line), flush=True)
+
+    emit()
     # rough first-compile cost of each part through the remote-compile
     # tunnel; a part only starts if it plausibly fits the remaining budget
     est_s = {"native": 5, "ntt": 100, "perturb/la": 110, "deep_la": 130}
@@ -301,11 +314,7 @@ def main() -> int:
             fn(extra)
         except Exception as e:  # noqa: BLE001
             extra[f"{name}_error"] = repr(e)[:200]
-    if headline is None:
-        headline = {"metric": "plain_escape_f32_view0",
-                    "value": 0.0, "unit": "Mpix/s", "vs_baseline": 0.0}
-    headline["extra"] = extra
-    print(json.dumps(headline))
+        emit()
     return 0
 
 
