@@ -292,6 +292,19 @@ class CompressedOrbit:
             anchor_index=np.asarray(ai, np.int64), total_count=n,
             cx_low=cx, cy_low=cy, error_exp=error_exp)
 
+    @staticmethod
+    def identity(res: "PerturbationResults") -> "CompressedOrbit":
+        """Every entry an anchor (ratio 1): turns the RC streaming
+        kernel into an EXACT streaming evaluator of an uncompressed
+        orbit (used for the two-phase LAv2 tail)."""
+        x, y = res.orbit_plain()
+        return CompressedOrbit(
+            anchors_x=np.asarray(x, np.float64),
+            anchors_y=np.asarray(y, np.float64),
+            anchor_index=np.arange(len(x), dtype=np.int64),
+            total_count=len(x), cx_low=float(res.center_x),
+            cy_low=float(res.center_y), error_exp=0)
+
     def compression_ratio(self) -> float:
         return self.total_count / max(1, len(self.anchors_x))
 

@@ -73,6 +73,16 @@ def calc_perturbed(fractal, alg: RenderAlgorithm):
             if out is not None:
                 fractal.benchmark.extra["kernel"] = "pallas-lav2"
                 return out
+            if fractal.num_iterations < (1 << 31):
+                # two-phase: LA machine to tail entry, then the
+                # GATHER-FREE streaming tail (identity anchors) —
+                # measured 5x the interleaved one-kernel machine on a
+                # 458k-entry deep view, pixel-identical
+                out = la_rc_render(fractal, results, la, w, h,
+                                   identity=True)
+                if out is not None:
+                    fractal.benchmark.extra["kernel"] = "lav2-stream"
+                    return out
         return la_kernel.la_perturb_render(
             results, la, fractal.ptz, w, h, fractal.num_iterations,
             sub_dtype=sub,
@@ -163,12 +173,17 @@ def calc_perturbed(fractal, alg: RenderAlgorithm):
     raise NotImplementedError(f"perturbed dtype {alg.dtype}")
 
 
-def la_rc_render(fractal, results, la, w, h):
-    """Two-phase LAv2-RC: phase 1 runs the LA machine to tail entry
-    (la_only + state export); phase 2 finishes every pixel in the RC
-    streaming kernel from the compressed orbit, joining the lockstep at
-    its per-pixel ref_iter (the reference decompresses inside the
-    render kernel, Perturb.cuh:8-120 — here the tail phase does)."""
+def la_rc_render(fractal, results, la, w, h, identity: bool = False):
+    """Two-phase LAv2: phase 1 runs the LA machine to tail entry
+    (la_only + state export); phase 2 finishes every pixel in the
+    streaming tail kernel, joining the lockstep at its per-pixel
+    ref_iter (the reference decompresses inside the render kernel,
+    Perturb.cuh:8-120 — here the tail phase does).
+
+    identity=False: RC mode — tail reconstructs from the REAL
+    compressed orbit.  identity=True: every entry an anchor — an exact
+    gather-free streaming tail for uncompressed orbits (the tail of
+    the one-kernel machine is gather-bound; measured 5x)."""
     import numpy as np
 
     from fractalshark_tpu.engine.perturbation_results import \
@@ -177,13 +192,19 @@ def la_rc_render(fractal, results, la, w, h):
     from fractalshark_tpu.ops.perturb_stream import \
         perturb_render_stream_rc
 
-    comp = results.extra.get("compressed_orbit")
-    if comp is None:
-        comp = CompressedOrbit.from_uncompressed(
-            results, error_exp=fractal.compression_error_exp)
-        results.extra["compressed_orbit"] = comp
-    fractal.benchmark.extra["compression_ratio"] = round(
-        comp.compression_ratio(), 2)
+    if identity:
+        comp = results.extra.get("identity_compressed")
+        if comp is None:
+            comp = CompressedOrbit.identity(results)
+            results.extra["identity_compressed"] = comp
+    else:
+        comp = results.extra.get("compressed_orbit")
+        if comp is None:
+            comp = CompressedOrbit.from_uncompressed(
+                results, error_exp=fractal.compression_error_exp)
+            results.extra["compressed_orbit"] = comp
+        fractal.benchmark.extra["compression_ratio"] = round(
+            comp.compression_ratio(), 2)
     n = fractal.num_iterations
     state = la_kernel.la_perturb_render(
         results, la, fractal.ptz, w, h, n, sub_dtype=np.float32,
