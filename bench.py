@@ -200,10 +200,35 @@ def _deep_la(extra):
     extra["deep_la_build_s"] = round(time.perf_counter() - t0, 3)
     from fractalshark_tpu.ops import la_kernel
 
-    def run():
-        out = la_kernel.la_perturb_render(res, la, ptz, size, size,
-                                          budget, sub_dtype=np.float32)
-        return np.asarray(out)
+    if on_tpu:
+        # the production deep path: LA machine to tail entry + the
+        # gather-free streaming tail (renderers.la_rc_render identity
+        # mode) — measured 5x the one-kernel machine
+        from fractalshark_tpu.engine.perturbation_results import \
+            CompressedOrbit
+        from fractalshark_tpu.ops.perturb_stream import \
+            perturb_render_stream_rc
+        ident = CompressedOrbit.identity(res)
+
+        def run():
+            n = budget
+            state = la_kernel.la_perturb_render(
+                res, la, ptz, size, size, n, sub_dtype=np.float32,
+                la_only=True, return_state=True)
+            _, _, ref_iter, dzr, dzi, dze, it, _ = state
+            it32 = np.asarray(it).astype(np.int32)
+            init = {"dzr": np.asarray(dzr), "dzi": np.asarray(dzi),
+                    "dze": np.asarray(dze), "it": it32,
+                    "jwait": np.asarray(ref_iter).astype(np.int32),
+                    "done": (it32 >= n).astype(np.int32)}
+            return np.asarray(perturb_render_stream_rc(
+                ident, res.center_x, res.center_y, ptz, size, size, n,
+                init_state=init))
+    else:
+        def run():
+            out = la_kernel.la_perturb_render(
+                res, la, ptz, size, size, budget, sub_dtype=np.float32)
+            return np.asarray(out)
 
     o = run()                       # warm (compiles the chunk program)
     t0 = time.perf_counter()
