@@ -70,13 +70,27 @@ if res.period > 0 or res.count_orbit_entries() > 1000:
     save()
 
     if la.is_valid:
+        from fractalshark_tpu.engine.perturbation_results import \
+            CompressedOrbit
         from fractalshark_tpu.ops import la_kernel
+        from fractalshark_tpu.ops.perturb_stream import \
+            perturb_render_stream_rc
         state["phase"] = "render"
         save()
         t0 = time.perf_counter()
-        out = la_kernel.la_perturb_render(
-            res, la, ptz, size, size, v.num_iterations,
-            sub_dtype=np.float32)
+        n = v.num_iterations
+        st = la_kernel.la_perturb_render(
+            res, la, ptz, size, size, n, sub_dtype=np.float32,
+            la_only=True, return_state=True)
+        _, _, ref_iter, dzr, dzi, dze, it, _ = st
+        it32 = np.asarray(it).astype(np.int32)
+        init = {"dzr": np.asarray(dzr), "dzi": np.asarray(dzi),
+                "dze": np.asarray(dze), "it": it32,
+                "jwait": np.asarray(ref_iter).astype(np.int32),
+                "done": (it32 >= n).astype(np.int32)}
+        out = perturb_render_stream_rc(
+            CompressedOrbit.identity(res), res.center_x, res.center_y,
+            ptz, size, size, n, init_state=init)
         o = np.asarray(out)
         render_s = time.perf_counter() - t0
         state.update(phase="done", render_s=round(render_s, 1),
