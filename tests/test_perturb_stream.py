@@ -258,3 +258,37 @@ def test_abort_monitor_semantics(deep):
         assert int(np.asarray(partial).max()) <= int(np.asarray(ref).max())
     finally:
         mon.close()
+
+
+def test_identity_two_phase_matches_full_exactly(deep):
+    """Identity anchors (every entry stored) make the RC tail an EXACT
+    streaming evaluator: the two-phase render must equal the one-kernel
+    FULL LAv2 machine pixel for pixel (the TPU dispatch default)."""
+    from fractalshark_tpu.core.hdr_host import HD
+    from fractalshark_tpu.engine.la_reference import LAReferenceHost
+    from fractalshark_tpu.engine.perturbation_results import \
+        CompressedOrbit
+    from fractalshark_tpu.ops import la_kernel
+    from fractalshark_tpu.ops.perturb_stream import \
+        perturb_render_stream_rc
+
+    ptz, res = deep
+    la = LAReferenceHost.generate(res.orbit_x, res.orbit_y,
+                                  HD.from_hp(res.max_radius))
+    assert la.is_valid
+    n = 1800
+    full = np.asarray(la_kernel.la_perturb_render(
+        res, la, ptz, 32, 32, n, sub_dtype=np.float32))
+    state = la_kernel.la_perturb_render(
+        res, la, ptz, 32, 32, n, sub_dtype=np.float32,
+        la_only=True, return_state=True)
+    _, _, ref_iter, dzr, dzi, dze, it, _ = state
+    it32 = np.asarray(it).astype(np.int32)
+    init = {"dzr": np.asarray(dzr), "dzi": np.asarray(dzi),
+            "dze": np.asarray(dze), "it": it32,
+            "jwait": np.asarray(ref_iter).astype(np.int32),
+            "done": (it32 >= n).astype(np.int32)}
+    two = np.asarray(perturb_render_stream_rc(
+        CompressedOrbit.identity(res), res.center_x, res.center_y,
+        ptz, 32, 32, n, tile_h=16, interpret=True, init_state=init))
+    np.testing.assert_array_equal(two, full)
