@@ -97,7 +97,7 @@ def _pack_orbit(ox, oy, max_ref):
                                              "stage_count", "at_step",
                                              "chunk_steps"))
 def _lav2_impl(orbit_packed, dc_re, dc_im, dc_e,
-               packed, thrc_m, thrc_e,
+               packed, step64, thrc_m, thrc_e,
                stage_la_index, stage_macro,
                at_args, max_ref, max_iter, la_only, stage_count,
                at_step=0, chunk_steps=0, resume_state=None):
@@ -232,7 +232,15 @@ def _lav2_impl(orbit_packed, dc_re, dc_im, dc_e,
         g = packed[node]                       # ONE gather: (H, W, 16)
         ref = HDRComplex(g[..., 0], g[..., 1], ibits(g[..., 2]))
         thr = HDR(g[..., 9], ibits(g[..., 10]))
-        l = ibits(g[..., 11]).astype(it_t)
+        if step64 is not None:
+            # 64-bit budgets: step lengths can exceed 2^31 (top stages
+            # of period-billions tables, View #27 class) — the packed
+            # column's 32-bit bitcast would wrap negative (ADVICE r2
+            # #2), so they ride a separate int64 side array (one extra
+            # gather, 64-bit path only)
+            l = step64[node]
+        else:
+            l = ibits(g[..., 11]).astype(it_t)
         # newdz = dz*(2*Ref + dz)   (LAInfoDeep::Prepare)
         t = hdr.complex_add(hdr.complex_mul_pow2(ref, 1), dz)
         newdz = hdr.reduce_complex(hdr.complex_mul(t, dz))
@@ -375,10 +383,19 @@ def la_perturb_render(results, la, ptz: PointZoomBBConverter,
                                               np.asarray(oy),
                                               int(max_ref))))
     packed_dev, orbit_dev = cache[key]
+    # 64-bit budgets: side int64 step-length array (the packed column
+    # wraps at 2^31; ADVICE r2 #2)
+    step64_dev = None
+    if int(max_iter) >= (1 << 31):
+        k64 = "step64"
+        if k64 not in cache:
+            cache[k64] = jnp.asarray(
+                arrs["step_length"].astype(np.int64))
+        step64_dev = cache[k64]
     args = (
         orbit_dev,
         dc.re, dc.im, dc.e,
-        packed_dev,
+        packed_dev, step64_dev,
         jnp.asarray(arrs["thrc_m"]), jnp.asarray(arrs["thrc_e"]),
         jnp.asarray(arrs["stage_la_index"]),
         jnp.asarray(arrs["stage_macro_it_count"]),

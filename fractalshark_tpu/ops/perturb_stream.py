@@ -562,6 +562,21 @@ def _rc_launch(scal, cvals, ai, axh, axl, ayh, ayl, dcr, dci, dce,
     return outs
 
 
+def _orbit_value_at(compressed, idx: int) -> tuple[float, float]:
+    """Z[idx] reconstructed from the anchor set: last anchor ≤ idx, then
+    the f64 low-precision recurrence forward (exact when every entry is
+    an anchor — the identity/two-phase path; within compression-span
+    error bounds otherwise, PerturbationResultsHelpers.h:51-161)."""
+    ai = compressed.anchor_index
+    k = int(np.searchsorted(ai, idx, side="right")) - 1
+    zx = float(compressed.anchors_x[k])
+    zy = float(compressed.anchors_y[k])
+    for _ in range(idx - int(ai[k])):
+        zx, zy = (zx * zx - zy * zy + compressed.cx_low,
+                  2.0 * zx * zy + compressed.cy_low)
+    return zx, zy
+
+
 def _prep_anchors(compressed):
     M = len(compressed.anchors_x)
     mpad = -(-M // ANC_BLK) * ANC_BLK
@@ -644,11 +659,33 @@ def perturb_render_stream_rc(compressed, center_x, center_y,
     else:
         done0[:height, :width] = np.asarray(init_state["done"],
                                             np.int32)
-        jw = np.clip(np.asarray(init_state["jwait"], np.int32),
-                     0, max(0, max_ref - 1))
-        st = (padi(init_state["dzr"], 0.0, np.float32),
-              padi(init_state["dzi"], 0.0, np.float32),
-              padi(init_state["dze"], int(hdr.MIN_BIG_EXPONENT)),
+        jw = np.asarray(init_state["jwait"], np.int32).copy()
+        dzr0 = np.asarray(init_state["dzr"], np.float32).copy()
+        dzi0 = np.asarray(init_state["dzi"], np.float32).copy()
+        dze0 = np.asarray(init_state["dze"], np.int32).copy()
+        # jwait == max_ref is the machine's WRAP position: the one-kernel
+        # loop rebases there (dz ← Z[max_ref] + dz, RefIteration = 0,
+        # SURVEY.md A.1) without consuming an iteration.  Apply that
+        # rebase host-side in the kernel's own HDR-f32 arithmetic; the
+        # old clip to max_ref-1 made such pixels step once against
+        # Z[max_ref-1] (ADVICE r2 #3).
+        wrap = (jw >= max_ref) & \
+            (np.asarray(init_state["done"], np.int32) == 0)
+        if wrap.any():
+            zx, zy = _orbit_value_at(compressed, max_ref)
+            zmr = HDRComplex(jnp.full(jw.shape, np.float32(zx)),
+                             jnp.full(jw.shape, np.float32(zy)),
+                             jnp.zeros(jw.shape, jnp.int32))
+            zf = hdr.reduce_complex(hdr.complex_add(
+                zmr, HDRComplex(jnp.asarray(dzr0), jnp.asarray(dzi0),
+                                jnp.asarray(dze0))))
+            dzr0 = np.where(wrap, np.asarray(zf.re), dzr0)
+            dzi0 = np.where(wrap, np.asarray(zf.im), dzi0)
+            dze0 = np.where(wrap, np.asarray(zf.e), dze0)
+        jw = np.where(wrap, 0, np.clip(jw, 0, max(0, max_ref - 1)))
+        st = (padi(dzr0, 0.0, np.float32),
+              padi(dzi0, 0.0, np.float32),
+              padi(dze0, int(hdr.MIN_BIG_EXPONENT)),
               padi(init_state["it"], 0),
               jnp.asarray(done0),
               jnp.zeros((ph, pw), jnp.int32),

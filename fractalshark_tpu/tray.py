@@ -60,7 +60,18 @@ def main(argv=None) -> int:
                     algorithm=args.render_algorithm,
                     num_iterations=loc.num_iterations,
                     antialiasing=max(1, loc.antialiasing))
-        if args.tile_rows:
+        # poster mode's band renderer is the plain f64 escape kernel —
+        # only valid for direct (non-reference) algorithms.  A deep
+        # perturbation-class location silently got a garbage image here
+        # (ADVICE r2 #4); route those through the full renderer dispatch.
+        tile_ok = args.tile_rows and \
+            not f.resolve_algorithm().requires_reference
+        if args.tile_rows and not tile_ok:
+            print(f"[{i + 1}/{len(locs)}] {loc.description!r}: algorithm "
+                  f"{f.resolve_algorithm().name} needs a reference orbit "
+                  "— rendering whole-frame instead of tiled",
+                  file=sys.stderr)
+        if tile_ok:
             # poster mode: checkpointed resumable tile farm — a killed
             # queue resumes from the finished bands (direct escape
             # algorithms; y0-offset bands are bit-identical to the

@@ -52,6 +52,45 @@ def test_native_negative_coords():
         assert np.abs(nat.orbit_x[:n] - host.orbit_x[:n]).max() < 1e-13
 
 
+def test_mixed_component_hdr_dip_native_vs_device():
+    """One component representable in f64, the other sub-f64: the HDR
+    (mantissa, shared exponent) form must be emitted and carry BOTH
+    components — the pre-r3 policy stored the entry as plain f64
+    whenever either component was representable, zeroing the dipped one
+    (the reference stores HDRFloat per entry unconditionally,
+    PeriodicityChecker.h:32-33)."""
+    import math
+
+    from fractalshark_tpu.ops.bignum.orbit import \
+        compute_reference_orbit_device
+
+    prec = 2048
+    cx = HighPrecision.from_mant_exp(1, -900, prec=prec)    # f64-representable
+    cy = HighPrecision.from_mant_exp(1, -1200, prec=prec)   # sub-f64
+    rad = HighPrecision.from_mant_exp(1, -1500, prec=64)
+
+    nat = NO.compute_reference_orbit_native(cx, cy, 4, rad,
+                                            periodicity=False,
+                                            precision_bits=prec)
+    dev = compute_reference_orbit_device(cx, cy, 4, rad,
+                                         periodicity=False,
+                                         chunk_steps=4)
+    for res in (nat, dev):
+        assert res.orbit_e is not None, "mixed dip must select HDR form"
+        e1 = int(res.orbit_e[1])
+        assert e1 != 0
+        vx = float(res.orbit_x[1]) * math.exp2(e1 + 900)
+        assert vx == pytest.approx(1.0, rel=1e-12)
+        # the dipped component survives: y·2^e == 2^-1200 exactly
+        vy = float(res.orbit_y[1]) * math.exp2(e1 + 1200)
+        assert vy == pytest.approx(1.0, rel=1e-12)
+        assert np.isfinite(res.orbit_x).all()    # ADVICE r2 #1: no inf
+        # plain-view consumers flush the dipped component only
+        px = res.orbit_plain()[0][1]
+        assert px == pytest.approx(math.exp2(-900), rel=1e-12)
+        assert res.orbit_plain()[1][1] == 0.0
+
+
 def test_auto_backend_prefers_native():
     from fractalshark_tpu.core.pointzoom import PointZoomBBConverter
     calc = RefOrbitCalc()  # default "auto"
