@@ -298,6 +298,70 @@ def _ntt(extra):
     # the 16384-limb component. Report our projected orbit wall per
     # million iterations so the gap is explicit and tracked.
     extra["view30_orbit_s_per_Mit"] = round(ms_per_iter * 1000.0, 1)
+    # DEVICE time (jax.profiler): tunnel wall varies 2-4x with machine
+    # state; this is the trustworthy kernel-time number (VERDICT r2 #7)
+    if jax.default_backend() == "tpu":
+        try:
+            from fractalshark_tpu.utils.profiling import device_time_ms
+
+            def once():
+                _, sh2 = orbit_chunk(*args, *dzdc0,
+                                     args[0], args[1], args[2], args[3],
+                                     *consts, spec=spec, steps=steps)
+                np.asarray(sh2[0][-1])
+            prof = device_time_ms(once)
+            if prof["total_ms"] > 0:
+                extra["ntt_device_ms_per_iter"] = round(
+                    prof["total_ms"] / steps, 3)
+        except Exception as e:  # noqa: BLE001
+            extra["ntt_device_prof_error"] = repr(e)[:120]
+
+
+def _ntt_sharded(extra):
+    """Mesh-wired orbit iteration (limb-sharded multiply + CRT/carry
+    tail, parallel/orbit_sharded.py) on a 1-device mesh of the real
+    chip: validates the sharded program end-to-end on TPU and tracks
+    its overhead vs the single-chip path (collectives are degenerate
+    at M=1; the multi-chip speedup needs real v5p-8 hardware)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fractalshark_tpu.core.views import get_view_preset
+    from fractalshark_tpu.ops.bignum import fixedpoint as FP
+    from fractalshark_tpu.ops.bignum.orbit import orbit_chunk
+    from fractalshark_tpu.parallel.orbit_sharded import make_limb_mesh
+
+    on_tpu = jax.default_backend() == "tpu"
+    limbs = 16384 if on_tpu else 256
+    steps = 64 if on_tpu else 8
+    mesh = make_limb_mesh(jax.devices()[:1])
+    spec = FP.FixedSpec.for_limbs(limbs)
+    prec = spec.frac_bits - 20
+    v30 = get_view_preset(30).ptz
+    cx = v30.pt_x.with_precision(prec)
+    cy = v30.pt_y.with_precision(prec)
+    scx, dcx = FP.hp_to_digits(cx, spec)
+    scy, dcy = FP.hp_to_digits(cy, spec)
+    args = (jnp.int32(scx), jnp.asarray(dcx), jnp.int32(scy),
+            jnp.asarray(dcy))
+    dzdc0 = (jnp.float64(1.0), jnp.float64(0.0), jnp.int32(0))
+    consts = (jnp.float64(1.0), jnp.int32(-40),
+              jnp.float64(float(cx)), jnp.float64(float(cy)))
+    best = None
+    for i in range(3):
+        t0 = time.perf_counter()
+        _, sh = orbit_chunk(*args, *dzdc0, args[0], args[1], args[2],
+                            args[3], *consts, spec=spec, steps=steps,
+                            mesh=mesh)
+        np.asarray(sh[0][-1])
+        dt = time.perf_counter() - t0
+        if i > 0:
+            best = dt if best is None else min(best, dt)
+    extra["ntt_sharded_ms_per_iter"] = round(best / steps * 1e3, 3)
+    extra["ntt_sharded_mesh_devices"] = 1
 
 
 def main() -> int:
@@ -311,7 +375,8 @@ def main() -> int:
     # NTT first: the View #30 orbit rate is the most important
     # companion metric and must not be starved by a slow compile window
     parts = [("native", _native), ("ntt", _ntt),
-             ("perturb/la", _perturb_and_la), ("deep_la", _deep_la)]
+             ("perturb/la", _perturb_and_la), ("deep_la", _deep_la),
+             ("ntt_sharded", _ntt_sharded)]
     headline = None
     try:
         headline = _headline(extra)
@@ -329,7 +394,8 @@ def main() -> int:
     emit()
     # rough first-compile cost of each part through the remote-compile
     # tunnel; a part only starts if it plausibly fits the remaining budget
-    est_s = {"native": 5, "ntt": 100, "perturb/la": 110, "deep_la": 130}
+    est_s = {"native": 5, "ntt": 100, "perturb/la": 110, "deep_la": 130,
+             "ntt_sharded": 150}
     for name, fn in parts:
         remaining = budget_s - (time.perf_counter() - t_start)
         if remaining < est_s.get(name, 60):

@@ -355,6 +355,42 @@ def _use_pallas(nf: int) -> bool:
 
 PALLAS_NTT: bool = False
 
+# Split three-kernel Pallas pipeline for sizes beyond the whole-kernel
+# VMEM window (ntt_pallas SPLIT section): replaces the XLA four-step
+# whose two minor-dim transposes dominate the inverse phases at
+# nfft >= 32768 (View #30's 16384-limb operands run at nfft 65536).
+PALLAS_NTT_SPLIT: bool = True
+
+
+def _use_pallas_split(nf: int) -> bool:
+    if not PALLAS_NTT_SPLIT:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    from fractalshark_tpu.ops.bignum import ntt_pallas as NP
+    return NP.supported_split(nf)
+
+
+def _any_pallas(nf: int) -> bool:
+    return _use_pallas(nf) or _use_pallas_split(nf)
+
+
+# Fused CRT+carry tail (ntt_pallas.fused_tail): the whole digit-domain
+# tail — CRT reconstruction, signed stream accumulation, +c folding,
+# carry lookahead, signed finish — as ONE VMEM-resident kernel (the
+# XLA tail's ~25 Kogge-Stone HBM passes cost ~90 us/iter at 16384
+# limbs).  Requires the flat digit layout to coincide with the
+# transform layout: 2D == nfft (true for power-of-two limb counts).
+PALLAS_FUSED_TAIL: bool = True
+
+
+def _use_fused_tail(nf: int, D: int) -> bool:
+    if not PALLAS_FUSED_TAIL:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return 2 * D == nf and nf % 128 == 0 and nf >= 2048
+
 
 def multiply_iter(ax, ay, spec: FixedSpec):
     """Orbit-iteration multiply: ((sign_d, d), xy) with
@@ -376,7 +412,7 @@ def multiply_iter(ax, ay, spec: FixedSpec):
     vy = jnp.concatenate([ay, jnp.zeros((pad,), jnp.uint32)])
     F = spec.frac_digits
 
-    if _use_pallas(nf):
+    if _any_pallas(nf):
         from fractalshark_tpu.ops.bignum import ntt_pallas as NP
         inv = NP.ntt_iter_products(vx, vy, nf)
     else:
@@ -503,7 +539,7 @@ def iterate_z(sx, x, sy, y, scx, cx, scy, cy, spec: FixedSpec):
     vx = jnp.concatenate([x, jnp.zeros((pad,), jnp.uint32)])
     vy = jnp.concatenate([y, jnp.zeros((pad,), jnp.uint32)])
 
-    if _use_pallas(nf):
+    if _any_pallas(nf):
         from fractalshark_tpu.ops.bignum import ntt_pallas as NP
         inv = NP.ntt_iter_products(vx, vy, nf)
     else:
@@ -521,6 +557,17 @@ def iterate_z(sx, x, sy, y, scx, cx, scy, cy, spec: FixedSpec):
                else N.shoup_inverse_scaled(prod, nf, extra_scale_r=True))
 
     L = 2 * D
+    if _use_fused_tail(nf, D):
+        from fractalshark_tpu.ops.bignum import ntt_pallas as NP
+        z = jnp.zeros((L,), jnp.uint32)
+        cfx = z.at[F:F + D].set(cx)
+        cfy = z.at[F:F + D].set(cy)
+        rnd = z.at[F - 1].set(jnp.uint32(1 << 15))
+        sgs = jnp.stack([scx, scy, sx * sy,
+                         jnp.int32(0)]).astype(jnp.int32)
+        dig, sgn = NP.fused_tail(inv.reshape(2, 2, nf),
+                                 jnp.stack([cfx, cfy]), rnd, sgs, n=nf)
+        return sgn[0], dig[0, F:F + D], sgn[1], dig[1, F:F + D]
     px, nx_ = _signed_streams(inv[0], inv[1], False, L)
     px, nx_ = _fold_addend(px, nx_, scx, cx, F)
     py, ny_ = _unsigned_stream(inv[2], inv[3], sx * sy, True, L)
@@ -545,7 +592,7 @@ def iterate_z_nr(sx, x, sy, y, sdx, dx, sdy, dy,
     def padv(v):
         return jnp.concatenate([v, jnp.zeros((pad,), jnp.uint32)])
 
-    if _use_pallas(nf):
+    if _any_pallas(nf):
         from fractalshark_tpu.ops.bignum import ntt_pallas as NP
         inv = NP.ntt_nr_iter_products(
             padv(x), padv(y), padv(dx), padv(dy),
@@ -578,6 +625,20 @@ def iterate_z_nr(sx, x, sy, y, sdx, dx, sdy, dy,
                                            extra_scale_r=True))
 
     L = 2 * D
+    if _use_fused_tail(nf, D):
+        from fractalshark_tpu.ops.bignum import ntt_pallas as NP
+        z = jnp.zeros((L,), jnp.uint32)
+        cfx = z.at[F:F + D].set(cx)
+        cfy = z.at[F:F + D].set(cy)
+        onef = z.at[2 * F].set(jnp.uint32(1))
+        rnd = z.at[F - 1].set(jnp.uint32(1 << 15))
+        sgs = jnp.stack([scx, scy, jnp.int32(0),
+                         jnp.int32(0)]).astype(jnp.int32)
+        dig, sgn = NP.fused_tail(inv.reshape(4, 2, nf),
+                                 jnp.stack([cfx, cfy, onef]), rnd, sgs,
+                                 n=nf, nr=True)
+        return (sgn[0], dig[0, F:F + D], sgn[1], dig[1, F:F + D],
+                sgn[2], dig[2, F:F + D], sgn[3], dig[3, F:F + D])
     one = jnp.ones((1,), jnp.uint32)
     # z real: d + cx ; z imag: 2·xy + cy (xy row is spectrum-signed);
     # dzdc real: 2·u + 1 ; dzdc imag: 2·v — all four streams finish in
@@ -620,7 +681,7 @@ def multiply_nr_iter(sx, ax, sy, ay, sdx, adx, sdy, ady,
         return jnp.concatenate([v, jnp.zeros((pad,), jnp.uint32)])
 
     F = spec.frac_digits
-    if _use_pallas(nf):
+    if _any_pallas(nf):
         from fractalshark_tpu.ops.bignum import ntt_pallas as NP
         inv = NP.ntt_nr_iter_products(
             padv(ax), padv(ay), padv(adx), padv(ady),

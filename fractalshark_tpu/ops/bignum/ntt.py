@@ -632,23 +632,25 @@ def _axis0_dit(y, tws, p_col):
     return y
 
 
-def _use_phase_pallas(m: int) -> bool:
+def _use_phase_pallas(m: int, lanes: int) -> bool:
     """Pallas per-phase sublane transforms: all log2(m) stages of a
     four-step phase in one VMEM-resident kernel (the XLA stage passes
-    are overhead/HBM-bound at large n)."""
+    are overhead/HBM-bound at large n).  Requires 128-divisible lanes —
+    narrower blocks (e.g. per-device shards of a small transform) would
+    relayout-pad inside Mosaic."""
     return (jax.default_backend() == "tpu" and m >= 64
-            and (m & (m - 1)) == 0)
+            and (m & (m - 1)) == 0 and lanes % 128 == 0)
 
 
 def _phase_dif(y, tws, p_col, m: int):
-    if _use_phase_pallas(m):
+    if _use_phase_pallas(m, y.shape[-1]):
         from fractalshark_tpu.ops.bignum import ntt_pallas as NP
         return NP.sublane_transform(y, m=m, inverse=False)
     return _axis0_dif(y, tws, p_col)
 
 
 def _phase_dit(y, tws, p_col, m: int):
-    if _use_phase_pallas(m):
+    if _use_phase_pallas(m, y.shape[-1]):
         from fractalshark_tpu.ops.bignum import ntt_pallas as NP
         return NP.sublane_transform(y, m=m, inverse=True)
     return _axis0_dit(y, tws, p_col)

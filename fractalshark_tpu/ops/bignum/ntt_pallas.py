@@ -185,11 +185,18 @@ def _smul(t, w, wp, p):
 
 
 def _mont(a, b, p, pp):
-    """Montgomery product a·b·R^-1 mod p."""
+    """Montgomery product a·b·R^-1 mod p.
+
+    The carry select avoids bool→u32 convert_element_type: under
+    jax_enable_x64 (package default) Mosaic's _convert_helper recurses
+    infinitely on that pair (surfaces as a bogus RecursionError), and
+    this kernel must trace x64-clean — it runs mid-trace inside
+    orbit_chunk's x64 scan."""
     hi, lo = mul_full(a, b)
     m = mul_lo(lo, pp)
     mp_hi, _ = mul_full(m, p)
-    t = hi + mp_hi + (lo != 0).astype(jnp.uint32)
+    t = hi + mp_hi + jnp.where(lo != jnp.uint32(0), jnp.uint32(1),
+                               jnp.uint32(0))
     return jnp.where(t >= p, t - p, t)
 
 
@@ -257,7 +264,10 @@ def _lane_dif(y, tab, p):
         hm = m >> 1
         w = tab[0][:, s].reshape((1,) * (y.ndim - 3) + (2, 1, LANES))
         wp = tab[1][:, s].reshape((1,) * (y.ndim - 3) + (2, 1, LANES))
-        first = (lane % m) < hm
+        # m is a power of two: mask with & — under jax_enable_x64 the
+        # Python-int remainder lowers through a Mosaic convert that
+        # recurses infinitely (bogus RecursionError), and & is cheaper
+        first = (lane & jnp.int32(m - 1)) < hm
         pf = _roll(y, -hm)           # y[l + hm]
         pb = _roll(y, hm)            # y[l - hm]
         a = jnp.where(first, y, pb)
@@ -278,7 +288,7 @@ def _lane_dit(y, tab, p):
         m = 2 << s
         w = tab[0][:, s].reshape((1,) * (y.ndim - 3) + (2, 1, LANES))
         wp = tab[1][:, s].reshape((1,) * (y.ndim - 3) + (2, 1, LANES))
-        first = (lane % m) < hm
+        first = (lane & jnp.int32(m - 1)) < hm      # m pow2 (see _lane_dif)
         u = _smul(y, w, wp, pc)      # second-half lanes: y[l]·w[l]
         t0 = _madd(y, _roll(u, -hm), pc)      # y[l] + u[l+hm]
         t1 = _msub(_roll(y, hm), u, pc)       # y[l-hm] - u[l]
@@ -382,13 +392,24 @@ def _pairs(*idx):
     return tuple(((1, i, j),) for (i, j) in idx)
 
 
+def _products(x, signs=None, *, n, n_values, pair_plan, interpret=False):
+    """Route to the single-kernel or split-pipeline implementation by
+    size (identical outputs)."""
+    if supported_split(n):
+        return _ntt_products_split(x, signs, n=n, n_values=n_values,
+                                   pair_plan=pair_plan,
+                                   interpret=interpret)
+    return _ntt_products(x, signs, n=n, n_values=n_values,
+                         pair_plan=pair_plan, interpret=interpret)
+
+
 def ntt3way_products(vx, vy, nfft: int, interpret: bool = False):
     """(xx, yy, xy) product rows [6, nfft] (prime-interleaved like
     ntt's flat path: rows 2k, 2k+1 = product k mod p1, p2)."""
     x = jnp.stack([vx, vy])
-    out = _ntt_products(x, n=nfft, n_values=2,
-                        pair_plan=_pairs((0, 0), (1, 1), (0, 1)),
-                        interpret=interpret)
+    out = _products(x, n=nfft, n_values=2,
+                    pair_plan=_pairs((0, 0), (1, 1), (0, 1)),
+                    interpret=interpret)
     return out.reshape(6, nfft)
 
 
@@ -398,8 +419,8 @@ def nttnr_products(vx, vy, vdx, vdy, nfft: int, interpret: bool = False):
     x = jnp.stack([vx, vy, vdx, vdy])
     plan = _pairs((0, 0), (1, 1), (0, 1),
                   (0, 2), (0, 3), (1, 2), (1, 3))
-    out = _ntt_products(x, n=nfft, n_values=4, pair_plan=plan,
-                        interpret=interpret)
+    out = _products(x, n=nfft, n_values=4, pair_plan=plan,
+                    interpret=interpret)
     return out.reshape(14, nfft)
 
 
@@ -415,8 +436,8 @@ def ntt_iter_products(vx, vy, nfft: int, interpret: bool = False):
     x = jnp.stack([vx, vy])
     plan = (((1, 0, 0), (-1, 1, 1)),      # x² − y²
             ((1, 0, 1),))                 # x·y
-    out = _ntt_products(x, n=nfft, n_values=2, pair_plan=plan,
-                        interpret=interpret)
+    out = _products(x, n=nfft, n_values=2, pair_plan=plan,
+                    interpret=interpret)
     return out.reshape(4, nfft)
 
 
@@ -429,9 +450,456 @@ def ntt_nr_iter_products(vx, vy, vdx, vdy, signs, nfft: int,
             ((1, 0, 1),),
             ((1, 0, 2), (-1, 1, 3)),
             ((1, 0, 3), (1, 1, 2)))
-    out = _ntt_products(x, signs, n=nfft, n_values=4, pair_plan=plan,
-                        interpret=interpret)
+    out = _products(x, signs, n=nfft, n_values=4, pair_plan=plan,
+                    interpret=interpret)
     return out.reshape(8, nfft)
+
+
+# ---------------------------------------------------------------------------
+# Split-phase pipeline: the whole-multiply chain as THREE kernels
+# ---------------------------------------------------------------------------
+#
+# Beyond MAX_NFFT the single kernel exceeds VMEM, and the XLA four-step
+# pays two minor-dim transposes per multiply whose relayouts dominate
+# the inverse phases (measured ~90 us vs ~26 us per phase at nfft
+# 65536).  The rollstep layout needs NO transpose anywhere: splitting
+# the whole-kernel chain at its two natural seams gives three
+# VMEM-sized kernels with every pass either sublane-local or
+# lane-local:
+#
+#   K1  sub-DIF (all log2(n1) stages) + T1 twiddle        [V,2,n1,128]
+#   K2  lane-DIF + (sign fold) + pointwise combines +
+#       lane-DIT + T1inv twiddle                          [K,2,n1,128]
+#   K3  sub-DIT (all stages) + n^-1·R scaling             [K,2,n1,128]
+#
+# Math, tables and op order are IDENTICAL to _make_kernel, so outputs
+# are bit-identical to the single-kernel path (and to the XLA
+# transforms — exact integer convolutions).
+
+
+@functools.lru_cache(maxsize=8)
+def _split_tables(n: int):
+    """Per-kernel slices of the packed table (smaller operands than the
+    full 13-plane pack): fwd [4,2,n1,128] = sub-fwd w/wp + T1 w/wp;
+    lane [4,2,8,128] compact lane-stage planes; t1i [2,2,n1,128];
+    inv [2,2,n1,128] sub-inv w/wp; misc [2,8,128]."""
+    T = _tables(n)
+    fwd = np.ascontiguousarray(np.concatenate([T[0:2], T[4:6]]))
+    lane = np.ascontiguousarray(T[8:12, :, :8, :])
+    t1i = np.ascontiguousarray(T[6:8])
+    inv = np.ascontiguousarray(T[2:4])
+    misc = np.ascontiguousarray(T[12, :, :8, :])
+    return fwd, lane, t1i, inv, misc
+
+
+def _fwd_split_kernel(n: int, n_values: int):
+    n1 = n // LANES
+
+    def kernel(x_ref, ft_ref, misc_ref, o_ref):
+        p = misc_ref[:, 0]                     # [2, 128]
+        xv = x_ref[...]                        # [V, n1, 128]
+        y = jnp.broadcast_to(xv[:, None], (n_values, 2, n1, LANES))
+        y = _sub_dif(y, (ft_ref[0], ft_ref[1]), p)
+        o_ref[...] = _smul(y, ft_ref[2][None], ft_ref[3][None],
+                           p.reshape(1, 2, 1, LANES))
+
+    return kernel
+
+
+def _mid_split_kernel(pair_plan, signed: bool):
+    def kernel(*refs):
+        if signed:
+            x_ref, sg_ref, lt_ref, t1i_ref, misc_ref, o_ref = refs
+        else:
+            x_ref, lt_ref, t1i_ref, misc_ref, o_ref = refs
+        p = misc_ref[:, 0]
+        pp = misc_ref[:, 1]
+        f = _lane_dif(x_ref[...], (lt_ref[0], lt_ref[1]), p)
+        pz = p.reshape(1, 2, 1, LANES)
+        ppz = pp.reshape(1, 2, 1, LANES)
+        if signed:
+            sg = sg_ref[...]                   # [V, 1, 1, 128] int32
+            fneg = jnp.where(f == jnp.uint32(0), f, pz - f)
+            f = jnp.where(sg < 0, fneg, f)
+        outs = []
+        for terms in pair_plan:
+            acc = None
+            for (sgn, ia, ib) in terms:
+                t = _mont(f[ia], f[ib], pz[0], ppz[0])
+                if acc is None:
+                    assert sgn > 0, "first combine term must be +"
+                    acc = t
+                elif sgn > 0:
+                    acc = _madd(acc, t, pz[0])
+                else:
+                    acc = _msub(acc, t, pz[0])
+            outs.append(acc)
+        z = jnp.stack(outs)                    # [K, 2, n1, 128]
+        z = _lane_dit(z, (lt_ref[2], lt_ref[3]), p)
+        o_ref[...] = _smul(z, t1i_ref[0][None], t1i_ref[1][None], pz)
+
+    return kernel
+
+
+def _inv_split_kernel():
+    def kernel(z_ref, it_ref, misc_ref, o_ref):
+        p = misc_ref[:, 0]
+        sc = misc_ref[:, 2]
+        scp = misc_ref[:, 3]
+        z = _sub_dit(z_ref[...], (it_ref[0], it_ref[1]), p)
+        o_ref[...] = _smul(z, sc.reshape(1, 2, 1, LANES),
+                           scp.reshape(1, 2, 1, LANES),
+                           p.reshape(1, 2, 1, LANES))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n", "n_values",
+                                             "pair_plan", "interpret"))
+def _ntt_products_split(x, signs=None, *, n: int, n_values: int,
+                        pair_plan, interpret: bool = False):
+    """Split-pipeline equivalent of _ntt_products (same signature and
+    output) for sizes beyond the single-kernel VMEM window.  No x64
+    toggle: callable mid-trace from x64 outer jits (orbit_chunk's
+    scan); bodies are pure u32."""
+    n1 = n // LANES
+    fwd_t, lane_t, t1i_t, inv_t, misc_t = (jnp.asarray(a) for a in
+                                           _split_tables(n))
+    K = len(pair_plan)
+    f0 = pl.pallas_call(
+        _fwd_split_kernel(n, n_values),
+        out_shape=jax.ShapeDtypeStruct((n_values, 2, n1, LANES),
+                                       jnp.uint32),
+        interpret=interpret,
+    )(x.reshape(n_values, n1, LANES), fwd_t, misc_t)
+    signed = signs is not None
+    mid_args = [f0]
+    if signed:
+        mid_args.append(jnp.broadcast_to(
+            jnp.asarray(signs, jnp.int32).reshape(n_values, 1, 1, 1),
+            (n_values, 1, 1, LANES)))
+    mid_args += [lane_t, t1i_t, misc_t]
+    z = pl.pallas_call(
+        _mid_split_kernel(pair_plan, signed),
+        out_shape=jax.ShapeDtypeStruct((K, 2, n1, LANES), jnp.uint32),
+        interpret=interpret,
+    )(*mid_args)
+    out = pl.pallas_call(
+        _inv_split_kernel(),
+        out_shape=jax.ShapeDtypeStruct((K, 2, n1, LANES), jnp.uint32),
+        interpret=interpret,
+    )(z, inv_t, misc_t)
+    return out.reshape(K, 2, n)
+
+
+# largest split-pipeline size: working sets scale ~n/65536 × 4 MB per
+# kernel — 131072 (View #32's 32768-limb operands) still fits VMEM
+SPLIT_MAX_NFFT = 131072
+
+
+def supported_split(nfft: int) -> bool:
+    return MAX_NFFT < nfft <= SPLIT_MAX_NFFT and nfft % LANES == 0
+
+
+# ---------------------------------------------------------------------------
+# Fused CRT + carry tail (kernel 4 of the split pipeline)
+# ---------------------------------------------------------------------------
+#
+# The XLA tail (fixedpoint._signed_streams → carry_propagate →
+# _finish_signed_rows) costs ~90 us of the 338 us View-#30 device
+# iteration: every Kogge-Stone doubling step is a separate HBM pass.
+# Here the whole tail runs VMEM-resident in one kernel — the TPU
+# counterpart of the reference folding FinalizeNormalize into the
+# multiply kernel (MultiplyNTT.cu:47-153).
+#
+# Digit layout: flat digit index i ↦ (sublane i // 128, lane i % 128)
+# of an [n1, 128] array (sublane-major, lane-minor — matches the
+# coefficient order of the split transforms since L == nfft for
+# power-of-two digit counts).  Flat shifts and the carry prefix become
+# lane ops + a sublane-aggregate pass:
+#
+#   * flat shift by k < 128: lane roll + take the previous sublane row
+#     for the wrapped lanes;
+#   * carry Kogge-Stone: 7 lane-level doubling steps within rows, one
+#     sublane-level prefix over per-row aggregates (log2(n1) steps),
+#     then one combine — data-independent, like the XLA version.
+#
+# The signed finish avoids the XLA path's top-differing-digit compare
+# (a gather): mag = P − N via two's-complement add with carry-out
+# (carry ⟺ P ≥ N, ties included) and a conditional recomplement —
+# identical (sign, magnitude) results.
+
+
+def _sub_roll(y, k):
+    """Cyclic SUBLANE rotation by k (axis -2)."""
+    return pltpu.roll(y, jnp.int32(k), y.ndim - 2)
+
+
+def _sub_iota(ndim, n1):
+    shape = (1,) * (ndim - 2) + (n1, 1)
+    return jax.lax.broadcasted_iota(jnp.int32, shape, ndim - 2)
+
+
+def _flat_shift(a, k: int, n1: int):
+    """out[i] = a[i-k] (zero for i < k) along the flat digit order of
+    [..., n1, 128]; 0 <= k < 128."""
+    if k == 0:
+        return a
+    lane = _lane_iota(a.ndim)
+    r = _roll(a, k)                      # lane l ← lane (l-k) mod 128
+    up = _sub_roll(r, 1)                 # previous sublane row's value
+    sub = _sub_iota(a.ndim, n1)
+    up = jnp.where(sub > 0, up, jnp.zeros_like(up))
+    return jnp.where(lane < k, up, r)
+
+
+def _flat_ks(g, p, n1: int):
+    """Inclusive Kogge-Stone prefix of the carry monoid (g, p) along
+    the flat digit order of [..., n1, 128] (hierarchical: lanes, then
+    sublane aggregates)."""
+    lane = _lane_iota(g.ndim)
+    k = 1
+    while k < LANES:
+        gs = _roll(g, k)
+        ps = _roll(p, k)
+        m = lane >= k
+        gs = jnp.where(m, gs, jnp.uint32(0))
+        ps = jnp.where(m, ps, jnp.uint32(1))
+        g = g | (p & gs)
+        p = p & ps
+        k <<= 1
+    # per-row aggregates (value at lane 127) → sublane prefix
+    Gr = jnp.broadcast_to(g[..., LANES - 1:LANES], g.shape)
+    Pr = jnp.broadcast_to(p[..., LANES - 1:LANES], p.shape)
+    sub = _sub_iota(g.ndim, n1)
+    s = 1
+    while s < n1:
+        gs = _sub_roll(Gr, s)
+        ps = _sub_roll(Pr, s)
+        m = sub >= s
+        gs = jnp.where(m, gs, jnp.uint32(0))
+        ps = jnp.where(m, ps, jnp.uint32(1))
+        Gr = Gr | (Pr & gs)
+        Pr = Pr & ps
+        s <<= 1
+    # incoming row carry = inclusive aggregate of the PREVIOUS row
+    Gin = _sub_roll(Gr, 1)
+    Gin = jnp.where(sub > 0, Gin, jnp.uint32(0))
+    return g | (p & Gin)
+
+
+_DMASK = 0xFFFF
+
+
+def _flat_carry(acc, n1: int):
+    """Canonicalize per-digit sums (< 2^32) to 16-bit digits along the
+    flat order; returns (digits, carry_out) with carry_out ∈ {0,1} u32
+    broadcast [..., 1, 1] (the carry out of the top digit — needed by
+    the two's-complement finish; the XLA carry_propagate drops it)."""
+    lo = acc & jnp.uint32(_DMASK)
+    hi = acc >> 16
+    a = lo + _flat_shift(hi, 1, n1)
+    d = a & jnp.uint32(_DMASK)
+    g = a >> 16
+    prop = jnp.where(d == jnp.uint32(_DMASK), jnp.uint32(1),
+                     jnp.uint32(0))
+    G = _flat_ks(g, prop, n1)
+    out = (d + _flat_shift(G, 1, n1)) & jnp.uint32(_DMASK)
+    top = (hi[..., n1 - 1:n1, LANES - 1:LANES] |
+           G[..., n1 - 1:n1, LANES - 1:LANES])
+    return out, top
+
+
+def _signed_finish(acc_p, acc_n, n1: int):
+    """(sign ∈ {+1,-1} i32 [...,1,1], canonical digits) of the signed
+    value pos − neg; ties and zero → +1 (fixedpoint.signed_add
+    semantics)."""
+    kshape = acc_p.shape
+    P, _ = _flat_carry(acc_p, n1)
+    N, _ = _flat_carry(acc_n, n1)
+    # u = P + ~N + 1 (mod M), carry_out ⟺ P >= N
+    comp = jnp.uint32(_DMASK) - N
+    one0 = jnp.where((_lane_iota(P.ndim) == 0) &
+                     (_sub_iota(P.ndim, n1) == 0),
+                     jnp.uint32(1), jnp.uint32(0))
+    u, cout = _flat_carry(P + comp + one0, n1)
+    # recomplement for the negative branch: M - u = ~u + 1
+    v, _ = _flat_carry((jnp.uint32(_DMASK) - u) + one0, n1)
+    pos = cout > 0
+    mag = jnp.where(pos, u, v)
+    nonzero = jnp.max(mag, axis=(-2, -1), keepdims=True) > 0
+    sign = jnp.where(pos | ~nonzero, jnp.int32(1), jnp.int32(-1))
+    del kshape
+    return sign, mag
+
+
+# in-kernel CRT constants (host Python ints → u32 scalars)
+_INV_P1_MOD_P2_MONT = np.uint32(((pow(N.P1, -1, N.P2)) << 32) % N.P2)
+_P1P2 = N.P1 * N.P2
+_C_P1P2_HI = np.uint32(_P1P2 >> 32)
+_C_P1P2_LO = np.uint32(_P1P2 & 0xFFFFFFFF)
+_C_HALF_HI = np.uint32((_P1P2 >> 1) >> 32)
+_C_HALF_LO = np.uint32((_P1P2 >> 1) & 0xFFFFFFFF)
+
+
+def _k_crt_rec(r1, r2):
+    """In-kernel CRT reconstruction (fixedpoint._crt_rec semantics):
+    (hi, lo) of rec ∈ [0, p1·p2)."""
+    p2 = jnp.uint32(N.P2)
+    pp2 = jnp.uint32(N._MONT[N.P2][0])
+    r1m = jnp.where(r1 >= p2, r1 - p2, r1)
+    diff = jnp.where(r2 >= r1m, r2 - r1m, r2 + p2 - r1m)
+    t = _mont(diff, jnp.full_like(diff, _INV_P1_MOD_P2_MONT), p2, pp2)
+    hi, lo = mul_full(t, jnp.uint32(N.P1))
+    lo2 = lo + r1
+    c = jnp.where(lo2 < lo, jnp.uint32(1), jnp.uint32(0))
+    return hi + c, lo2
+
+
+def _k_parts_acc(hi, lo, n1: int):
+    """Scatter the four 16-bit parts of each 64-bit coefficient into
+    flat digit positions k..k+3 and sum."""
+    d0 = lo & jnp.uint32(_DMASK)
+    d1 = lo >> 16
+    d2 = hi & jnp.uint32(_DMASK)
+    d3 = hi >> 16
+    return (d0 + _flat_shift(d1, 1, n1) + _flat_shift(d2, 2, n1) +
+            _flat_shift(d3, 3, n1))
+
+
+def _tail_streams(r1, r2, n1: int, signed: bool, double: bool,
+                  gsign=None):
+    """(acc_p, acc_n) digit-sum accumulators of one CRT'd product row
+    pair — fixedpoint._signed_streams/_unsigned_stream in-kernel."""
+    hi, lo = _k_crt_rec(r1, r2)
+    if signed:
+        neg = (hi > _C_HALF_HI) | ((hi == _C_HALF_HI) &
+                                   (lo > _C_HALF_LO))
+        nlo = jnp.uint32(_C_P1P2_LO) - lo
+        bb = jnp.where(_C_P1P2_LO < lo, jnp.uint32(1), jnp.uint32(0))
+        nhi = jnp.uint32(_C_P1P2_HI) - hi - bb
+        if double:
+            hi = (hi << 1) | (lo >> 31)
+            lo = lo << 1
+            nhi = (nhi << 1) | (nlo >> 31)
+            nlo = nlo << 1
+        z = jnp.uint32(0)
+        acc_p = _k_parts_acc(jnp.where(neg, z, hi),
+                             jnp.where(neg, z, lo), n1)
+        acc_n = _k_parts_acc(jnp.where(neg, nhi, z),
+                             jnp.where(neg, nlo, z), n1)
+        return acc_p, acc_n
+    if double:
+        hi = (hi << 1) | (lo >> 31)
+        lo = lo << 1
+    parts = _k_parts_acc(hi, lo, n1)
+    z = jnp.zeros_like(parts)
+    return (jnp.where(gsign > 0, parts, z),
+            jnp.where(gsign > 0, z, parts))
+
+
+def _iter_tail_kernel(n: int):
+    """z ← z² + c tail: inv rows [2, 2, n1, 128] (d, xy × primes),
+    addend planes [2, n1, 128] (cx, cy at digit offset F) + round
+    plane, signs SMEM [4] = (scx, scy, sx·sy).  Outputs canonical
+    digits [2, n1, 128] + signs (8, 128) i32."""
+    n1 = n // LANES
+
+    def kernel(inv_ref, cadd_ref, rnd_ref, sg_ref, dig_o, sgn_o):
+        inv = inv_ref[...]
+        rnd = rnd_ref[...]
+        scx = sg_ref[0]
+        scy = sg_ref[1]
+        sxy = sg_ref[2]
+        px, nx = _tail_streams(inv[0, 0], inv[0, 1], n1,
+                               signed=True, double=False)
+        py, ny = _tail_streams(inv[1, 0], inv[1, 1], n1, signed=False,
+                               double=True, gsign=sxy)
+        cx = cadd_ref[0]
+        cy = cadd_ref[1]
+        z = jnp.zeros_like(cx)
+        px = px + jnp.where(scx > 0, cx, z) + rnd
+        nx = nx + jnp.where(scx > 0, z, cx)
+        py = py + jnp.where(scy > 0, cy, z) + rnd
+        ny = ny + jnp.where(scy > 0, z, cy)
+        sign, mag = _signed_finish(jnp.stack([px, py]),
+                                   jnp.stack([nx, ny]), n1)
+        dig_o[...] = mag
+        lane = _lane_iota(2)
+        srow = jnp.where(lane == 0, sign[0, 0, 0],
+                         jnp.where(lane == 1, sign[1, 0, 0],
+                                   jnp.int32(0)))
+        sgn_o[...] = jnp.broadcast_to(srow, (8, LANES))
+
+    return kernel
+
+
+def _nr_tail_kernel(n: int):
+    """NR tail: inv rows [4, 2, n1, 128] (d, xy, u, v), addends
+    [3, n1, 128] (cx, cy, one at offset 2F) + round plane, signs SMEM
+    (scx, scy).  All four product rows are spectrum-signed (sign
+    folding), so every stream is the signed kind; xy, u, v double.
+    Outputs digits [4, n1, 128] + signs row."""
+    n1 = n // LANES
+
+    def kernel(inv_ref, cadd_ref, rnd_ref, sg_ref, dig_o, sgn_o):
+        inv = inv_ref[...]
+        rnd = rnd_ref[...]
+        scx = sg_ref[0]
+        scy = sg_ref[1]
+        ps, ns = [], []
+        for k, dbl in enumerate((False, True, True, True)):
+            p_, n_ = _tail_streams(inv[k, 0], inv[k, 1], n1,
+                                   signed=True, double=dbl)
+            ps.append(p_)
+            ns.append(n_)
+        cx = cadd_ref[0]
+        cy = cadd_ref[1]
+        one = cadd_ref[2]
+        z = jnp.zeros_like(cx)
+        ps[0] = ps[0] + jnp.where(scx > 0, cx, z)
+        ns[0] = ns[0] + jnp.where(scx > 0, z, cx)
+        ps[1] = ps[1] + jnp.where(scy > 0, cy, z)
+        ns[1] = ns[1] + jnp.where(scy > 0, z, cy)
+        ps[2] = ps[2] + one
+        sign, mag = _signed_finish(jnp.stack([p + rnd for p in ps]),
+                                   jnp.stack(ns), n1)
+        dig_o[...] = mag
+        lane = _lane_iota(2)
+        srow = jnp.full((LANES,), 0, jnp.int32)
+        srow = jnp.where(lane == 0, sign[0, 0, 0], srow)
+        srow = jnp.where(lane == 1, sign[1, 0, 0], srow)
+        srow = jnp.where(lane == 2, sign[2, 0, 0], srow)
+        srow = jnp.where(lane == 3, sign[3, 0, 0], srow)
+        sgn_o[...] = jnp.broadcast_to(srow.reshape(1, LANES),
+                                      (8, LANES))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n", "nr", "interpret"))
+def fused_tail(inv, cadd, rnd, sgs, *, n: int, nr: bool = False,
+               interpret: bool = False):
+    """Fused CRT+carry tail: inv [K, 2, n] (K3 output), cadd
+    [2 or 3, n] addend digit planes, rnd [n] round plane, sgs i32[4].
+    Returns (digits [K, n], signs i32[K])."""
+    n1 = n // LANES
+    K = inv.shape[0]
+    kern = _nr_tail_kernel(n) if nr else _iter_tail_kernel(n)
+    dig, sgn = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((K, n1, LANES), jnp.uint32),
+                   jax.ShapeDtypeStruct((8, LANES), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(inv.reshape(K, 2, n1, LANES), cadd.reshape(-1, n1, LANES),
+      rnd.reshape(n1, LANES), sgs)
+    return dig.reshape(K, n), sgn[0, :K]
 
 
 # ---------------------------------------------------------------------------

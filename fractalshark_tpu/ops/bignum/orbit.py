@@ -60,10 +60,10 @@ def _shadow_hdr(sign, digits, frac_bits):
     return m, e
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "steps"))
+@functools.partial(jax.jit, static_argnames=("spec", "steps", "mesh"))
 def orbit_chunk(sx, x, sy, y, dzdc_x, dzdc_y, dzdc_e,
                 scx, cx, scy, cy, rad_m, rad_e, cxf, cyf, *,
-                spec: FP.FixedSpec, steps: int):
+                spec: FP.FixedSpec, steps: int, mesh=None):
     """Run `steps` iterations of z ← z² + c with the periodicity/escape
     bookkeeping ON DEVICE (PeriodicityChecker.h:46-95): the low-precision
     dzdc recurrence (f64 mantissas + shared i32 exponent — HDRFloat form)
@@ -149,8 +149,18 @@ def orbit_chunk(sx, x, sy, y, dzdc_x, dzdc_y, dzdc_e,
         ty = lzy + cyf
         escape_flag = tx * tx + ty * ty > 256.0
 
-        nsx, nx, nsy, ny = FP.iterate_z(sx, x, sy, y,
-                                        scx, cx, scy, cy, spec)
+        if mesh is not None:
+            # mesh-wired update: the whole mesh computes this one
+            # bignum (limb-sharded transforms + sharded CRT/carry
+            # tail; parallel/orbit_sharded.py) — bit-identical to the
+            # single-chip path
+            from fractalshark_tpu.parallel.orbit_sharded import \
+                iterate_z_sharded
+            nsx, nx, nsy, ny = iterate_z_sharded(
+                sx, x, sy, y, scx, cx, scy, cy, spec=spec, mesh=mesh)
+        else:
+            nsx, nx, nsy, ny = FP.iterate_z(sx, x, sy, y,
+                                            scx, cx, scy, cy, spec)
         return ((nsx, nx, nsy, ny, ndx, ndy, nde),
                 (lzx, lzy, period_flag, escape_flag, sh_mx, sh_my, e_sh))
 
@@ -236,6 +246,10 @@ class TpuOrbitSession:
     center_y: HighPrecision
     max_radius: HighPrecision
     chunk_steps: int = 256
+    # when set (jax.sharding.Mesh), every iteration's multiply + tail
+    # run limb-sharded over the mesh — the whole mesh computes one
+    # bignum (KernelHpSharkReferenceOrbit_cu.h:255 analogue)
+    mesh: object | None = None
 
     def run(self, max_iterations: int, periodicity: bool = True,
             abort_flag: threading.Event | None = None,
@@ -290,7 +304,8 @@ class TpuOrbitSession:
             state, out = orbit_chunk(*state, scx, cxj, scy, cyj,
                                      rad_m, rad_e,
                                      jnp.float64(cxf), jnp.float64(cyf),
-                                     spec=spec, steps=steps)
+                                     spec=spec, steps=steps,
+                                     mesh=self.mesh)
             (lzx, lzy, pflag, eflag,
              sh_mx, sh_my, e_sh) = (np.asarray(v) for v in out)
             # vectorized host bookkeeping: truncate at the first flag
@@ -349,7 +364,8 @@ def compute_reference_orbit_device(center_x: HighPrecision,
                                    limbs32: int | None = None,
                                    periodicity: bool = True,
                                    chunk_steps: int = 256,
-                                   abort_flag=None) -> PerturbationResults:
+                                   abort_flag=None,
+                                   mesh=None) -> PerturbationResults:
     """Device-orbit entry point (the analogue of
     RefOrbitCalc::AddPerturbationReferencePointGPU,
     RefOrbitCalc.cpp:2167-2260)."""
@@ -360,6 +376,6 @@ def compute_reference_orbit_device(center_x: HighPrecision,
     spec = FP.FixedSpec.for_limbs(limbs32)
     session = TpuOrbitSession(spec=spec, center_x=center_x,
                               center_y=center_y, max_radius=max_radius,
-                              chunk_steps=chunk_steps)
+                              chunk_steps=chunk_steps, mesh=mesh)
     return session.run(max_iterations, periodicity=periodicity,
                        abort_flag=abort_flag)

@@ -47,10 +47,33 @@ LANE = 128
 # 1024-element-aligned (Mosaic tiling for 1D f32)
 WIN = 1024
 
+# 64-bit iteration budgets (IterTypeEnum::Bits64 analogue,
+# RenderAlgorithm.h:81-159): Mosaic has no i64, so per-pixel budgets
+# ride as a REMAINING count split into (hi, lo) i32 with
+# lo ∈ [0, 2^REM_LOG): decrement lo, borrow from hi at zero — 4 extra
+# vector ops per step, data-independent.  Tests shrink REM_LOG to
+# exercise the borrow path without 2^30 steps.
+REM_LOG = 30
+
+
+def _rem_split(v: int) -> tuple[int, int]:
+    return int(v) >> REM_LOG, int(v) & ((1 << REM_LOG) - 1)
+
+
+def _rem_decrement(rhi, rlo, upd):
+    """One-step decrement of the (hi, lo) remaining pair where upd."""
+    borrow = upd & (rlo == 0)
+    rlo = jnp.where(upd, jnp.where(borrow, (1 << REM_LOG) - 1, rlo - 1),
+                    rlo)
+    rhi = jnp.where(borrow, rhi - 1, rhi)
+    return rhi, rlo
+
 
 def _kernel(scal_ref, z0_ref, oxh_ref, oyh_ref, dcr_ref, dci_ref, dce_ref,
-            dzr_i, dzi_i, dze_i, it_i, done_i, active_i, tst_i, tzc_i,
-            dzr_o, dzi_o, dze_o, it_o, done_o, active_o, tst_o, tzc_o,
+            dzr_i, dzi_i, dze_i, rhi_i, rlo_i, done_i, active_i,
+            tst_i, tzc_i,
+            dzr_o, dzi_o, dze_o, rhi_o, rlo_o, done_o, active_o,
+            tst_o, tzc_o,
             winx, winy, semx, semy, *, tile_h, budget):
     """Budget-bounded, RESUMABLE lockstep-sweep kernel: processes at
     most `budget` windows for this tile, then suspends — per-tile sweep
@@ -58,9 +81,12 @@ def _kernel(scal_ref, z0_ref, oxh_ref, oyh_ref, dcr_ref, dci_ref, dce_ref,
     so the host can relaunch until every pixel resolves (the
     reference's chunked cooperative-kernel relaunch,
     RefOrbitCalc.cpp:2205-2233; bounded dispatches also keep the
-    device watchdog and abort latency in check)."""
+    device watchdog and abort latency in check).
+
+    Iteration budgets are 64-bit: per-pixel REMAINING counts ride as
+    (hi, lo) i32 pairs (see REM_LOG) — IterTypeEnum::Bits64 on the
+    production streaming path."""
     shape = (tile_h, LANE)
-    max_iter = scal_ref[0]
     max_ref = scal_ref[1]
     n_win = scal_ref[2]
 
@@ -69,7 +95,7 @@ def _kernel(scal_ref, z0_ref, oxh_ref, oyh_ref, dcr_ref, dci_ref, dce_ref,
                 jnp.full(shape, 8, jnp.int32))
 
     def win_body(w, carry):
-        dzr, dzi, dze, it, done, active, zcx, zcy = carry
+        dzr, dzi, dze, rhi, rlo, done, active, zcx, zcy = carry
         base = w * WIN
         cx = pltpu.make_async_copy(
             oxh_ref.at[pl.ds(base, WIN)], winx, semx)
@@ -81,9 +107,10 @@ def _kernel(scal_ref, z0_ref, oxh_ref, oyh_ref, dcr_ref, dci_ref, dce_ref,
         cy.wait()
 
         def step(s_local, c):
-            dzr, dzi, dze, it, done, active, zcx, zcy = c
+            dzr, dzi, dze, rhi, rlo, done, active, zcx, zcy = c
             s = base + s_local
-            live = (active > 0) & (it < max_iter) & (s < max_ref)
+            exhausted = (rhi == 0) & (rlo == 0)
+            live = (active > 0) & ~exhausted & (s < max_ref)
             zx = zcx          # Z[s], carried from the previous step
             zy = zcy
             zx1 = winx[s_local]   # Z[s+1]: window holds the 1-shifted orbit
@@ -109,45 +136,47 @@ def _kernel(scal_ref, z0_ref, oxh_ref, oyh_ref, dcr_ref, dci_ref, dce_ref,
             dzr = jnp.where(upd, jnp.where(reb, zf.re, ndz.re), dzr)
             dzi = jnp.where(upd, jnp.where(reb, zf.im, ndz.im), dzi)
             dze = jnp.where(upd, jnp.where(reb, zf.e, ndz.e), dze)
-            it = it + upd.astype(jnp.int32)
+            rhi, rlo = _rem_decrement(rhi, rlo, upd)
+            exhausted = (rhi == 0) & (rlo == 0)
             done = jnp.maximum(
-                done, (esc_px | (it >= max_iter)).astype(jnp.int32))
-            active = jnp.where(esc_px | reb_px | (it >= max_iter),
-                               0, active)
-            return dzr, dzi, dze, it, done, active, zx1, zy1
+                done, (esc_px | exhausted).astype(jnp.int32))
+            active = jnp.where(esc_px | reb_px | exhausted, 0, active)
+            return dzr, dzi, dze, rhi, rlo, done, active, zx1, zy1
 
-        c = (dzr, dzi, dze, it, done, active, zcx, zcy)
+        c = (dzr, dzi, dze, rhi, rlo, done, active, zcx, zcy)
         c = jax.lax.fori_loop(jnp.int32(0), jnp.int32(WIN), step, c)
         return c
 
     def cond(c):
         b = c[0]
-        done = c[6]
+        done = c[7]
         return jnp.logical_and(b < budget, jnp.min(done) < 1)
 
     def body(c):
-        b, wpos, dzr, dzi, dze, it, done, active, zcx, zcy = c
+        b, wpos, dzr, dzi, dze, rhi, rlo, done, active, zcx, zcy = c
         at_start = wpos == 0
         active = jnp.where(at_start, 1 - done, active)
         zcx = jnp.where(at_start, z0_ref[0], zcx)
         zcy = jnp.where(at_start, z0_ref[1], zcy)
-        (dzr, dzi, dze, it, done, active, zcx, zcy) = win_body(
-            wpos, (dzr, dzi, dze, it, done, active, zcx, zcy))
+        (dzr, dzi, dze, rhi, rlo, done, active, zcx, zcy) = win_body(
+            wpos, (dzr, dzi, dze, rhi, rlo, done, active, zcx, zcy))
         wpos = wpos + 1
         sweep_end = jnp.logical_or(wpos >= n_win, jnp.max(active) < 1)
         wpos = jnp.where(sweep_end, 0, wpos)
-        return (b + 1, wpos, dzr, dzi, dze, it, done, active, zcx, zcy)
+        return (b + 1, wpos, dzr, dzi, dze, rhi, rlo, done, active,
+                zcx, zcy)
 
     init = (jnp.int32(0), tst_i[0, 0],
-            dzr_i[...], dzi_i[...], dze_i[...], it_i[...],
+            dzr_i[...], dzi_i[...], dze_i[...], rhi_i[...], rlo_i[...],
             done_i[...], active_i[...],
             tzc_i[0, 0], tzc_i[0, 1])
     out = jax.lax.while_loop(cond, body, init)
-    (_, wpos, dzr, dzi, dze, it, done, active, zcx, zcy) = out
+    (_, wpos, dzr, dzi, dze, rhi, rlo, done, active, zcx, zcy) = out
     dzr_o[...] = dzr
     dzi_o[...] = dzi
     dze_o[...] = dze
-    it_o[...] = it
+    rhi_o[...] = rhi
+    rlo_o[...] = rlo
     done_o[...] = done
     active_o[...] = active
     tst_o[0, 0] = wpos

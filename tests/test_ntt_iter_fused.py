@@ -135,6 +135,145 @@ class TestPallasInterpret:
         got = int(np.asarray(sd)) * FP.digits_to_int(np.asarray(dd)[F:F + D])
         assert got == esd * ed
 
+    def test_split_pipeline_matches_xla_fourstep(self):
+        """The three-kernel split pipeline (nfft > whole-kernel VMEM
+        window) against the XLA four-step: identical inverse rows —
+        exact integer convolutions mod p, any correct chain agrees
+        elementwise."""
+        nfft = 32768
+        assert NP.supported_split(nfft)
+        D = nfft // 2
+        rng = np.random.default_rng(21)
+        ax = rng.integers(0, 1 << 16, D, dtype=np.uint32)
+        ay = rng.integers(0, 1 << 16, D, dtype=np.uint32)
+        vx = jnp.concatenate([jnp.asarray(ax),
+                              jnp.zeros(nfft - D, jnp.uint32)])
+        vy = jnp.concatenate([jnp.asarray(ay),
+                              jnp.zeros(nfft - D, jnp.uint32)])
+        got = np.asarray(NP.ntt_iter_products(vx, vy, nfft,
+                                              interpret=True))
+        stacked = jnp.stack([vx, vx, vy, vy])
+        f = N.fourstep_forward(stacked, nfft)
+        p2c, pp2c = N._row_consts(2)
+        sq = N._mont_mul_rows(f, f, *N._row_consts(4))
+        d = N._mod_sub_rows(sq[0:2], sq[2:4], p2c)
+        xy = N._mont_mul_rows(f[0:2], f[2:4], p2c, pp2c)
+        ref = np.asarray(N.fourstep_inverse_scaled(
+            jnp.concatenate([d, xy]), nfft, extra_scale_r=True))
+        assert (got == ref).all()
+
+    def test_fused_tail_matches_xla_tail(self):
+        """fused CRT+carry tail kernel (interpret) vs the XLA tail:
+        identical (sign, digits) for the z-update, including the +c
+        folding and round term."""
+        spec = FP.FixedSpec.for_limbs(1024)     # nfft 4096 == 2D
+        nfft, D, F = spec.nfft, spec.digits, spec.frac_digits
+        assert 2 * D == nfft
+        rng = np.random.default_rng(31)
+        for trial in range(3):
+            (sx, ax), (sy, ay) = (_rand_mag(rng, spec),
+                                  _rand_mag(rng, spec))
+            (scx, cxd), (scy, cyd) = (_rand_mag(rng, spec),
+                                      _rand_mag(rng, spec))
+            pad = nfft - D
+            vx = jnp.concatenate([jnp.asarray(ax),
+                                  jnp.zeros(pad, jnp.uint32)])
+            vy = jnp.concatenate([jnp.asarray(ay),
+                                  jnp.zeros(pad, jnp.uint32)])
+            stacked = jnp.stack([vx, vx, vy, vy])
+            f = N.shoup_forward(stacked, nfft)
+            p2c, pp2c = N._row_consts(2)
+            sq = N._mont_mul_rows(f, f, *N._row_consts(4))
+            d = N._mod_sub_rows(sq[0:2], sq[2:4], p2c)
+            xy = N._mont_mul_rows(f[0:2], f[2:4], p2c, pp2c)
+            inv = N.shoup_inverse_scaled(jnp.concatenate([d, xy]),
+                                         nfft, extra_scale_r=True)
+            # XLA tail
+            L = 2 * D
+            px, nx = FP._signed_streams(inv[0], inv[1], False, L)
+            px, nx = FP._fold_addend(px, nx, jnp.int32(scx),
+                                     jnp.asarray(cxd), F)
+            py, ny = FP._unsigned_stream(inv[2], inv[3],
+                                         jnp.int32(sx * sy), True, L)
+            py, ny = FP._fold_addend(py, ny, jnp.int32(scy),
+                                     jnp.asarray(cyd), F)
+            wsg, wmg = FP._finish_signed_rows(jnp.stack([px, py]),
+                                              jnp.stack([nx, ny]),
+                                              F, D, F - 1)
+            # fused tail
+            z = jnp.zeros((L,), jnp.uint32)
+            cfx = z.at[F:F + D].set(jnp.asarray(cxd))
+            cfy = z.at[F:F + D].set(jnp.asarray(cyd))
+            rnd = z.at[F - 1].set(jnp.uint32(1 << 15))
+            sgs = jnp.asarray([scx, scy, sx * sy, 0], jnp.int32)
+            dig, sgn = NP.fused_tail(inv.reshape(2, 2, nfft),
+                                     jnp.stack([cfx, cfy]), rnd, sgs,
+                                     n=nfft, interpret=True)
+            assert (np.asarray(sgn) == np.asarray(wsg)).all(), trial
+            got = np.asarray(dig)[:, F:F + D]
+            assert (got == np.asarray(wmg)).all(), trial
+
+    def test_fused_tail_nr_matches_xla_tail(self):
+        """NR fused tail (4 signed rows, doubling, +1 addend) vs the
+        XLA tail rows of iterate_z_nr."""
+        spec = FP.FixedSpec.for_limbs(1024)
+        nfft, D, F = spec.nfft, spec.digits, spec.frac_digits
+        rng = np.random.default_rng(33)
+        vals = [_rand_mag(rng, spec) for _ in range(4)]
+        (sx, ax), (sy, ay), (sdx, adx), (sdy, ady) = vals
+        (scx, cxd), (scy, cyd) = _rand_mag(rng, spec), _rand_mag(rng, spec)
+        pad = nfft - D
+
+        def padv(v):
+            return jnp.concatenate([jnp.asarray(v),
+                                    jnp.zeros(pad, jnp.uint32)])
+
+        stacked = jnp.stack([padv(ax), padv(ax), padv(ay), padv(ay),
+                             padv(adx), padv(adx), padv(ady), padv(ady)])
+        f = N.shoup_forward(stacked, nfft)
+        p8c, _ = N._row_consts(8)
+        signs = jnp.stack([jnp.int32(s) for s in
+                           (sx, sx, sy, sy, sdx, sdx, sdy, sdy)])
+        fneg = jnp.where(f == 0, f, p8c - f)
+        f = jnp.where((signs < 0)[:, None], fneg, f)
+        p2c, pp2c = N._row_consts(2)
+
+        def mul2(a2, b2):
+            return N._mont_mul_rows(a2, b2, p2c, pp2c)
+
+        fx, fy, fdx, fdy = f[0:2], f[2:4], f[4:6], f[6:8]
+        dd = N._mod_sub_rows(mul2(fx, fx), mul2(fy, fy), p2c)
+        xy = mul2(fx, fy)
+        u = N._mod_sub_rows(mul2(fx, fdx), mul2(fy, fdy), p2c)
+        v = N._mod_add_rows(mul2(fx, fdy), mul2(fy, fdx), p2c)
+        inv = N.shoup_inverse_scaled(jnp.concatenate([dd, xy, u, v]),
+                                     nfft, extra_scale_r=True)
+        L = 2 * D
+        one = jnp.ones((1,), jnp.uint32)
+        p0, n0 = FP._signed_streams(inv[0], inv[1], False, L)
+        p0, n0 = FP._fold_addend(p0, n0, jnp.int32(scx),
+                                 jnp.asarray(cxd), F)
+        p1, n1 = FP._signed_streams(inv[2], inv[3], True, L)
+        p1, n1 = FP._fold_addend(p1, n1, jnp.int32(scy),
+                                 jnp.asarray(cyd), F)
+        p2, n2 = FP._signed_streams(inv[4], inv[5], True, L)
+        p2, n2 = FP._fold_addend(p2, n2, jnp.int32(1), one, 2 * F)
+        p3, n3 = FP._signed_streams(inv[6], inv[7], True, L)
+        wsg, wmg = FP._finish_signed_rows(jnp.stack([p0, p1, p2, p3]),
+                                          jnp.stack([n0, n1, n2, n3]),
+                                          F, D, F - 1)
+        z = jnp.zeros((L,), jnp.uint32)
+        cfx = z.at[F:F + D].set(jnp.asarray(cxd))
+        cfy = z.at[F:F + D].set(jnp.asarray(cyd))
+        onef = z.at[2 * F].set(jnp.uint32(1))
+        rnd = z.at[F - 1].set(jnp.uint32(1 << 15))
+        sgs = jnp.asarray([scx, scy, 0, 0], jnp.int32)
+        dig, sgn = NP.fused_tail(inv.reshape(4, 2, nfft),
+                                 jnp.stack([cfx, cfy, onef]), rnd, sgs,
+                                 n=nfft, nr=True, interpret=True)
+        assert (np.asarray(sgn) == np.asarray(wsg)).all()
+        assert (np.asarray(dig)[:, F:F + D] == np.asarray(wmg)).all()
+
     def test_nr_iter_products_signs(self):
         """Sign folding: NTT(−a) = p − NTT(a) pointwise."""
         spec = FP.FixedSpec.for_limbs(512)
