@@ -216,11 +216,11 @@ def _deep_la(extra):
                 res, la, ptz, size, size, n, sub_dtype=np.float32,
                 la_only=True, return_state=True)
             _, _, ref_iter, dzr, dzi, dze, it, _ = state
-            it32 = np.asarray(it).astype(np.int32)
+            it64 = np.asarray(it).astype(np.int64)
             init = {"dzr": np.asarray(dzr), "dzi": np.asarray(dzi),
-                    "dze": np.asarray(dze), "it": it32,
-                    "jwait": np.asarray(ref_iter).astype(np.int32),
-                    "done": (it32 >= n).astype(np.int32)}
+                    "dze": np.asarray(dze), "it": it64,
+                    "jwait": np.asarray(ref_iter).astype(np.int64),
+                    "done": (it64 >= n).astype(np.int32)}
             return np.asarray(perturb_render_stream_rc(
                 ident, res.center_x, res.center_y, ptz, size, size, n,
                 init_state=init))
@@ -317,6 +317,49 @@ def _ntt(extra):
             extra["ntt_device_prof_error"] = repr(e)[:120]
 
 
+def _ntt32768(extra):
+    """View #32-scale (32768-limb, nfft 131072) orbit iteration rate on
+    the REAL View #32 center — the reference demonstrates the full
+    pipeline at this operand size on an RTX 5090
+    (Notes/FractalShark-07-GpuArithmetic.tex:33-40)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fractalshark_tpu.core.views import get_view_preset
+    from fractalshark_tpu.ops.bignum import fixedpoint as FP
+    from fractalshark_tpu.ops.bignum.orbit import orbit_chunk
+
+    if jax.default_backend() != "tpu":
+        return
+    limbs = 32768
+    steps = 32
+    spec = FP.FixedSpec.for_limbs(limbs)
+    prec = spec.frac_bits - 64
+    v32 = get_view_preset(32).ptz
+    cx = v32.pt_x.with_precision(prec)
+    cy = v32.pt_y.with_precision(prec)
+    scx, dcx = FP.hp_to_digits(cx, spec)
+    scy, dcy = FP.hp_to_digits(cy, spec)
+    args = (jnp.int32(scx), jnp.asarray(dcx), jnp.int32(scy),
+            jnp.asarray(dcy))
+    dzdc0 = (jnp.float64(1.0), jnp.float64(0.0), jnp.int32(0))
+    consts = (jnp.float64(1.0), jnp.int32(-40),
+              jnp.float64(float(cx)), jnp.float64(float(cy)))
+    best = None
+    for i in range(3):
+        t0 = time.perf_counter()
+        _, sh = orbit_chunk(*args, *dzdc0, args[0], args[1], args[2],
+                            args[3], *consts, spec=spec, steps=steps)
+        np.asarray(sh[0][-1])
+        dt = time.perf_counter() - t0
+        if i > 0:
+            best = dt if best is None else min(best, dt)
+    extra["ntt32768_ms_per_iter"] = round(best / steps * 1e3, 3)
+
+
 def _ntt_sharded(extra):
     """Mesh-wired orbit iteration (limb-sharded multiply + CRT/carry
     tail, parallel/orbit_sharded.py) on a 1-device mesh of the real
@@ -376,7 +419,7 @@ def main() -> int:
     # companion metric and must not be starved by a slow compile window
     parts = [("native", _native), ("ntt", _ntt),
              ("perturb/la", _perturb_and_la), ("deep_la", _deep_la),
-             ("ntt_sharded", _ntt_sharded)]
+             ("ntt_sharded", _ntt_sharded), ("ntt32768", _ntt32768)]
     headline = None
     try:
         headline = _headline(extra)
@@ -395,7 +438,7 @@ def main() -> int:
     # rough first-compile cost of each part through the remote-compile
     # tunnel; a part only starts if it plausibly fits the remaining budget
     est_s = {"native": 5, "ntt": 100, "perturb/la": 110, "deep_la": 130,
-             "ntt_sharded": 150}
+             "ntt_sharded": 150, "ntt32768": 200}
     for name, fn in parts:
         remaining = budget_s - (time.perf_counter() - t_start)
         if remaining < est_s.get(name, 60):

@@ -66,6 +66,9 @@ def _load():
             ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_int32),   # out_e (HDR exponents)
             ctypes.POINTER(ctypes.c_int32),   # status
+            ctypes.c_int64,                   # reuse_limbs (0 = off)
+            ctypes.POINTER(ctypes.c_uint64),  # out_reuse
+            ctypes.POINTER(ctypes.c_int8),    # out_reuse_sign
         ]
         _lib = lib
         return _lib
@@ -104,8 +107,14 @@ def compute_reference_orbit_native(center_x: HighPrecision,
                                    max_iterations: int,
                                    max_radius: HighPrecision,
                                    periodicity: bool = True,
-                                   precision_bits: int | None = None
+                                   precision_bits: int | None = None,
+                                   reuse_frac_bits: int | None = None
                                    ) -> PerturbationResults:
+    """reuse_frac_bits: when set, the native loop also records the
+    intermediate-precision reuse copy of every z during the run (a
+    limb-truncating memcpy per iteration — RefOrbitCalc.cpp:543-548),
+    attached as ``extra["reuse_orbit"]``.  The effective reuse
+    precision rounds up to a limb multiple ≥ the request."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native orbit library unavailable")
@@ -118,6 +127,13 @@ def compute_reference_orbit_native(center_x: HighPrecision,
     out_y = np.zeros(max_iterations + 2, np.float64)
     out_e = np.zeros(max_iterations + 2, np.int32)
     status = ctypes.c_int32(0)
+    rl = 0
+    out_reuse = np.zeros(1, np.uint64)
+    out_rsign = np.zeros(2, np.int8)
+    if reuse_frac_bits is not None:
+        rl = min(-(-int(reuse_frac_bits) // 64) + 1, nlimbs)
+        out_reuse = np.zeros((max_iterations + 2) * 2 * rl, np.uint64)
+        out_rsign = np.zeros((max_iterations + 2) * 2, np.int8)
     count = lib.fs_reference_orbit(
         cx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), sx,
         cy.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), sy,
@@ -125,13 +141,33 @@ def compute_reference_orbit_native(center_x: HighPrecision,
         out_x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         out_y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         out_e.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        ctypes.byref(status))
+        ctypes.byref(status), rl,
+        out_reuse.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out_rsign.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
     period = count if status.value == 1 else 0
     escaped = count if status.value == 2 else 0
     oe = out_e[:count]
-    return PerturbationResults(
+    res = PerturbationResults(
         center_x=center_x, center_y=center_y,
         orbit_x=out_x[:count].copy(), orbit_y=out_y[:count].copy(),
         max_radius=max_radius, period=period, escaped_at=escaped,
         max_iterations=max_iterations, precision_bits=prec,
         orbit_e=oe.copy() if (oe != 0).any() else None)
+    if reuse_frac_bits is not None and rl > 0:
+        from fractalshark_tpu.engine.reuse import ReuseOrbit
+        limbs = out_reuse[:count * 2 * rl].reshape(count, 2, rl)
+        sgn = out_rsign[:count * 2].reshape(count, 2)
+        raw = limbs.tobytes()
+        stride = 2 * rl * 8
+        half = rl * 8
+        rzx, rzy = [], []
+        for i in range(count):
+            o = i * stride
+            rzx.append(int(sgn[i, 0]) * int.from_bytes(
+                raw[o:o + half], "little"))
+            rzy.append(int(sgn[i, 1]) * int.from_bytes(
+                raw[o + half:o + stride], "little"))
+        res.extra["reuse_orbit"] = ReuseOrbit(
+            zx=rzx, zy=rzy, frac_bits=64 * (rl - 1),
+            center_x=center_x, center_y=center_y)
+    return res

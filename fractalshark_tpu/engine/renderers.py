@@ -55,8 +55,7 @@ def calc_perturbed(fractal, alg: RenderAlgorithm):
                                           "hdr2x32") else np.float64
         if (alg.runtime_decompression and fractal.backend == "tpu"
                 and sub == np.float32
-                and alg.la_mode is LAMode.FULL
-                and fractal.num_iterations < (1 << 31)):
+                and alg.la_mode is LAMode.FULL):
             # LAv2-RC two-phase: LA stepping from the node table, then
             # the perturbation tail straight from the COMPRESSED orbit
             # (per-pixel jwait handoff into the RC streaming kernel) —
@@ -73,16 +72,16 @@ def calc_perturbed(fractal, alg: RenderAlgorithm):
             if out is not None:
                 fractal.benchmark.extra["kernel"] = "pallas-lav2"
                 return out
-            if fractal.num_iterations < (1 << 31):
-                # two-phase: LA machine to tail entry, then the
-                # GATHER-FREE streaming tail (identity anchors) —
-                # measured 5x the interleaved one-kernel machine on a
-                # 458k-entry deep view, pixel-identical
-                out = la_rc_render(fractal, results, la, w, h,
-                                   identity=True)
-                if out is not None:
-                    fractal.benchmark.extra["kernel"] = "lav2-stream"
-                    return out
+            # two-phase: LA machine to tail entry, then the
+            # GATHER-FREE streaming tail (identity anchors) —
+            # measured 5x the interleaved one-kernel machine on a
+            # 458k-entry deep view, pixel-identical; 64-bit budgets
+            # ride the streaming kernels' remaining-count pairs
+            out = la_rc_render(fractal, results, la, w, h,
+                               identity=True)
+            if out is not None:
+                fractal.benchmark.extra["kernel"] = "lav2-stream"
+                return out
         return la_kernel.la_perturb_render(
             results, la, fractal.ptz, w, h, fractal.num_iterations,
             sub_dtype=sub,
@@ -210,11 +209,11 @@ def la_rc_render(fractal, results, la, w, h, identity: bool = False):
         results, la, fractal.ptz, w, h, n, sub_dtype=np.float32,
         la_only=True, return_state=True)
     _, _, ref_iter, dzr, dzi, dze, it, _ = state
-    it32 = np.asarray(it).astype(np.int32)
+    it64 = np.asarray(it).astype(np.int64)
     init = {"dzr": np.asarray(dzr), "dzi": np.asarray(dzi),
-            "dze": np.asarray(dze), "it": it32,
-            "jwait": np.asarray(ref_iter).astype(np.int32),
-            "done": (it32 >= n).astype(np.int32)}
+            "dze": np.asarray(dze), "it": it64,
+            "jwait": np.asarray(ref_iter).astype(np.int64),
+            "done": (it64 >= n).astype(np.int32)}
     return perturb_render_stream_rc(
         comp, results.center_x, results.center_y, fractal.ptz, w, h,
         n, init_state=init, abort_monitor=fractal.abort_monitor)

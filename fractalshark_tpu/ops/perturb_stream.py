@@ -69,6 +69,18 @@ def _rem_decrement(rhi, rlo, upd):
     return rhi, rlo
 
 
+def _iters_from_rem(rhi, rlo, max_iter: int, height: int, width: int):
+    """Per-pixel iteration counts from the remaining pairs:
+    it = max_iter − rem (host int64; uint32 result when it fits —
+    callers color/stat on either)."""
+    rem = (np.asarray(rhi).astype(np.int64) << REM_LOG) + \
+        np.asarray(rlo).astype(np.int64)
+    it = np.int64(max_iter) - rem[:height, :width]
+    if max_iter < (1 << 31):
+        return jnp.asarray(it.astype(np.uint32))
+    return jnp.asarray(it.astype(np.uint64))
+
+
 def _kernel(scal_ref, z0_ref, oxh_ref, oyh_ref, dcr_ref, dci_ref, dce_ref,
             dzr_i, dzi_i, dze_i, rhi_i, rlo_i, done_i, active_i,
             tst_i, tzc_i,
@@ -190,8 +202,8 @@ def _kernel(scal_ref, z0_ref, oxh_ref, oyh_ref, dcr_ref, dci_ref, dce_ref,
 def _launch(scal, z0, oxh, oyh, dcr, dci, dce, state, tile_h, height,
             width, budget, interpret):
     """One bounded launch over the whole tile grid; `state` is the
-    9-tuple of resume arrays (6 pixel-state arrays on the padded grid +
-    3 per-tile scalars)."""
+    resume tuple (7 pixel-state arrays on the padded grid + 2 per-tile
+    scalar blocks)."""
     grid = (pl.cdiv(height, tile_h), pl.cdiv(width, LANE))
     gw = grid[1]
     kernel = functools.partial(_kernel, tile_h=tile_h, budget=budget)
@@ -203,7 +215,7 @@ def _launch(scal, z0, oxh, oyh, dcr, dci, dce, state, tile_h, height,
     # [wpos, zcx_bits, zcy_bits, all_done]
     tscal = pl.BlockSpec((8, 128), lambda i, j: (i * gw + j, 0),
                          memory_space=pltpu.SMEM)
-    n_state = 6
+    n_state = 7
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -216,7 +228,7 @@ def _launch(scal, z0, oxh, oyh, dcr, dci, dce, state, tile_h, height,
     n_tiles = grid[0] * grid[1]
     out_shape = (
         [jax.ShapeDtypeStruct((ph, pw), jnp.float32)] * 2 +
-        [jax.ShapeDtypeStruct((ph, pw), jnp.int32)] * 4 +
+        [jax.ShapeDtypeStruct((ph, pw), jnp.int32)] * 5 +
         [jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.int32)] +
         [jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32)])
     out_specs = ([tile_spec] * n_state + [tscal, tscal])
@@ -226,7 +238,7 @@ def _launch(scal, z0, oxh, oyh, dcr, dci, dce, state, tile_h, height,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        input_output_aliases={7 + k: k for k in range(8)},
+        input_output_aliases={7 + k: k for k in range(9)},
         scratch_shapes=[
             pltpu.SMEM((WIN,), jnp.float32),
             pltpu.SMEM((WIN,), jnp.float32),
@@ -250,9 +262,9 @@ def perturb_render_stream(results, ptz: PointZoomBBConverter,
     lockstep.  Dispatches are bounded (`launch_windows` windows per
     tile per launch) with suspend/resume state, so arbitrarily deep
     renders never exceed the device watchdog and can be aborted
-    between launches."""
-    if max_iter >= (1 << 31):
-        return None
+    between launches.  64-bit budgets supported: per-pixel remaining
+    counts ride as (hi, lo) i32 pairs (IterTypeEnum::Bits64,
+    RenderAlgorithm.h:81-159); counts return as uint64 when needed."""
     count = results.count_orbit_entries() + 1  # + wraparound entry
     max_ref = results.max_ref_iteration()
     n_win = -(-max_ref // WIN)
@@ -276,7 +288,7 @@ def perturb_render_stream(results, ptz: PointZoomBBConverter,
     dx, dy, cxo, cyo = delta_params(ptz, results.center_x,
                                     results.center_y, width, height)
     dc = _dc_grids_hdr(dx, dy, cxo, cyo, width, height, np.float32)
-    scal = jnp.asarray([max_iter, max_ref, n_win], jnp.int32)
+    scal = jnp.asarray([0, max_ref, n_win], jnp.int32)
 
     grid = (-(-height // tile_h), -(-width // LANE))
     ph = grid[0] * tile_h
@@ -294,11 +306,13 @@ def perturb_render_stream(results, ptz: PointZoomBBConverter,
     # max_iter steps on them
     done0 = np.ones((ph, pw), np.int32)
     done0[:height, :width] = 0
+    rhi0, rlo0 = _rem_split(max_iter)
     state = (
         jnp.zeros((ph, pw), jnp.float32),
         jnp.zeros((ph, pw), jnp.float32),
         jnp.full((ph, pw), int(hdr.MIN_BIG_EXPONENT), jnp.int32),
-        jnp.zeros((ph, pw), jnp.int32),
+        jnp.full((ph, pw), rhi0, jnp.int32),
+        jnp.full((ph, pw), rlo0, jnp.int32),
         jnp.asarray(done0),
         jnp.zeros((ph, pw), jnp.int32),
         jnp.zeros((n_tiles * 8, 128), jnp.int32),
@@ -312,13 +326,12 @@ def perturb_render_stream(results, ptz: PointZoomBBConverter,
             state = _launch(scal, z0, oxj, oyj, dcr, dci, dce,
                             state, tile_h, height, width,
                             int(launch_windows), interpret)
-            flags = np.asarray(state[6])[::8, 1]
+            flags = np.asarray(state[7])[::8, 1]
             if flags.min() >= 1:
                 break
             if abort_monitor is not None and abort_monitor.aborted():
                 break
-    iters = state[3].astype(jnp.uint32)
-    return iters[:height, :width]
+    return _iters_from_rem(state[3], state[4], max_iter, height, width)
 
 
 # ---------------------------------------------------------------------------
@@ -347,13 +360,13 @@ ANC_POOL = 2048   # SMEM anchor pool (2 DMA blocks of 1024)
 ANC_BLK = 1024
 
 
-def _rc_kernel(scal_ref, cval_ref, aih_ref, axh_ref, axl_ref, ayh_ref,
-               ayl_ref, dcr_ref, dci_ref, dce_ref,
-               dzr_i, dzi_i, dze_i, it_i, done_i, active_i, wait_i,
-               jwait_i, tst_i, tzc_i,
-               dzr_o, dzi_o, dze_o, it_o, done_o, active_o, wait_o,
-               jwait_o, tst_o, tzc_o,
-               sm_i, sm_xh, sm_xl, sm_yh, sm_yl, sems, *,
+def _rc_kernel(scal_ref, cval_ref, awh_ref, awl_ref, axh_ref, axl_ref,
+               ayh_ref, ayl_ref, dcr_ref, dci_ref, dce_ref,
+               dzr_i, dzi_i, dze_i, rhi_i, rlo_i, done_i, active_i,
+               wait_i, jww_i, jwl_i, tst_i, tzc_i,
+               dzr_o, dzi_o, dze_o, rhi_o, rlo_o, done_o, active_o,
+               wait_o, jww_o, jwl_o, tst_o, tzc_o,
+               sm_aw, sm_al, sm_xh, sm_xl, sm_yh, sm_yl, sems, *,
                tile_h, budget):
     """RC lockstep-sweep kernel: on-device decompression (df32
     reconstruction from SMEM-pooled anchors), budget-bounded resumable
@@ -361,15 +374,21 @@ def _rc_kernel(scal_ref, cval_ref, aih_ref, axh_ref, axl_ref, ayh_ref,
     ``jwait = j0`` sits in the `waiting` state until the sweep position
     reaches j0, then joins the lockstep — this is how an LA phase hands
     its per-pixel (dz, ref_iter, it) straight to the compressed-orbit
-    tail (LAv2-RC), and how resumed launches re-enter mid-render."""
+    tail (LAv2-RC), and how resumed launches re-enter mid-render.
+
+    FULLY 64-BIT (IterTypeEnum::Bits64, RenderAlgorithm.h:81-159):
+    iteration budgets ride as remaining (hi, lo) i32 pairs (REM_LOG),
+    and every orbit position — the sweep cursor, per-pixel jwait, and
+    stored anchor indices — is a (window, local) i32 pair, so orbits
+    beyond 2^31 entries (View #27 class, period ~28B,
+    Notes/FractalShark-06-RefOrbit.tex:744-747) address exactly."""
     from fractalshark_tpu.ops import dblflt as dfm
     DF = dfm.DF
 
     shape = (tile_h, LANE)
-    max_iter = scal_ref[0]
-    max_ref = scal_ref[1]
-    n_win = scal_ref[2]
-    n_blocks = scal_ref[3]
+    last_local = scal_ref[0]       # max_ref = (n_win-1)*WIN + last_local
+    n_win = scal_ref[1]
+    n_blocks = scal_ref[2]
     ccx = DF(cval_ref[0], cval_ref[1])
     ccy = DF(cval_ref[2], cval_ref[3])
 
@@ -386,7 +405,8 @@ def _rc_kernel(scal_ref, cval_ref, aih_ref, axh_ref, axl_ref, ayh_ref,
                                   sm.at[pl.ds(slot, ANC_BLK)],
                                   sems.at[k])
             for k, (hbm, sm) in enumerate((
-                (aih_ref, sm_i), (axh_ref, sm_xh), (axl_ref, sm_xl),
+                (awh_ref, sm_aw), (awl_ref, sm_al),
+                (axh_ref, sm_xh), (axl_ref, sm_xl),
                 (ayh_ref, sm_yh), (ayl_ref, sm_yl)))]
         for c in copies:
             c.start()
@@ -394,7 +414,7 @@ def _rc_kernel(scal_ref, cval_ref, aih_ref, axh_ref, axl_ref, ayh_ref,
             c.wait()
 
     def win_body(w, carry):
-        (dzr, dzi, dze, it, done, active, wait, jwait,
+        (dzr, dzi, dze, rhi, rlo, done, active, wait, jww, jwl,
          zxh, zxl, zyh, zyl, a_ptr, blocks_loaded) = carry
 
         # keep >= ANC_BLK anchors of headroom (a window consumes at
@@ -407,21 +427,26 @@ def _rc_kernel(scal_ref, cval_ref, aih_ref, axh_ref, axl_ref, ayh_ref,
             refill(blocks_loaded)
         blocks_loaded = jnp.where(need, blocks_loaded + 1, blocks_loaded)
 
-        base = w * WIN
+        in_last_win = w >= n_win - 1
 
         def step(s_local, c):
-            (dzr, dzi, dze, it, done, active, wait, jwait,
+            (dzr, dzi, dze, rhi, rlo, done, active, wait, jww, jwl,
              zxh, zxl, zyh, zyl, a_ptr) = c
-            s = base + s_local
             # waiting pixels join the lockstep at their start offset
-            act_now = (wait > 0) & (jwait == s)
+            act_now = (wait > 0) & (jww == w) & (jwl == s_local)
             active = jnp.maximum(active, act_now.astype(jnp.int32))
             wait = jnp.where(act_now, 0, wait)
-            live = (active > 0) & (it < max_iter) & (s < max_ref)
+            exhausted = (rhi == 0) & (rlo == 0)
+            before_end = (~in_last_win) | (s_local < last_local)
+            live = (active > 0) & ~exhausted & before_end
 
             # ---- reconstruct Z[s+1]: anchor hit or df32 recurrence ----
+            # position s+1 as a (window, local) pair
+            wrapn = s_local + 1 == WIN
+            w1 = jnp.where(wrapn, w + 1, w)
+            l1 = jnp.where(wrapn, 0, s_local + 1)
             am = a_ptr & (ANC_POOL - 1)
-            hit = sm_i[am] == (s + 1)
+            hit = (sm_aw[am] == w1) & (sm_al[am] == l1)
             zx = DF(zxh, zxl)
             zy = DF(zyh, zyl)
             rx = dfm.df_add(dfm.df_sub(dfm.df_sqr(zx), dfm.df_sqr(zy)),
@@ -449,34 +474,35 @@ def _rc_kernel(scal_ref, cval_ref, aih_ref, axh_ref, axl_ref, ayh_ref,
             nsq = hdr.reduce(hdr.norm_squared(zf))
             dsq = hdr.reduce(hdr.norm_squared(ndz))
             esc = hdr.gt_reduced(nsq, two56)
-            reb = hdr.lt_reduced(nsq, dsq) | (s + 1 >= max_ref)
+            at_wrap = in_last_win & (s_local + 1 >= last_local)
+            reb = hdr.lt_reduced(nsq, dsq) | at_wrap
             esc_px = live & esc
             upd = live & ~esc
             reb_px = upd & reb
             dzr = jnp.where(upd, jnp.where(reb, zf.re, ndz.re), dzr)
             dzi = jnp.where(upd, jnp.where(reb, zf.im, ndz.im), dzi)
             dze = jnp.where(upd, jnp.where(reb, zf.e, ndz.e), dze)
-            it = it + upd.astype(jnp.int32)
+            rhi, rlo = _rem_decrement(rhi, rlo, upd)
+            exhausted = (rhi == 0) & (rlo == 0)
             done = jnp.maximum(
-                done, (esc_px | (it >= max_iter)).astype(jnp.int32))
-            active = jnp.where(esc_px | reb_px | (it >= max_iter),
-                               0, active)
-            return (dzr, dzi, dze, it, done, active, wait, jwait,
-                    nzxh, nzxl, nzyh, nzyl, a_ptr)
+                done, (esc_px | exhausted).astype(jnp.int32))
+            active = jnp.where(esc_px | reb_px | exhausted, 0, active)
+            return (dzr, dzi, dze, rhi, rlo, done, active, wait, jww,
+                    jwl, nzxh, nzxl, nzyh, nzyl, a_ptr)
 
-        c = (dzr, dzi, dze, it, done, active, wait, jwait,
+        c = (dzr, dzi, dze, rhi, rlo, done, active, wait, jww, jwl,
              zxh, zxl, zyh, zyl, a_ptr)
         c = jax.lax.fori_loop(jnp.int32(0), jnp.int32(WIN), step, c)
         return c + (blocks_loaded,)
 
     def cond(c):
         b = c[0]
-        done = c[6]
+        done = c[7]
         return jnp.logical_and(b < budget, jnp.min(done) < 1)
 
     def body(c):
-        (b, wpos, dzr, dzi, dze, it, done, active, wait, jwait,
-         zxh, zxl, zyh, zyl, a_ptr, blocks_loaded) = c
+        (b, wpos, dzr, dzi, dze, rhi, rlo, done, active, wait, jww,
+         jwl, zxh, zxl, zyh, zyl, a_ptr, blocks_loaded) = c
         at_start = wpos == 0
 
         @pl.when(at_start)
@@ -492,17 +518,18 @@ def _rc_kernel(scal_ref, cval_ref, aih_ref, axh_ref, axl_ref, ayh_ref,
         zyl = jnp.where(at_start, sm_yl[0], zyl)
         a_ptr = jnp.where(at_start, 1, a_ptr)
         blocks_loaded = jnp.where(at_start, 1, blocks_loaded)
-        out = win_body(wpos, (dzr, dzi, dze, it, done, active, wait,
-                              jwait, zxh, zxl, zyh, zyl, a_ptr,
-                              blocks_loaded))
-        (dzr, dzi, dze, it, done, active, wait, jwait,
+        out = win_body(wpos, (dzr, dzi, dze, rhi, rlo, done, active,
+                              wait, jww, jwl, zxh, zxl, zyh, zyl,
+                              a_ptr, blocks_loaded))
+        (dzr, dzi, dze, rhi, rlo, done, active, wait, jww, jwl,
          zxh, zxl, zyh, zyl, a_ptr, blocks_loaded) = out
         wpos = wpos + 1
         still = jnp.maximum(jnp.max(active), jnp.max(wait))
         sweep_end = jnp.logical_or(wpos >= n_win, still < 1)
         wpos = jnp.where(sweep_end, 0, wpos)
-        return (b + 1, wpos, dzr, dzi, dze, it, done, active, wait,
-                jwait, zxh, zxl, zyh, zyl, a_ptr, blocks_loaded)
+        return (b + 1, wpos, dzr, dzi, dze, rhi, rlo, done, active,
+                wait, jww, jwl, zxh, zxl, zyh, zyl, a_ptr,
+                blocks_loaded)
 
     # resume: reload the anchor pool for a mid-sweep continuation
     bl0 = tst_i[0, 2]
@@ -516,21 +543,24 @@ def _rc_kernel(scal_ref, cval_ref, aih_ref, axh_ref, axl_ref, ayh_ref,
         refill(bl0 - 1)
 
     init = (jnp.int32(0), tst_i[0, 0],
-            dzr_i[...], dzi_i[...], dze_i[...], it_i[...],
-            done_i[...], active_i[...], wait_i[...], jwait_i[...],
+            dzr_i[...], dzi_i[...], dze_i[...], rhi_i[...], rlo_i[...],
+            done_i[...], active_i[...], wait_i[...], jww_i[...],
+            jwl_i[...],
             tzc_i[0, 0], tzc_i[0, 1], tzc_i[0, 2], tzc_i[0, 3],
             tst_i[0, 1], bl0)
     out = jax.lax.while_loop(cond, body, init)
-    (_, wpos, dzr, dzi, dze, it, done, active, wait, jwait,
+    (_, wpos, dzr, dzi, dze, rhi, rlo, done, active, wait, jww, jwl,
      zxh, zxl, zyh, zyl, a_ptr, blocks_loaded) = out
     dzr_o[...] = dzr
     dzi_o[...] = dzi
     dze_o[...] = dze
-    it_o[...] = it
+    rhi_o[...] = rhi
+    rlo_o[...] = rlo
     done_o[...] = done
     active_o[...] = active
     wait_o[...] = wait
-    jwait_o[...] = jwait
+    jww_o[...] = jww
+    jwl_o[...] = jwl
     tst_o[0, 0] = wpos
     tst_o[0, 1] = a_ptr
     tst_o[0, 2] = blocks_loaded
@@ -543,7 +573,7 @@ def _rc_kernel(scal_ref, cval_ref, aih_ref, axh_ref, axl_ref, ayh_ref,
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "height", "width",
                                              "budget", "interpret"))
-def _rc_launch(scal, cvals, ai, axh, axl, ayh, ayl, dcr, dci, dce,
+def _rc_launch(scal, cvals, awh, awl, axh, axl, ayh, ayl, dcr, dci, dce,
                state, tile_h, height, width, budget, interpret):
     grid = (pl.cdiv(height, tile_h), pl.cdiv(width, LANE))
     gw = grid[1]
@@ -560,34 +590,36 @@ def _rc_launch(scal, cvals, ai, axh, axl, ayh, ayl, dcr, dci, dce,
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
         tile_spec, tile_spec, tile_spec,
-    ] + [tile_spec] * 8 + [tscal, tscal]
+    ] + [tile_spec] * 10 + [tscal, tscal]
     ph = grid[0] * tile_h
     pw = grid[1] * LANE
     n_tiles = grid[0] * grid[1]
     out_shape = (
         [jax.ShapeDtypeStruct((ph, pw), jnp.float32)] * 2 +
-        [jax.ShapeDtypeStruct((ph, pw), jnp.int32)] * 6 +
+        [jax.ShapeDtypeStruct((ph, pw), jnp.int32)] * 8 +
         [jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.int32)] +
         [jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32)])
-    out_specs = ([tile_spec] * 8 + [tscal, tscal])
+    out_specs = ([tile_spec] * 10 + [tscal, tscal])
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        input_output_aliases={10 + k: k for k in range(10)},
+        input_output_aliases={11 + k: k for k in range(12)},
         scratch_shapes=[
+            pltpu.SMEM((ANC_POOL,), jnp.int32),
             pltpu.SMEM((ANC_POOL,), jnp.int32),
             pltpu.SMEM((ANC_POOL,), jnp.float32),
             pltpu.SMEM((ANC_POOL,), jnp.float32),
             pltpu.SMEM((ANC_POOL,), jnp.float32),
             pltpu.SMEM((ANC_POOL,), jnp.float32),
-            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.SemaphoreType.DMA((6,)),
         ],
         interpret=interpret,
-    )(scal, cvals, ai, axh, axl, ayh, ayl, dcr, dci, dce, *state)
+    )(scal, cvals, awh, awl, axh, axl, ayh, ayl, dcr, dci, dce, *state)
     return outs
 
 
@@ -607,10 +639,16 @@ def _orbit_value_at(compressed, idx: int) -> tuple[float, float]:
 
 
 def _prep_anchors(compressed):
+    """Anchor streams for the RC kernel; indices ship as
+    (window, local) i32 pairs so >2^31-entry orbits address exactly
+    (sentinel pads never match a real position)."""
     M = len(compressed.anchors_x)
     mpad = -(-M // ANC_BLK) * ANC_BLK
-    ai = np.full(mpad, np.int32(0x7FFFFFFF), np.int32)
-    ai[:M] = compressed.anchor_index.astype(np.int32)
+    idx = compressed.anchor_index.astype(np.int64)
+    aw = np.full(mpad, np.int32(0x7FFFFFFF), np.int32)
+    al = np.full(mpad, np.int32(0x7FFFFFFF), np.int32)
+    aw[:M] = (idx // WIN).astype(np.int32)
+    al[:M] = (idx % WIN).astype(np.int32)
     xh = np.zeros(mpad, np.float32)
     xl = np.zeros(mpad, np.float32)
     yh = np.zeros(mpad, np.float32)
@@ -619,7 +657,7 @@ def _prep_anchors(compressed):
     xl[:M] = (compressed.anchors_x - xh[:M]).astype(np.float32)
     yh[:M] = compressed.anchors_y.astype(np.float32)
     yl[:M] = (compressed.anchors_y - yh[:M]).astype(np.float32)
-    return ai, xh, xl, yh, yl, mpad
+    return aw, al, xh, xl, yh, yl, mpad
 
 
 def perturb_render_stream_rc(compressed, center_x, center_y,
@@ -635,17 +673,20 @@ def perturb_render_stream_rc(compressed, center_x, center_y,
 
     ``init_state``: optional per-pixel handoff from an LA phase —
     dict with 'dzr','dzi','dze' (HDR f32 delta), 'it' (completed
-    iterations), 'jwait' (orbit index to resume at), 'done' — all
-    [height, width] arrays."""
-    if max_iter >= (1 << 31):
-        return None
+    iterations, any integer dtype incl. int64), 'jwait' (orbit index
+    to resume at, int64-safe), 'done' — all [height, width] arrays.
+
+    FULLY 64-BIT: budgets >= 2^31 and orbits >= 2^31 entries both
+    supported (remaining-count hi/lo pairs; orbit positions as
+    (window, local) pairs end to end)."""
     M = len(compressed.anchors_x)
     if M == 0:
         return None
-    ai, xh, xl, yh, yl, mpad = _prep_anchors(compressed)
+    awh, awl, xh, xl, yh, yl, mpad = _prep_anchors(compressed)
 
-    max_ref = compressed.total_count - 1
+    max_ref = int(compressed.total_count) - 1
     n_win = -(-max_ref // WIN)
+    last_local = max_ref - (n_win - 1) * WIN
     cx = np.float32(compressed.cx_low)
     cy = np.float32(compressed.cy_low)
     cvals = jnp.asarray([cx, np.float32(compressed.cx_low - float(cx)),
@@ -654,7 +695,7 @@ def perturb_render_stream_rc(compressed, center_x, center_y,
     dx, dy, cxo, cyo = delta_params(ptz, center_x, center_y,
                                     width, height)
     dc = _dc_grids_hdr(dx, dy, cxo, cyo, width, height, np.float32)
-    scal = jnp.asarray([max_iter, max_ref, n_win, mpad // ANC_BLK],
+    scal = jnp.asarray([last_local, n_win, mpad // ANC_BLK, 0],
                        jnp.int32)
 
     grid = (-(-height // tile_h), -(-width // LANE))
@@ -674,21 +715,24 @@ def perturb_render_stream_rc(compressed, center_x, center_y,
                        constant_values=fill)
 
     done0 = np.ones((ph, pw), np.int32)
+    rhi0, rlo0 = _rem_split(max_iter)
     if init_state is None:
         done0[:height, :width] = 0
         st = (jnp.zeros((ph, pw), jnp.float32),
               jnp.zeros((ph, pw), jnp.float32),
               jnp.asarray(np.full((ph, pw), int(hdr.MIN_BIG_EXPONENT),
                                   np.int32)),
-              jnp.zeros((ph, pw), jnp.int32),
+              jnp.full((ph, pw), rhi0, jnp.int32),
+              jnp.full((ph, pw), rlo0, jnp.int32),
               jnp.asarray(done0),
+              jnp.zeros((ph, pw), jnp.int32),
               jnp.zeros((ph, pw), jnp.int32),
               jnp.zeros((ph, pw), jnp.int32),
               jnp.zeros((ph, pw), jnp.int32))
     else:
         done0[:height, :width] = np.asarray(init_state["done"],
                                             np.int32)
-        jw = np.asarray(init_state["jwait"], np.int32).copy()
+        jw = np.asarray(init_state["jwait"], np.int64).copy()
         dzr0 = np.asarray(init_state["dzr"], np.float32).copy()
         dzi0 = np.asarray(init_state["dzi"], np.float32).copy()
         dze0 = np.asarray(init_state["dze"], np.int32).copy()
@@ -712,32 +756,36 @@ def perturb_render_stream_rc(compressed, center_x, center_y,
             dzi0 = np.where(wrap, np.asarray(zf.im), dzi0)
             dze0 = np.where(wrap, np.asarray(zf.e), dze0)
         jw = np.where(wrap, 0, np.clip(jw, 0, max(0, max_ref - 1)))
+        it0 = np.asarray(init_state["it"], np.int64)
+        rem0 = np.maximum(np.int64(max_iter) - it0, 0)
         st = (padi(dzr0, 0.0, np.float32),
               padi(dzi0, 0.0, np.float32),
               padi(dze0, int(hdr.MIN_BIG_EXPONENT)),
-              padi(init_state["it"], 0),
+              padi((rem0 >> REM_LOG).astype(np.int32), 0),
+              padi((rem0 & ((1 << REM_LOG) - 1)).astype(np.int32), 0),
               jnp.asarray(done0),
               jnp.zeros((ph, pw), jnp.int32),
               padi((1 - np.asarray(init_state["done"], np.int32)) *
                    (jw > 0), 0),
-              padi(jw, 0))
+              padi((jw // WIN).astype(np.int32), 0),
+              padi((jw % WIN).astype(np.int32), 0))
         # pixels with jwait == 0 start active at the sweep head like a
         # fresh render (sweep-start activation covers them)
     state = st + (jnp.zeros((n_tiles * 8, 128), jnp.int32),
                   jnp.zeros((n_tiles * 8, 128), jnp.float32))
     with jax.enable_x64(False):
         while True:
-            state = _rc_launch(scal, cvals, jnp.asarray(ai),
+            state = _rc_launch(scal, cvals, jnp.asarray(awh),
+                               jnp.asarray(awl),
                                jnp.asarray(xh), jnp.asarray(xl),
                                jnp.asarray(yh), jnp.asarray(yl),
                                padj(dc.re), padj(dc.im),
                                padj(dc.e, fill=int(hdr.MIN_BIG_EXPONENT)),
                                state, tile_h, height, width,
                                int(launch_windows), interpret)
-            flags = np.asarray(state[8])[::8, 3]
+            flags = np.asarray(state[10])[::8, 3]
             if flags.min() >= 1:
                 break
             if abort_monitor is not None and abort_monitor.aborted():
                 break
-    iters = state[3].astype(jnp.uint32)
-    return iters[:height, :width]
+    return _iters_from_rem(state[3], state[4], max_iter, height, width)

@@ -164,6 +164,12 @@ extern "C" {
 // Returns number of orbit entries written (including the zero seed).
 // out_x/out_y must hold max_iter + 2 doubles.
 // status: 0 = budget exhausted, 1 = period found, 2 = escaped.
+// Reuse recording (ReuseModes, RefOrbitCalc.cpp:543-548): when
+// reuse_limbs > 0, every orbit entry also emits an intermediate-
+// precision truncation of z — the top reuse_limbs limbs of each
+// component (fixed point, frac = 64*(reuse_limbs-1) bits; truncation
+// toward zero) — into out_reuse (2*reuse_limbs limbs per entry:
+// zx then zy) with signs in out_reuse_sign (2 int8 per entry).
 int64_t fs_reference_orbit(const mp_limb_t *cx_mag, int cx_sign,
                            const mp_limb_t *cy_mag, int cy_sign,
                            int64_t nlimbs, int64_t max_iter,
@@ -171,7 +177,10 @@ int64_t fs_reference_orbit(const mp_limb_t *cx_mag, int cx_sign,
                            int periodicity,
                            double *out_x, double *out_y,
                            int32_t *out_e,  // nullable: HDR exponents
-                           int32_t *status_out) {
+                           int32_t *status_out,
+                           int64_t reuse_limbs,
+                           mp_limb_t *out_reuse,
+                           int8_t *out_reuse_sign) {
     const mp_size_t L = (mp_size_t)nlimbs;
     std::vector<mp_limb_t> zx(cx_mag, cx_mag + L), zy(cy_mag, cy_mag + L);
     int sx = cx_sign, sy = cy_sign;
@@ -209,10 +218,28 @@ int64_t fs_reference_orbit(const mp_limb_t *cx_mag, int cx_sign,
     HDd dzdc_x = hd_from_double(1.0);
     HDd dzdc_y = {0.0, 0};
 
+    const mp_size_t RL = (mp_size_t)reuse_limbs;
+    auto emit_reuse = [&](int64_t idx, bool zero) {
+        if (!out_reuse || RL <= 0) return;
+        mp_limb_t *dst = out_reuse + idx * 2 * RL;
+        if (zero) {
+            std::memset(dst, 0, 2 * RL * sizeof(mp_limb_t));
+            out_reuse_sign[2 * idx] = 1;
+            out_reuse_sign[2 * idx + 1] = 1;
+            return;
+        }
+        std::memcpy(dst, zx.data() + (L - RL), RL * sizeof(mp_limb_t));
+        std::memcpy(dst + RL, zy.data() + (L - RL),
+                    RL * sizeof(mp_limb_t));
+        out_reuse_sign[2 * idx] = (int8_t)sx;
+        out_reuse_sign[2 * idx + 1] = (int8_t)sy;
+    };
+
     int64_t count = 0;
     out_x[count] = 0.0;  // zero seed entry (PerturbationResults.cpp:866)
     out_y[count] = 0.0;
     if (out_e) out_e[count] = 0;
+    emit_reuse(count, true);
     count++;
 
     int32_t status = 0;
@@ -255,6 +282,7 @@ int64_t fs_reference_orbit(const mp_limb_t *cx_mag, int cx_sign,
             out_y[count] = shift_y;
             out_e[count] = (int32_t)e_sh;
         }
+        emit_reuse(count, false);
         count++;
 
         if (periodicity) {

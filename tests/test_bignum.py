@@ -147,3 +147,42 @@ def test_device_orbit_escape():
         50, HighPrecision("0.01"), limbs32=8, chunk_steps=16)
     assert dev.escaped_at > 0
     assert dev.count_orbit_entries() <= 5
+
+
+@pytest.mark.slow
+def test_view32_iterate_32768_limbs_exact():
+    """View #32-scale proof (VERDICT r2 #4): one full z <- z^2 + c
+    update at 32768 limbs (nfft 131072) on the REAL View #32 center
+    (zoom 1.6e244240, Notes/FractalShark-07-GpuArithmetic.tex:33-40),
+    checked against exact Python-int arithmetic."""
+    from fractalshark_tpu.core.views import get_view_preset
+
+    spec = FP.FixedSpec.for_limbs(32768)
+    assert spec.nfft == 131072
+    F = spec.frac_digits
+    v32 = get_view_preset(32).ptz
+    prec = spec.frac_bits - 64
+    cx = v32.pt_x.with_precision(prec)
+    cy = v32.pt_y.with_precision(prec)
+    scx, dcx = FP.hp_to_digits(cx, spec)
+    scy, dcy = FP.hp_to_digits(cy, spec)
+    # z starts at c; one update
+    nsx, nx, nsy, ny = FP.iterate_z(
+        jnp.int32(scx), jnp.asarray(dcx), jnp.int32(scy),
+        jnp.asarray(dcy), jnp.int32(scx), jnp.asarray(dcx),
+        jnp.int32(scy), jnp.asarray(dcy), spec)
+    x_i = scx * FP.digits_to_int(dcx)
+    y_i = scy * FP.digits_to_int(dcy)
+    half = 1 << (16 * F - 1)
+    shift = 16 * F
+
+    def rhu(v):
+        t = v + half
+        return (1 if t >= 0 else -1) * (abs(t) >> shift)
+
+    want_x = rhu(x_i * x_i - y_i * y_i + (x_i << shift))
+    want_y = rhu(2 * x_i * y_i + (y_i << shift))
+    got_x = int(np.asarray(nsx)) * FP.digits_to_int(np.asarray(nx))
+    got_y = int(np.asarray(nsy)) * FP.digits_to_int(np.asarray(ny))
+    assert got_x == want_x
+    assert got_y == want_y

