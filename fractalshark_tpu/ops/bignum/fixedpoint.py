@@ -635,8 +635,8 @@ def iterate_z_nr(sx, x, sy, y, sdx, dx, sdy, dy,
         sgs = jnp.stack([scx, scy, jnp.int32(0),
                          jnp.int32(0)]).astype(jnp.int32)
         dig, sgn = NP.fused_tail(inv.reshape(4, 2, nf),
-                                 jnp.stack([cfx, cfy, onef]), rnd, sgs,
-                                 n=nf, nr=True)
+                                 jnp.stack([cfx, cfy, onef, z]),
+                                 rnd, sgs, n=nf, nr=True)
         return (sgn[0], dig[0, F:F + D], sgn[1], dig[1, F:F + D],
                 sgn[2], dig[2, F:F + D], sgn[3], dig[3, F:F + D])
     one = jnp.ones((1,), jnp.uint32)

@@ -214,56 +214,61 @@ def _lane_iota(ndim):
 
 
 def _sub_dif(y, tab, p):
-    """DIF over the sublane axis; tab = (w_plane, wp_plane)."""
+    """DIF over the sublane axis; tab = (w_plane, wp_plane).  The
+    prime axis size is taken from p (2 in the whole kernel, 1 in the
+    per-(value, prime) grid steps of the split pipeline)."""
     V = y.shape[0]
+    P = p.shape[0]
     n1 = y.shape[-2]
     s1 = n1.bit_length() - 1
-    pc = p.reshape(1, 2, 1, 1, LANES)
+    pc = p.reshape(1, P, 1, 1, LANES)
     for s in range(s1):
         hm = n1 >> (s + 1)
         off = n1 - (n1 >> s)
-        w = tab[0][:, off:off + hm].reshape(1, 2, 1, hm, LANES)
-        wp = tab[1][:, off:off + hm].reshape(1, 2, 1, hm, LANES)
-        y5 = y.reshape(V, 2, 1 << s, 2, hm, LANES)
+        w = tab[0][:, off:off + hm].reshape(1, P, 1, hm, LANES)
+        wp = tab[1][:, off:off + hm].reshape(1, P, 1, hm, LANES)
+        y5 = y.reshape(V, P, 1 << s, 2, hm, LANES)
         a = y5[:, :, :, 0]
         b = y5[:, :, :, 1]
         t = _madd(a, b, pc)
         u = _smul(_msub(a, b, pc), w, wp, pc)
-        y = jnp.stack([t, u], axis=3).reshape(V, 2, n1, LANES)
+        y = jnp.stack([t, u], axis=3).reshape(V, P, n1, LANES)
     return y
 
 
 def _sub_dit(y, tab, p):
-    """DIT over the sublane axis."""
+    """DIT over the sublane axis (prime axis size from p)."""
     V = y.shape[0]
+    P = p.shape[0]
     n1 = y.shape[-2]
     s1 = n1.bit_length() - 1
-    pc = p.reshape(1, 2, 1, 1, LANES)
+    pc = p.reshape(1, P, 1, 1, LANES)
     for s in range(s1):
         hm = 1 << s
         off = hm - 1
-        w = tab[0][:, off:off + hm].reshape(1, 2, 1, hm, LANES)
-        wp = tab[1][:, off:off + hm].reshape(1, 2, 1, hm, LANES)
-        y5 = y.reshape(V, 2, n1 >> (s + 1), 2, hm, LANES)
+        w = tab[0][:, off:off + hm].reshape(1, P, 1, hm, LANES)
+        wp = tab[1][:, off:off + hm].reshape(1, P, 1, hm, LANES)
+        y5 = y.reshape(V, P, n1 >> (s + 1), 2, hm, LANES)
         a = y5[:, :, :, 0]
         b = y5[:, :, :, 1]
         u = _smul(b, w, wp, pc)
         t0 = _madd(a, u, pc)
         t1 = _msub(a, u, pc)
-        y = jnp.stack([t0, t1], axis=3).reshape(V, 2, n1, LANES)
+        y = jnp.stack([t0, t1], axis=3).reshape(V, P, n1, LANES)
     return y
 
 
 def _lane_dif(y, tab, p):
     """DIF over the 128-lane axis via rolls + masked selects."""
     lane = _lane_iota(y.ndim)
-    pc = p.reshape((1,) * (y.ndim - 3) + (2, 1, LANES))
+    P = p.shape[0]
+    pc = p.reshape((1,) * (y.ndim - 3) + (P, 1, LANES))
     s2 = LANES.bit_length() - 1
     for s in range(s2):
         m = LANES >> s
         hm = m >> 1
-        w = tab[0][:, s].reshape((1,) * (y.ndim - 3) + (2, 1, LANES))
-        wp = tab[1][:, s].reshape((1,) * (y.ndim - 3) + (2, 1, LANES))
+        w = tab[0][:, s].reshape((1,) * (y.ndim - 3) + (P, 1, LANES))
+        wp = tab[1][:, s].reshape((1,) * (y.ndim - 3) + (P, 1, LANES))
         # m is a power of two: mask with & — under jax_enable_x64 the
         # Python-int remainder lowers through a Mosaic convert that
         # recurses infinitely (bogus RecursionError), and & is cheaper
@@ -281,13 +286,14 @@ def _lane_dif(y, tab, p):
 def _lane_dit(y, tab, p):
     """DIT over the 128-lane axis (bit-reversed lanes → natural)."""
     lane = _lane_iota(y.ndim)
-    pc = p.reshape((1,) * (y.ndim - 3) + (2, 1, LANES))
+    P = p.shape[0]
+    pc = p.reshape((1,) * (y.ndim - 3) + (P, 1, LANES))
     s2 = LANES.bit_length() - 1
     for s in range(s2):
         hm = 1 << s
         m = 2 << s
-        w = tab[0][:, s].reshape((1,) * (y.ndim - 3) + (2, 1, LANES))
-        wp = tab[1][:, s].reshape((1,) * (y.ndim - 3) + (2, 1, LANES))
+        w = tab[0][:, s].reshape((1,) * (y.ndim - 3) + (P, 1, LANES))
+        wp = tab[1][:, s].reshape((1,) * (y.ndim - 3) + (P, 1, LANES))
         first = (lane & jnp.int32(m - 1)) < hm      # m pow2 (see _lane_dif)
         u = _smul(y, w, wp, pc)      # second-half lanes: y[l]·w[l]
         t0 = _madd(y, _roll(u, -hm), pc)      # y[l] + u[l+hm]
@@ -492,21 +498,25 @@ def _split_tables(n: int):
     return fwd, lane, t1i, inv, misc
 
 
-def _fwd_split_kernel(n: int, n_values: int):
-    n1 = n // LANES
+def _fwd_split_kernel():
+    """One grid step = one (value, prime) pair: sub-DIF + T1 twiddle on
+    an [n1, 128] block (~n1 KB working set — the ungridded form's
+    scoped VMEM exceeded the 16 MB limit at nfft 65536)."""
 
     def kernel(x_ref, ft_ref, misc_ref, o_ref):
-        p = misc_ref[:, 0]                     # [2, 128]
-        xv = x_ref[...]                        # [V, n1, 128]
-        y = jnp.broadcast_to(xv[:, None], (n_values, 2, n1, LANES))
+        p = misc_ref[:, 0]                     # [1, 128]
+        y = x_ref[...][:, None]                # [1, 1, n1, 128]
         y = _sub_dif(y, (ft_ref[0], ft_ref[1]), p)
         o_ref[...] = _smul(y, ft_ref[2][None], ft_ref[3][None],
-                           p.reshape(1, 2, 1, LANES))
+                           p.reshape(1, 1, 1, LANES))
 
     return kernel
 
 
 def _mid_split_kernel(pair_plan, signed: bool):
+    """One grid step = one sublane block (lane stages + pointwise are
+    sublane-independent)."""
+
     def kernel(*refs):
         if signed:
             x_ref, sg_ref, lt_ref, t1i_ref, misc_ref, o_ref = refs
@@ -534,7 +544,7 @@ def _mid_split_kernel(pair_plan, signed: bool):
                 else:
                     acc = _msub(acc, t, pz[0])
             outs.append(acc)
-        z = jnp.stack(outs)                    # [K, 2, n1, 128]
+        z = jnp.stack(outs)                    # [K, 2, blk, 128]
         z = _lane_dit(z, (lt_ref[2], lt_ref[3]), p)
         o_ref[...] = _smul(z, t1i_ref[0][None], t1i_ref[1][None], pz)
 
@@ -542,16 +552,22 @@ def _mid_split_kernel(pair_plan, signed: bool):
 
 
 def _inv_split_kernel():
+    """One grid step = one (product, prime) pair: sub-DIT + scale."""
+
     def kernel(z_ref, it_ref, misc_ref, o_ref):
         p = misc_ref[:, 0]
         sc = misc_ref[:, 2]
         scp = misc_ref[:, 3]
         z = _sub_dit(z_ref[...], (it_ref[0], it_ref[1]), p)
-        o_ref[...] = _smul(z, sc.reshape(1, 2, 1, LANES),
-                           scp.reshape(1, 2, 1, LANES),
-                           p.reshape(1, 2, 1, LANES))
+        o_ref[...] = _smul(z, sc.reshape(1, 1, 1, LANES),
+                           scp.reshape(1, 1, 1, LANES),
+                           p.reshape(1, 1, 1, LANES))
 
     return kernel
+
+
+_MID_SUBBLK = 64    # sublane block per mid-kernel grid step
+_Z0 = np.int32(0)   # i32-clean index-map zero (see _ntt_products_split)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "n_values",
@@ -559,33 +575,72 @@ def _inv_split_kernel():
 def _ntt_products_split(x, signs=None, *, n: int, n_values: int,
                         pair_plan, interpret: bool = False):
     """Split-pipeline equivalent of _ntt_products (same signature and
-    output) for sizes beyond the single-kernel VMEM window.  No x64
-    toggle: callable mid-trace from x64 outer jits (orbit_chunk's
-    scan); bodies are pure u32."""
+    output) for sizes beyond the single-kernel VMEM window.  Every
+    kernel runs under a grid over an independent axis so scoped VMEM
+    stays bounded at any n.  No x64 toggle: callable mid-trace from
+    x64 outer jits (orbit_chunk's scan); bodies are pure u32."""
     n1 = n // LANES
     fwd_t, lane_t, t1i_t, inv_t, misc_t = (jnp.asarray(a) for a in
                                            _split_tables(n))
     K = len(pair_plan)
+    V = n_values
+    # index maps must return i32: literal-0 entries trace as i64 under
+    # jax_enable_x64 (these calls run mid-trace in x64 outer jits) and
+    # Mosaic rejects the i64 func.return; numpy scalars stay i32
+    z0 = np.int32(0)
     f0 = pl.pallas_call(
-        _fwd_split_kernel(n, n_values),
-        out_shape=jax.ShapeDtypeStruct((n_values, 2, n1, LANES),
-                                       jnp.uint32),
+        _fwd_split_kernel(),
+        grid=(V, 2),
+        in_specs=[
+            pl.BlockSpec((1, n1, LANES), lambda i, j: (i, z0, z0)),
+            pl.BlockSpec((4, 1, n1, LANES),
+                         lambda i, j: (z0, j, z0, z0)),
+            pl.BlockSpec((1, 8, LANES), lambda i, j: (j, z0, z0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, n1, LANES),
+                               lambda i, j: (i, j, z0, z0)),
+        out_shape=jax.ShapeDtypeStruct((V, 2, n1, LANES), jnp.uint32),
         interpret=interpret,
-    )(x.reshape(n_values, n1, LANES), fwd_t, misc_t)
+    )(x.reshape(V, n1, LANES), fwd_t, misc_t)
     signed = signs is not None
+    blk = min(_MID_SUBBLK, n1)
+    mid_in = [
+        pl.BlockSpec((V, 2, blk, LANES), lambda i: (z0, z0, i, z0)),
+    ]
     mid_args = [f0]
     if signed:
         mid_args.append(jnp.broadcast_to(
-            jnp.asarray(signs, jnp.int32).reshape(n_values, 1, 1, 1),
-            (n_values, 1, 1, LANES)))
+            jnp.asarray(signs, jnp.int32).reshape(V, 1, 1, 1),
+            (V, 1, 1, LANES)))
+        mid_in.append(pl.BlockSpec((V, 1, 1, LANES),
+                                   lambda i: (z0, z0, z0, z0)))
+    mid_in += [
+        pl.BlockSpec((4, 2, 8, LANES), lambda i: (z0, z0, z0, z0)),
+        pl.BlockSpec((2, 2, blk, LANES), lambda i: (z0, z0, i, z0)),
+        pl.BlockSpec((2, 8, LANES), lambda i: (z0, z0, z0)),
+    ]
     mid_args += [lane_t, t1i_t, misc_t]
     z = pl.pallas_call(
         _mid_split_kernel(pair_plan, signed),
+        grid=(n1 // blk,),
+        in_specs=mid_in,
+        out_specs=pl.BlockSpec((K, 2, blk, LANES),
+                               lambda i: (z0, z0, i, z0)),
         out_shape=jax.ShapeDtypeStruct((K, 2, n1, LANES), jnp.uint32),
         interpret=interpret,
     )(*mid_args)
     out = pl.pallas_call(
         _inv_split_kernel(),
+        grid=(K, 2),
+        in_specs=[
+            pl.BlockSpec((1, 1, n1, LANES),
+                         lambda i, j: (i, j, z0, z0)),
+            pl.BlockSpec((2, 1, n1, LANES),
+                         lambda i, j: (z0, j, z0, z0)),
+            pl.BlockSpec((1, 8, LANES), lambda i, j: (j, z0, z0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, n1, LANES),
+                               lambda i, j: (i, j, z0, z0)),
         out_shape=jax.ShapeDtypeStruct((K, 2, n1, LANES), jnp.uint32),
         interpret=interpret,
     )(z, inv_t, misc_t)
@@ -653,9 +708,23 @@ def _flat_shift(a, k: int, n1: int):
     return jnp.where(lane < k, up, r)
 
 
+def _last_lane_bcast(a):
+    """Broadcast each row's lane-127 value across its row.  Mosaic can
+    only vector-broadcast from offset-0 slices, so roll the last lane
+    to lane 0 first."""
+    return jnp.broadcast_to(_roll(a, 1)[..., 0:1], a.shape)
+
+
+def _corner_bcast(a):
+    """Broadcast a[-1, -1] (the global top position) to a's shape via
+    roll-to-origin (see _last_lane_bcast)."""
+    t = _sub_roll(_roll(a, 1), 1)[..., 0:1, 0:1]
+    return jnp.broadcast_to(t, a.shape)
+
+
 def _flat_ks(g, p, n1: int):
     """Inclusive Kogge-Stone prefix of the carry monoid (g, p) along
-    the flat digit order of [..., n1, 128] (hierarchical: lanes, then
+    the flat digit order of [n1, 128] (hierarchical: lanes, then
     sublane aggregates)."""
     lane = _lane_iota(g.ndim)
     k = 1
@@ -669,19 +738,19 @@ def _flat_ks(g, p, n1: int):
         p = p & ps
         k <<= 1
     # per-row aggregates (value at lane 127) → sublane prefix
-    Gr = jnp.broadcast_to(g[..., LANES - 1:LANES], g.shape)
-    Pr = jnp.broadcast_to(p[..., LANES - 1:LANES], p.shape)
+    Gr = _last_lane_bcast(g)
+    Pr = _last_lane_bcast(p)
     sub = _sub_iota(g.ndim, n1)
-    s = 1
-    while s < n1:
-        gs = _sub_roll(Gr, s)
-        ps = _sub_roll(Pr, s)
-        m = sub >= s
+    ss = 1
+    while ss < n1:
+        gs = _sub_roll(Gr, ss)
+        ps = _sub_roll(Pr, ss)
+        m = sub >= ss
         gs = jnp.where(m, gs, jnp.uint32(0))
         ps = jnp.where(m, ps, jnp.uint32(1))
         Gr = Gr | (Pr & gs)
         Pr = Pr & ps
-        s <<= 1
+        ss <<= 1
     # incoming row carry = inclusive aggregate of the PREVIOUS row
     Gin = _sub_roll(Gr, 1)
     Gin = jnp.where(sub > 0, Gin, jnp.uint32(0))
@@ -693,9 +762,10 @@ _DMASK = 0xFFFF
 
 def _flat_carry(acc, n1: int):
     """Canonicalize per-digit sums (< 2^32) to 16-bit digits along the
-    flat order; returns (digits, carry_out) with carry_out ∈ {0,1} u32
-    broadcast [..., 1, 1] (the carry out of the top digit — needed by
-    the two's-complement finish; the XLA carry_propagate drops it)."""
+    flat order; returns (digits, carry_out) with carry_out the carry
+    out of the global top digit broadcast to the full shape in {0,1}
+    u32 (the two's-complement finish's sign bit; the XLA
+    carry_propagate drops it)."""
     lo = acc & jnp.uint32(_DMASK)
     hi = acc >> 16
     a = lo + _flat_shift(hi, 1, n1)
@@ -705,19 +775,17 @@ def _flat_carry(acc, n1: int):
                      jnp.uint32(0))
     G = _flat_ks(g, prop, n1)
     out = (d + _flat_shift(G, 1, n1)) & jnp.uint32(_DMASK)
-    top = (hi[..., n1 - 1:n1, LANES - 1:LANES] |
-           G[..., n1 - 1:n1, LANES - 1:LANES])
-    return out, top
+    cout = _corner_bcast(hi | G)
+    return out, cout
 
 
 def _signed_finish(acc_p, acc_n, n1: int):
-    """(sign ∈ {+1,-1} i32 [...,1,1], canonical digits) of the signed
+    """(sign ∈ {+1,-1} i32 full-shape, canonical digits) of the signed
     value pos − neg; ties and zero → +1 (fixedpoint.signed_add
-    semantics)."""
-    kshape = acc_p.shape
+    semantics).  Two's-complement subtract: the global carry-out IS
+    the sign, the negative branch re-complements."""
     P, _ = _flat_carry(acc_p, n1)
     N, _ = _flat_carry(acc_n, n1)
-    # u = P + ~N + 1 (mod M), carry_out ⟺ P >= N
     comp = jnp.uint32(_DMASK) - N
     one0 = jnp.where((_lane_iota(P.ndim) == 0) &
                      (_sub_iota(P.ndim, n1) == 0),
@@ -725,11 +793,16 @@ def _signed_finish(acc_p, acc_n, n1: int):
     u, cout = _flat_carry(P + comp + one0, n1)
     # recomplement for the negative branch: M - u = ~u + 1
     v, _ = _flat_carry((jnp.uint32(_DMASK) - u) + one0, n1)
-    pos = cout > 0
+    pos = cout > 0                       # full shape
     mag = jnp.where(pos, u, v)
-    nonzero = jnp.max(mag, axis=(-2, -1), keepdims=True) > 0
+    # chained single-axis I32 reductions (Mosaic: no unsigned reduce,
+    # and multi-axis reduce is fragile); the [1,1] result sits at
+    # offset {0,0}, which Mosaic CAN broadcast
+    nzi = jnp.where(mag != jnp.uint32(0), jnp.int32(1), jnp.int32(0))
+    nz11 = jnp.max(jnp.max(nzi, axis=-1, keepdims=True), axis=-2,
+                   keepdims=True)
+    nonzero = jnp.broadcast_to(nz11, mag.shape) > 0
     sign = jnp.where(pos | ~nonzero, jnp.int32(1), jnp.int32(-1))
-    del kshape
     return sign, mag
 
 
@@ -767,112 +840,63 @@ def _k_parts_acc(hi, lo, n1: int):
             _flat_shift(d3, 3, n1))
 
 
-def _tail_streams(r1, r2, n1: int, signed: bool, double: bool,
-                  gsign=None):
+def _tail_stream_cfg(r1, r2, n1: int, dbl, gswap):
     """(acc_p, acc_n) digit-sum accumulators of one CRT'd product row
-    pair — fixedpoint._signed_streams/_unsigned_stream in-kernel."""
+    pair — a uniform, runtime-configured form of fixedpoint's
+    _signed_streams/_unsigned_stream: every row takes the signed-CRT
+    split (an unsigned product's reconstruction never exceeds
+    p1·p2/2, so the negative branch simply stays empty), doubling is
+    a traced flag, and a global sign applies by swapping the streams
+    (gswap < 0).  One kernel body serves the plain and NR tails AND
+    grids over components."""
     hi, lo = _k_crt_rec(r1, r2)
-    if signed:
-        neg = (hi > _C_HALF_HI) | ((hi == _C_HALF_HI) &
-                                   (lo > _C_HALF_LO))
-        nlo = jnp.uint32(_C_P1P2_LO) - lo
-        bb = jnp.where(_C_P1P2_LO < lo, jnp.uint32(1), jnp.uint32(0))
-        nhi = jnp.uint32(_C_P1P2_HI) - hi - bb
-        if double:
-            hi = (hi << 1) | (lo >> 31)
-            lo = lo << 1
-            nhi = (nhi << 1) | (nlo >> 31)
-            nlo = nlo << 1
-        z = jnp.uint32(0)
-        acc_p = _k_parts_acc(jnp.where(neg, z, hi),
-                             jnp.where(neg, z, lo), n1)
-        acc_n = _k_parts_acc(jnp.where(neg, nhi, z),
-                             jnp.where(neg, nlo, z), n1)
-        return acc_p, acc_n
-    if double:
-        hi = (hi << 1) | (lo >> 31)
-        lo = lo << 1
-    parts = _k_parts_acc(hi, lo, n1)
-    z = jnp.zeros_like(parts)
-    return (jnp.where(gsign > 0, parts, z),
-            jnp.where(gsign > 0, z, parts))
+    neg = (hi > _C_HALF_HI) | ((hi == _C_HALF_HI) & (lo > _C_HALF_LO))
+    nlo = jnp.uint32(_C_P1P2_LO) - lo
+    bb = jnp.where(_C_P1P2_LO < lo, jnp.uint32(1), jnp.uint32(0))
+    nhi = jnp.uint32(_C_P1P2_HI) - hi - bb
+    d = dbl > 0
+    hi2 = jnp.where(d, (hi << 1) | (lo >> 31), hi)
+    lo2 = jnp.where(d, lo << 1, lo)
+    nhi2 = jnp.where(d, (nhi << 1) | (nlo >> 31), nhi)
+    nlo2 = jnp.where(d, nlo << 1, nlo)
+    z = jnp.uint32(0)
+    acc_p = _k_parts_acc(jnp.where(neg, z, hi2),
+                         jnp.where(neg, z, lo2), n1)
+    acc_n = _k_parts_acc(jnp.where(neg, nhi2, z),
+                         jnp.where(neg, nlo2, z), n1)
+    swap = gswap < 0
+    return (jnp.where(swap, acc_n, acc_p),
+            jnp.where(swap, acc_p, acc_n))
 
 
-def _iter_tail_kernel(n: int):
-    """z ← z² + c tail: inv rows [2, 2, n1, 128] (d, xy × primes),
-    addend planes [2, n1, 128] (cx, cy at digit offset F) + round
-    plane, signs SMEM [4] = (scx, scy, sx·sy).  Outputs canonical
-    digits [2, n1, 128] + signs (8, 128) i32."""
+def _tail_split_kernel(n: int):
+    """One grid step = ONE component's full tail (CRT streams, addend
+    fold, round, carry resolution, signed finish) — the carry chains
+    are per-component, so the component axis grids freely and scoped
+    VMEM stays bounded at any n.
+
+    Per-component config rides in SMEM cfg[4k..4k+3] =
+    (double, gswap, csign, 0); the addend plane for component k is
+    cadd[k] (zeros when none)."""
     n1 = n // LANES
 
-    def kernel(inv_ref, cadd_ref, rnd_ref, sg_ref, dig_o, sgn_o):
-        inv = inv_ref[...]
-        rnd = rnd_ref[...]
-        scx = sg_ref[0]
-        scy = sg_ref[1]
-        sxy = sg_ref[2]
-        px, nx = _tail_streams(inv[0, 0], inv[0, 1], n1,
-                               signed=True, double=False)
-        py, ny = _tail_streams(inv[1, 0], inv[1, 1], n1, signed=False,
-                               double=True, gsign=sxy)
-        cx = cadd_ref[0]
-        cy = cadd_ref[1]
-        z = jnp.zeros_like(cx)
-        px = px + jnp.where(scx > 0, cx, z) + rnd
-        nx = nx + jnp.where(scx > 0, z, cx)
-        py = py + jnp.where(scy > 0, cy, z) + rnd
-        ny = ny + jnp.where(scy > 0, z, cy)
-        sign, mag = _signed_finish(jnp.stack([px, py]),
-                                   jnp.stack([nx, ny]), n1)
-        dig_o[...] = mag
-        lane = _lane_iota(2)
-        srow = jnp.where(lane == 0, sign[0, 0, 0],
-                         jnp.where(lane == 1, sign[1, 0, 0],
-                                   jnp.int32(0)))
-        sgn_o[...] = jnp.broadcast_to(srow, (8, LANES))
-
-    return kernel
-
-
-def _nr_tail_kernel(n: int):
-    """NR tail: inv rows [4, 2, n1, 128] (d, xy, u, v), addends
-    [3, n1, 128] (cx, cy, one at offset 2F) + round plane, signs SMEM
-    (scx, scy).  All four product rows are spectrum-signed (sign
-    folding), so every stream is the signed kind; xy, u, v double.
-    Outputs digits [4, n1, 128] + signs row."""
-    n1 = n // LANES
-
-    def kernel(inv_ref, cadd_ref, rnd_ref, sg_ref, dig_o, sgn_o):
-        inv = inv_ref[...]
-        rnd = rnd_ref[...]
-        scx = sg_ref[0]
-        scy = sg_ref[1]
-        ps, ns = [], []
-        for k, dbl in enumerate((False, True, True, True)):
-            p_, n_ = _tail_streams(inv[k, 0], inv[k, 1], n1,
-                                   signed=True, double=dbl)
-            ps.append(p_)
-            ns.append(n_)
-        cx = cadd_ref[0]
-        cy = cadd_ref[1]
-        one = cadd_ref[2]
-        z = jnp.zeros_like(cx)
-        ps[0] = ps[0] + jnp.where(scx > 0, cx, z)
-        ns[0] = ns[0] + jnp.where(scx > 0, z, cx)
-        ps[1] = ps[1] + jnp.where(scy > 0, cy, z)
-        ns[1] = ns[1] + jnp.where(scy > 0, z, cy)
-        ps[2] = ps[2] + one
-        sign, mag = _signed_finish(jnp.stack([p + rnd for p in ps]),
-                                   jnp.stack(ns), n1)
-        dig_o[...] = mag
-        lane = _lane_iota(2)
-        srow = jnp.full((LANES,), 0, jnp.int32)
-        srow = jnp.where(lane == 0, sign[0, 0, 0], srow)
-        srow = jnp.where(lane == 1, sign[1, 0, 0], srow)
-        srow = jnp.where(lane == 2, sign[2, 0, 0], srow)
-        srow = jnp.where(lane == 3, sign[3, 0, 0], srow)
-        sgn_o[...] = jnp.broadcast_to(srow.reshape(1, LANES),
-                                      (8, LANES))
+    def kernel(inv_ref, cadd_ref, rnd_ref, cfg_ref, dig_o, sgn_o):
+        k = pl.program_id(0)
+        dbl = cfg_ref[4 * k]
+        gswap = cfg_ref[4 * k + 1]
+        csign = cfg_ref[4 * k + 2]
+        inv = inv_ref[...]                     # [1, 2, n1, 128]
+        acc_p, acc_n = _tail_stream_cfg(inv[0, 0], inv[0, 1], n1,
+                                        dbl, gswap)
+        c = cadd_ref[0]
+        z = jnp.zeros_like(c)
+        acc_p = acc_p + jnp.where(csign > 0, c, z) + rnd_ref[...]
+        acc_n = acc_n + jnp.where(csign > 0, z, c)
+        sign, mag = _signed_finish(acc_p, acc_n, n1)
+        dig_o[...] = mag[None]
+        # basic slice then reshape (None + slice mixed indexing lowers
+        # through a gather Mosaic rejects)
+        sgn_o[...] = sign[0:8, :].reshape(1, 8, LANES)
 
     return kernel
 
@@ -880,26 +904,46 @@ def _nr_tail_kernel(n: int):
 @functools.partial(jax.jit, static_argnames=("n", "nr", "interpret"))
 def fused_tail(inv, cadd, rnd, sgs, *, n: int, nr: bool = False,
                interpret: bool = False):
-    """Fused CRT+carry tail: inv [K, 2, n] (K3 output), cadd
-    [2 or 3, n] addend digit planes, rnd [n] round plane, sgs i32[4].
-    Returns (digits [K, n], signs i32[K])."""
+    """Fused CRT+carry tail: inv [K, 2, n] (K3 output), cadd [K, n]
+    addend digit planes (zeros where none), rnd [n] round plane,
+    sgs i32[4] = (scx, scy, sx·sy, 0).  Returns
+    (digits [K, n], signs i32[K])."""
     n1 = n // LANES
     K = inv.shape[0]
-    kern = _nr_tail_kernel(n) if nr else _iter_tail_kernel(n)
+    one = jnp.int32(1)
+    zero = jnp.int32(0)
+    if nr:
+        # rows (d, xy, u, v): all spectrum-signed; xy/u/v doubled;
+        # addends cx (sign scx), cy (scy), +1, none
+        cfg = jnp.stack([zero, one, sgs[0], zero,
+                         one, one, sgs[1], zero,
+                         one, one, one, zero,
+                         one, one, one, zero])
+    else:
+        # rows (d, xy): d signed, no double, +cx; xy unsigned with
+        # global sign sx·sy (stream swap) doubled, +cy
+        cfg = jnp.stack([zero, one, sgs[0], zero,
+                         one, sgs[2], sgs[1], zero])
     dig, sgn = pl.pallas_call(
-        kern,
+        _tail_split_kernel(n),
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec((1, 2, n1, LANES),
+                         lambda k: (k, _Z0, _Z0, _Z0)),
+            pl.BlockSpec((1, n1, LANES), lambda k: (k, _Z0, _Z0)),
+            pl.BlockSpec((n1, LANES), lambda k: (_Z0, _Z0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, n1, LANES),
+                                lambda k: (k, _Z0, _Z0)),
+                   pl.BlockSpec((1, 8, LANES),
+                                lambda k: (k, _Z0, _Z0))),
         out_shape=(jax.ShapeDtypeStruct((K, n1, LANES), jnp.uint32),
-                   jax.ShapeDtypeStruct((8, LANES), jnp.int32)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+                   jax.ShapeDtypeStruct((K, 8, LANES), jnp.int32)),
         interpret=interpret,
-    )(inv.reshape(K, 2, n1, LANES), cadd.reshape(-1, n1, LANES),
-      rnd.reshape(n1, LANES), sgs)
-    return dig.reshape(K, n), sgn[0, :K]
+    )(inv.reshape(K, 2, n1, LANES), cadd.reshape(K, n1, LANES),
+      rnd.reshape(n1, LANES), cfg)
+    return dig.reshape(K, n), sgn[:, 0, 0]
 
 
 # ---------------------------------------------------------------------------

@@ -19,7 +19,9 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -374,6 +376,281 @@ struct Builder {
         return true;
     }
 
+    // ------------------------------------------------------------------
+    // MT stage-0 builder (CreateLAFromOrbitMT, LAReference.cpp:218-520):
+    // worker t speculatively SYNCS onto a node boundary near
+    // max_ref*t/T by running two phase-offset LA walks until one
+    // detects a period (boundaries are self-synchronizing), then every
+    // worker builds its segment's nodes independently; segments stitch
+    // where a walk's next node start exactly equals a later worker's
+    // confirmed boundary (unmatched segments are discarded and covered
+    // by the previous walker — output equals the single-thread table).
+    struct SyncState {
+        bool ok = false;
+        int64_t start = -1;     // confirmed node-start boundary
+        LANode la;              // post-boundary accumulated node
+        int64_t i = -1;         // next orbit index to consume
+    };
+
+    SyncState boundary_state(int64_t j, const LANode &closing) {
+        SyncState r;
+        r.ok = true;
+        r.start = j;
+        bool det = false;
+        int64_t jp1 = j + 1;
+        bool detected2 = detect_period(p, closing,
+                                       gc(std::min(jp1, max_ref)));
+        if (detected2 || jp1 >= max_ref) {
+            r.la = new_node(p, gc(j));
+            r.i = j + 1;
+        } else {
+            r.la = step(p, new_node(p, gc(j)), gc(jp1), &det);
+            r.i = j + 2;
+        }
+        return r;
+    }
+
+    SyncState sync_from(int64_t begin) {
+        SyncState none;
+        if (begin < 2 || begin + 2 >= max_ref) return none;
+        bool det = false;
+        LANode la1 = step(p, new_node(p, gc(begin - 1)), gc(begin), &det);
+        int64_t j1 = begin + 1;
+        LANode la2 = step(p, new_node(p, gc(begin)), gc(begin + 1), &det);
+        int64_t j2 = begin + 2;
+        while (j1 < max_ref) {
+            bool pd1;
+            LANode n1 = step(p, la1, gc(j1), &pd1);
+            if (pd1) return boundary_state(j1, n1);
+            la1 = n1;
+            if (j2 < max_ref) {
+                bool pd2;
+                LANode n2 = step(p, la2, gc(j2), &pd2);
+                if (pd2) return boundary_state(j2, n2);
+                la2 = n2;
+            }
+            j1++;
+            j2++;
+        }
+        return none;
+    }
+
+    struct WalkResult {
+        std::vector<LANode> nodes;
+        LANode la;              // accumulated node at exit
+        int64_t i_exit = -1;
+        int64_t period_begin = 0;
+        int64_t nsli = 0;
+        int64_t stitched_to = -1;   // index into starts[] or -1 (end)
+    };
+
+    // the ST main loop over [state.i, max_ref) stopping when the next
+    // node start equals one of `starts` (ascending candidate list of
+    // (boundary, original worker) pairs AFTER this walker's own start)
+    WalkResult walk_segment(LANode la, int64_t i, int64_t period,
+                            int64_t period_begin, int64_t period_end,
+                            int64_t nsli,
+                            const std::vector<int64_t> &starts,
+                            size_t next_s) const {
+        WalkResult r;
+        bool det = false;
+        for (; i < max_ref;) {
+            bool period_detected;
+            LANode new_la = step(p, la, gc(i), &period_detected);
+            if (!period_detected && i < period_end) {
+                la = new_la;
+                i += 1;
+                continue;
+            }
+            la.step_length = i - period_begin;
+            la.next_stage_la_index = nsli;
+            r.nodes.push_back(la);
+            nsli = i;
+            period_begin = i;
+            period_end = period_begin + period;
+            while (next_s < starts.size() && starts[next_s] < i)
+                next_s++;
+            if (next_s < starts.size() && starts[next_s] == i) {
+                r.stitched_to = (int64_t)next_s;
+                r.i_exit = i;
+                r.la = la;
+                r.period_begin = period_begin;
+                r.nsli = nsli;
+                return r;
+            }
+            int64_t ip1 = i + 1;
+            bool detected2 = detect_period(p, new_la,
+                                           gc(std::min(ip1, max_ref)));
+            if (detected2 || ip1 >= max_ref) {
+                la = new_node(p, gc(i));
+                i += 1;
+            } else {
+                la = step(p, new_node(p, gc(i)), gc(ip1), &det);
+                i += 2;
+            }
+        }
+        r.la = la;
+        r.i_exit = i;
+        r.period_begin = period_begin;
+        r.nsli = nsli;
+        return r;
+    }
+
+    // MT variant of create_la_from_orbit: identical output, stage-0
+    // walk parallelized.  n_threads <= 1 falls through to the ST path.
+    bool create_la_from_orbit_mt(int64_t n_threads) {
+        if (n_threads <= 1) return create_la_from_orbit();
+        stage_la_index.assign(1, 0);
+        stage_macro_it_count.assign(1, 0);
+        stage_count = 0;
+
+        // ---- sequential prologue (identical to create_la_from_orbit)
+        int64_t period = 0;
+        LANode la = new_node(p, hdc_zero());
+        bool det = false;
+        la = step(p, la, gc(1), &det);
+        int64_t next_stage_la_index = 0;
+        if (la.zcoeff.re == 0.0 && la.zcoeff.im == 0.0) return false;
+
+        int64_t i = 2;
+        bool broke = false;
+        for (; i < max_ref;) {
+            bool period_detected;
+            LANode new_la = step(p, la, gc(i), &period_detected);
+            if (!period_detected) {
+                la = new_la;
+                i += 1;
+                continue;
+            }
+            period = i;
+            la.step_length = period;
+            la.next_stage_la_index = next_stage_la_index;
+            las.push_back(la);
+            next_stage_la_index = i;
+            if (i + 1 < max_ref) {
+                la = step(p, new_node(p, gc(i)), gc(i + 1), &det);
+                i += 2;
+            } else {
+                la = new_node(p, gc(i));
+                i += 1;
+            }
+            broke = true;
+            break;
+        }
+        if (!broke) i = max_ref;
+
+        stage_count = 1;
+        int64_t period_begin = period;
+        int64_t period_end = period_begin + period;
+
+        const int64_t LOW_BOUND = 64;
+        if (period == 0) {
+            if (max_ref > LOW_BOUND) {
+                la = step(p, new_node(p, gc(0)), gc(1), &det);
+                next_stage_la_index = 0;
+                i = 2;
+                double nth_root_d = std::log2((double)max_ref) /
+                                    (double)p.period_divisor;
+                int64_t nth_root = llrint(nth_root_d);
+                if (nth_root < 1) nth_root = 1;
+                double per = std::pow((double)max_ref,
+                                      1.0 / (double)nth_root);
+                period = llrint(per);
+                period_begin = 0;
+                period_end = period;
+            } else {
+                la.step_length = max_ref;
+                la.next_stage_la_index = next_stage_la_index;
+                las.push_back(la);
+                las.push_back(new_node(p, gc(max_ref)));
+                stage_macro_it_count[0] = 1;
+                return false;
+            }
+        } else if (period > LOW_BOUND) {
+            las.pop_back();
+            la = step(p, new_node(p, gc(0)), gc(1), &det);
+            next_stage_la_index = 0;
+            i = 2;
+            double nth_root_d = std::log2((double)max_ref) /
+                                (double)p.period_divisor;
+            int64_t nth_root = llrint(nth_root_d);
+            if (nth_root < 1) nth_root = 1;
+            double per = std::pow((double)max_ref,
+                                  1.0 / (double)nth_root);
+            period = llrint(per);
+            period_begin = 0;
+            period_end = period;
+        }
+
+        // ---- phase A: workers sync onto boundaries (parallel)
+        const int64_t T = n_threads;
+        std::vector<SyncState> sync(T);       // [0] unused
+        {
+            std::vector<std::thread> ths;
+            for (int64_t t = 1; t < T; t++) {
+                ths.emplace_back([this, &sync, t, T]() {
+                    sync[t] = sync_from(max_ref * t / T);
+                });
+            }
+            for (auto &th : ths) th.join();
+        }
+        // ascending unique boundary list
+        std::vector<int64_t> starts;
+        std::vector<int64_t> start_worker;
+        for (int64_t t = 1; t < T; t++) {
+            if (!sync[t].ok) continue;
+            if (!starts.empty() && sync[t].start <= starts.back())
+                continue;
+            if (sync[t].start <= i) continue;   // prologue already past
+            starts.push_back(sync[t].start);
+            start_worker.push_back(t);
+        }
+
+        // ---- phase B: independent segment walks (parallel)
+        const size_t S = starts.size();
+        std::vector<WalkResult> seg(S + 1);
+        {
+            std::vector<std::thread> ths;
+            for (size_t sdx = 0; sdx < S; sdx++) {
+                int64_t t = start_worker[sdx];
+                ths.emplace_back([this, &seg, &sync, &starts, sdx, t,
+                                  period]() {
+                    const SyncState &st = sync[t];
+                    seg[sdx + 1] = walk_segment(
+                        st.la, st.i, period, st.start,
+                        st.start + period, st.start, starts, sdx + 1);
+                });
+            }
+            // worker 0 (this thread): from the prologue state
+            seg[0] = walk_segment(la, i, period, period_begin,
+                                  period_end, next_stage_la_index,
+                                  starts, 0);
+            for (auto &th : ths) th.join();
+        }
+
+        // ---- merge: follow the stitch chain
+        size_t cur = 0;
+        const WalkResult *last = nullptr;
+        for (;;) {
+            const WalkResult &w = seg[cur];
+            las.insert(las.end(), w.nodes.begin(), w.nodes.end());
+            if (w.stitched_to < 0) {
+                last = &w;
+                break;
+            }
+            cur = (size_t)w.stitched_to + 1;   // seg index = starts idx+1
+        }
+
+        // ---- epilogue (identical to the ST tail)
+        LANode tail = last->la;
+        tail.step_length = last->i_exit - last->period_begin;
+        tail.next_stage_la_index = last->nsli;
+        las.push_back(tail);
+        stage_macro_it_count[0] = (int64_t)las.size();
+        las.push_back(new_node(p, gc(max_ref)));
+        return true;
+    }
+
     // mirrors _create_new_la_stage
     bool create_new_la_stage() {
         const int64_t LOW_BOUND = 64;
@@ -543,7 +820,15 @@ int64_t fs_la_generate(
     if (b.max_ref <= 0) return 0;
     b.las.reserve((size_t)std::min<int64_t>(2 * n_orbit + 16, cap));
 
-    bool detected = b.create_la_from_orbit();
+    // MT threshold mirrors the reference's 50k-iterations-per-thread
+    // scaling (LAReference.cpp:239); FS_LA_MT forces a count (tests)
+    int64_t n_threads = b.max_ref / 50000;
+    int64_t hw = (int64_t)std::thread::hardware_concurrency();
+    if (n_threads > hw) n_threads = hw;
+    if (n_threads < 1) n_threads = 1;
+    const char *mt_env = std::getenv("FS_LA_MT");
+    if (mt_env) n_threads = std::max<int64_t>(1, std::atoll(mt_env));
+    bool detected = b.create_la_from_orbit_mt(n_threads);
     if (!detected) {
         // mirror python: invalid table (is_valid False), nodes dropped
         return 0;

@@ -233,3 +233,50 @@ def test_at_requires_full_period_window(deep_view):
     if la.use_at:
         idx = la.stage_la_index[-1]
         assert la.las[idx].step_length * 2 > res.max_ref_iteration()
+
+
+def test_native_mt_la_builder_bit_identical():
+    """MT stage-0 LA builder (CreateLAFromOrbitMT analogue): worker
+    threads sync onto self-synchronizing node boundaries and build
+    segments independently; the merged table must equal the
+    single-thread build EXACTLY (FS_LA_MT forces the thread count —
+    this container has 1 CPU, so the parallelism is correctness-tested
+    here and pays off on real multi-core hosts)."""
+    import os
+
+    from fractalshark_tpu.engine import native_la as NL
+    if not NL.available():
+        pytest.skip("native toolchain unavailable")
+
+    from fractalshark_tpu.core.highprecision import HighPrecision
+    from fractalshark_tpu.engine.reforbit import compute_reference_orbit
+
+    cx = HighPrecision("-0.743643887037158704752191506114774", prec=320)
+    cy = HighPrecision("0.131825904205311970493132056385139", prec=320)
+    res = compute_reference_orbit(cx, cy, 250000,
+                                  HighPrecision("1e-24", prec=64),
+                                  periodicity=True, precision_bits=320)
+    rad = HD.from_hp(res.max_radius)
+
+    def build(threads):
+        os.environ["FS_LA_MT"] = str(threads)
+        try:
+            return NL.generate_native(res.orbit_x, res.orbit_y, rad,
+                                      orbit_e=res.orbit_e)
+        finally:
+            del os.environ["FS_LA_MT"]
+
+    st = build(1)
+    assert st is not None
+    for t in (2, 3, 5):
+        mt = build(t)
+        a = st.device_arrays(np.float32)
+        b = mt.device_arrays(np.float32)
+        assert a["stage_count"] == b["stage_count"], t
+        for key in ("ref_m", "ref_e", "zc_m", "zc_e", "cc_m", "cc_e",
+                    "thr_m", "thr_e", "step_length",
+                    "next_stage_la_index", "stage_la_index",
+                    "stage_macro_it_count"):
+            np.testing.assert_array_equal(np.asarray(a[key]),
+                                          np.asarray(b[key]),
+                                          err_msg=f"{key} @T={t}")

@@ -269,8 +269,8 @@ class TestPallasInterpret:
         rnd = z.at[F - 1].set(jnp.uint32(1 << 15))
         sgs = jnp.asarray([scx, scy, 0, 0], jnp.int32)
         dig, sgn = NP.fused_tail(inv.reshape(4, 2, nfft),
-                                 jnp.stack([cfx, cfy, onef]), rnd, sgs,
-                                 n=nfft, nr=True, interpret=True)
+                                 jnp.stack([cfx, cfy, onef, z]), rnd,
+                                 sgs, n=nfft, nr=True, interpret=True)
         assert (np.asarray(sgn) == np.asarray(wsg)).all()
         assert (np.asarray(dig)[:, F:F + D] == np.asarray(wmg)).all()
 

@@ -294,15 +294,23 @@ def test_identity_two_phase_matches_full_exactly(deep):
     np.testing.assert_array_equal(two, full)
 
 
-def test_stream_64bit_budget_matches_32bit(deep):
+def _escaping_view():
+    """Every pixel escapes within ~40 iterations (center well outside
+    the set) — a >2^31 budget exercises the 64-bit compare/decrement
+    path without ever running 2^31 steps."""
+    ptz = PointZoomBBConverter(pt_x="0.8", pt_y="0.5",
+                               zoom_factor="100", prec=128)
+    calc = RefOrbitCalc()
+    res = calc.get_and_create_useful_results(ptz, 1000)
+    return ptz, res
+
+
+def test_stream_64bit_budget_matches_32bit():
     """A >2^31 iteration budget through the streaming kernel
-    (remaining-count hi/lo pairs): pixels that escape get the same
-    counts as under a small budget; non-escaping pixels report the
-    full 64-bit budget consumed... except nothing here runs 2^31
-    steps — the view escapes every pixel quickly, which exercises the
-    64-bit compare/decrement path end to end (IterTypeEnum::Bits64,
-    RenderAlgorithm.h:81-159)."""
-    ptz, res = deep
+    (remaining-count hi/lo pairs, IterTypeEnum::Bits64,
+    RenderAlgorithm.h:81-159): identical per-pixel counts to a small-
+    budget render on an everywhere-escaping view, returned as uint64."""
+    ptz, res = _escaping_view()
     big = (1 << 31) + 12345
     out = perturb_render_stream(res, ptz, 24, 24, big, tile_h=8,
                                 interpret=True)
@@ -310,13 +318,10 @@ def test_stream_64bit_budget_matches_32bit(deep):
     got = np.asarray(out)
     assert got.dtype == np.uint64
     small = np.asarray(perturb.perturb_render_hdr(
-        res, ptz, 24, 24, 2000, sub_dtype=np.float32))
-    esc = small < 2000                  # pixels that escaped in-budget
-    assert esc.any()
-    np.testing.assert_array_equal(got[esc].astype(np.int64),
-                                  small[esc].astype(np.int64))
-    # pixels that never escape burn the whole 64-bit budget
-    assert (got[~esc] == np.uint64(big)).all()
+        res, ptz, 24, 24, 1000, sub_dtype=np.float32))
+    assert (small < 1000).all(), "view must escape everywhere"
+    np.testing.assert_array_equal(got.astype(np.int64),
+                                  small.astype(np.int64))
 
 
 def test_rem_borrow_path(deep, monkeypatch):
@@ -336,15 +341,15 @@ def test_rem_borrow_path(deep, monkeypatch):
                                   want.astype(np.int64))
 
 
-def test_rc_64bit_budget_and_jwait_pairs(deep):
+def test_rc_64bit_budget_and_jwait_pairs():
     """RC kernel with a >2^31 budget: (window, local) orbit-position
-    pairs + remaining pairs; counts equal the 32-bit-budget RC render
-    on escaped pixels."""
+    pairs + remaining pairs; identical counts to the 32-bit-budget RC
+    render on an everywhere-escaping view."""
     from fractalshark_tpu.engine.perturbation_results import \
         CompressedOrbit
     from fractalshark_tpu.ops.perturb_stream import \
         perturb_render_stream_rc
-    ptz, res = deep
+    ptz, res = _escaping_view()
     comp = CompressedOrbit.from_uncompressed(res, error_exp=20)
     small = np.asarray(perturb_render_stream_rc(
         comp, res.center_x, res.center_y, ptz, 24, 16, 1900,
@@ -355,8 +360,6 @@ def test_rc_64bit_budget_and_jwait_pairs(deep):
         tile_h=8, interpret=True)
     got = np.asarray(out)
     assert got.dtype == np.uint64
-    esc = small < 1900
-    assert esc.any()
-    np.testing.assert_array_equal(got[esc].astype(np.int64),
-                                  small[esc].astype(np.int64))
-    assert (got[~esc] == np.uint64(big)).all()
+    assert (small < 1900).all()
+    np.testing.assert_array_equal(got.astype(np.int64),
+                                  small.astype(np.int64))
