@@ -169,11 +169,13 @@ def _perturb_and_la(extra):
         extra["la_mpix_s"] = round(la_size * la_size / dt / 1e6, 2)
 
 
-def _deep_la(extra):
+def _deep_la(extra, size=None, prefix="deep"):
     """View #6-class deep view (zoom ~1e136 — HDR required, f64 dc
     underflows): native orbit → LA build → LAv2 render, end to end.
     This is the class of render the reference's LAv2 pipeline exists
-    for; the shallow headline can't see it."""
+    for; the shallow headline can't see it.  With a poster-scale
+    `size` (deep_poster part) it measures the 2048²-class two-phase
+    render the reference produces interactively."""
     import numpy as np
 
     import jax
@@ -184,20 +186,21 @@ def _deep_la(extra):
     from fractalshark_tpu.engine.reforbit import RefOrbitCalc
 
     on_tpu = jax.default_backend() == "tpu"
-    size = 256 if on_tpu else 64
+    if size is None:
+        size = 256 if on_tpu else 64
     v = get_view_preset(6)
     ptz = v.ptz.square_aspect_ratio(size, size)
     budget = v.num_iterations
     calc = RefOrbitCalc()
     t0 = time.perf_counter()
     res = calc.get_and_create_useful_results(ptz, budget)
-    extra["deep_orbit_s"] = round(time.perf_counter() - t0, 3)
-    extra["deep_orbit_len"] = res.count_orbit_entries()
+    extra[f"{prefix}_orbit_s"] = round(time.perf_counter() - t0, 3)
+    extra[f"{prefix}_orbit_len"] = res.count_orbit_entries()
     t0 = time.perf_counter()
     la = LAReferenceHost.generate_auto(res.orbit_x, res.orbit_y,
                                   HD.from_hp(res.max_radius),
                                   orbit_e=res.orbit_e)
-    extra["deep_la_build_s"] = round(time.perf_counter() - t0, 3)
+    extra[f"{prefix}_la_build_s"] = round(time.perf_counter() - t0, 3)
     from fractalshark_tpu.ops import la_kernel
 
     if on_tpu:
@@ -234,9 +237,9 @@ def _deep_la(extra):
     t0 = time.perf_counter()
     o = run()
     dt = time.perf_counter() - t0
-    extra["deep_la_render_s"] = round(dt, 3)
-    extra["deep_la_mpix_s"] = round(size * size / dt / 1e6, 3)
-    extra["deep_iter_sum"] = int(o.astype(np.int64).sum())
+    extra[f"{prefix}_la_render_s"] = round(dt, 3)
+    extra[f"{prefix}_la_mpix_s"] = round(size * size / dt / 1e6, 3)
+    extra[f"{prefix}_iter_sum"] = int(o.astype(np.int64).sum())
 
 
 def _ntt(extra):
@@ -315,6 +318,16 @@ def _ntt(extra):
                     prof["total_ms"] / steps, 3)
         except Exception as e:  # noqa: BLE001
             extra["ntt_device_prof_error"] = repr(e)[:120]
+
+
+def _deep_poster(extra):
+    """Poster-scale (2048²) two-phase deep render on the View #6-class
+    view (VERDICT r2 #9): same pipeline as deep_la, 64× the pixels —
+    measures whether sweep count stays bounded as tiles fill up."""
+    import jax
+    if jax.default_backend() != "tpu":
+        return
+    _deep_la(extra, size=2048, prefix="deep_poster")
 
 
 def _ntt32768(extra):
@@ -419,7 +432,8 @@ def main() -> int:
     # companion metric and must not be starved by a slow compile window
     parts = [("native", _native), ("ntt", _ntt),
              ("perturb/la", _perturb_and_la), ("deep_la", _deep_la),
-             ("ntt_sharded", _ntt_sharded), ("ntt32768", _ntt32768)]
+             ("ntt_sharded", _ntt_sharded), ("ntt32768", _ntt32768),
+             ("deep_poster", _deep_poster)]
     headline = None
     try:
         headline = _headline(extra)
@@ -438,7 +452,7 @@ def main() -> int:
     # rough first-compile cost of each part through the remote-compile
     # tunnel; a part only starts if it plausibly fits the remaining budget
     est_s = {"native": 5, "ntt": 100, "perturb/la": 110, "deep_la": 130,
-             "ntt_sharded": 150, "ntt32768": 200}
+             "ntt_sharded": 150, "ntt32768": 200, "deep_poster": 200}
     for name, fn in parts:
         remaining = budget_s - (time.perf_counter() - t_start)
         if remaining < est_s.get(name, 60):

@@ -708,52 +708,67 @@ def _flat_shift(a, k: int, n1: int):
     return jnp.where(lane < k, up, r)
 
 
-def _last_lane_bcast(a):
-    """Broadcast each row's lane-127 value across its row.  Mosaic can
-    only vector-broadcast from offset-0 slices, so roll the last lane
-    to lane 0 first."""
-    return jnp.broadcast_to(_roll(a, 1)[..., 0:1], a.shape)
+def _masked_corner(x, n1: int):
+    """x[-1, -1] (i32, small non-negative) broadcast to x's shape via
+    masked max-reduce — reduce+broadcast is the one replication
+    pattern Mosaic reliably supports (roll/slice/broadcast chains keep
+    offset layouts it refuses to re-broadcast)."""
+    mask = (_sub_iota(x.ndim, n1) == n1 - 1) &         (_lane_iota(x.ndim) == LANES - 1)
+    v = jnp.where(mask, x, jnp.int32(0))
+    m = jnp.max(jnp.max(v, axis=-1, keepdims=True), axis=-2,
+                keepdims=True)
+    return jnp.broadcast_to(m, x.shape)
 
 
-def _corner_bcast(a):
-    """Broadcast a[-1, -1] (the global top position) to a's shape via
-    roll-to-origin (see _last_lane_bcast)."""
-    t = _sub_roll(_roll(a, 1), 1)[..., 0:1, 0:1]
-    return jnp.broadcast_to(t, a.shape)
+def _last_lane_bcast(x):
+    """Each row's lane-127 value (i32, small non-negative) broadcast
+    across its row (masked lane max-reduce)."""
+    v = jnp.where(_lane_iota(x.ndim) == LANES - 1, x, jnp.int32(0))
+    m = jnp.max(v, axis=-1, keepdims=True)
+    return jnp.broadcast_to(m, x.shape)
 
 
 def _flat_ks(g, p, n1: int):
-    """Inclusive Kogge-Stone prefix of the carry monoid (g, p) along
-    the flat digit order of [n1, 128] (hierarchical: lanes, then
-    sublane aggregates)."""
+    """Inclusive Kogge-Stone prefix of the carry monoid (g, p ∈ {0,1}
+    I32) along the flat digit order of [n1, 128] (hierarchical: lanes,
+    then sublane aggregates).  The doubling passes run as fori_loops
+    with DYNAMIC rotate shifts — unrolled they made the kernel large
+    enough to crash the Mosaic compile at n1 = 512."""
     lane = _lane_iota(g.ndim)
-    k = 1
-    while k < LANES:
-        gs = _roll(g, k)
-        ps = _roll(p, k)
+
+    def lane_step(t, c):
+        g, p = c
+        k = jnp.int32(1) << t
+        gs = pltpu.roll(g, k, g.ndim - 1)
+        ps = pltpu.roll(p, k, p.ndim - 1)
         m = lane >= k
-        gs = jnp.where(m, gs, jnp.uint32(0))
-        ps = jnp.where(m, ps, jnp.uint32(1))
-        g = g | (p & gs)
-        p = p & ps
-        k <<= 1
+        gs = jnp.where(m, gs, jnp.int32(0))
+        ps = jnp.where(m, ps, jnp.int32(1))
+        return g | (p & gs), p & ps
+
+    g, p = jax.lax.fori_loop(jnp.int32(0), jnp.int32(7), lane_step,
+                             (g, p))
     # per-row aggregates (value at lane 127) → sublane prefix
     Gr = _last_lane_bcast(g)
     Pr = _last_lane_bcast(p)
     sub = _sub_iota(g.ndim, n1)
-    ss = 1
-    while ss < n1:
-        gs = _sub_roll(Gr, ss)
-        ps = _sub_roll(Pr, ss)
+    s1 = n1.bit_length() - 1
+
+    def sub_step(t, c):
+        Gr, Pr = c
+        ss = jnp.int32(1) << t
+        gs = pltpu.roll(Gr, ss, Gr.ndim - 2)
+        ps = pltpu.roll(Pr, ss, Pr.ndim - 2)
         m = sub >= ss
-        gs = jnp.where(m, gs, jnp.uint32(0))
-        ps = jnp.where(m, ps, jnp.uint32(1))
-        Gr = Gr | (Pr & gs)
-        Pr = Pr & ps
-        ss <<= 1
+        gs = jnp.where(m, gs, jnp.int32(0))
+        ps = jnp.where(m, ps, jnp.int32(1))
+        return Gr | (Pr & gs), Pr & ps
+
+    Gr, Pr = jax.lax.fori_loop(jnp.int32(0), jnp.int32(s1), sub_step,
+                               (Gr, Pr))
     # incoming row carry = inclusive aggregate of the PREVIOUS row
     Gin = _sub_roll(Gr, 1)
-    Gin = jnp.where(sub > 0, Gin, jnp.uint32(0))
+    Gin = jnp.where(sub > 0, Gin, jnp.int32(0))
     return g | (p & Gin)
 
 
@@ -762,20 +777,20 @@ _DMASK = 0xFFFF
 
 def _flat_carry(acc, n1: int):
     """Canonicalize per-digit sums (< 2^32) to 16-bit digits along the
-    flat order; returns (digits, carry_out) with carry_out the carry
-    out of the global top digit broadcast to the full shape in {0,1}
-    u32 (the two's-complement finish's sign bit; the XLA
-    carry_propagate drops it)."""
+    flat order; returns (digits u32, carry_out i32 {0,1} full-shape) —
+    the carry out of the global top digit (the two's-complement
+    finish's sign bit; the XLA carry_propagate drops it)."""
     lo = acc & jnp.uint32(_DMASK)
     hi = acc >> 16
     a = lo + _flat_shift(hi, 1, n1)
     d = a & jnp.uint32(_DMASK)
-    g = a >> 16
-    prop = jnp.where(d == jnp.uint32(_DMASK), jnp.uint32(1),
-                     jnp.uint32(0))
-    G = _flat_ks(g, prop, n1)
-    out = (d + _flat_shift(G, 1, n1)) & jnp.uint32(_DMASK)
-    cout = _corner_bcast(hi | G)
+    gi = jnp.where(a > jnp.uint32(_DMASK), jnp.int32(1), jnp.int32(0))
+    pi = jnp.where(d == jnp.uint32(_DMASK), jnp.int32(1), jnp.int32(0))
+    G = _flat_ks(gi, pi, n1)
+    Gu = jnp.where(G > 0, jnp.uint32(1), jnp.uint32(0))
+    out = (d + _flat_shift(Gu, 1, n1)) & jnp.uint32(_DMASK)
+    hi_nz = jnp.where(hi != jnp.uint32(0), jnp.int32(1), jnp.int32(0))
+    cout = _masked_corner(hi_nz | G, n1)
     return out, cout
 
 
@@ -795,9 +810,6 @@ def _signed_finish(acc_p, acc_n, n1: int):
     v, _ = _flat_carry((jnp.uint32(_DMASK) - u) + one0, n1)
     pos = cout > 0                       # full shape
     mag = jnp.where(pos, u, v)
-    # chained single-axis I32 reductions (Mosaic: no unsigned reduce,
-    # and multi-axis reduce is fragile); the [1,1] result sits at
-    # offset {0,0}, which Mosaic CAN broadcast
     nzi = jnp.where(mag != jnp.uint32(0), jnp.int32(1), jnp.int32(0))
     nz11 = jnp.max(jnp.max(nzi, axis=-1, keepdims=True), axis=-2,
                    keepdims=True)
@@ -932,7 +944,11 @@ def fused_tail(inv, cadd, rnd, sgs, *, n: int, nr: bool = False,
                          lambda k: (k, _Z0, _Z0, _Z0)),
             pl.BlockSpec((1, n1, LANES), lambda k: (k, _Z0, _Z0)),
             pl.BlockSpec((n1, LANES), lambda k: (_Z0, _Z0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # explicit i32 index map: a memory-space-only SMEM spec
+            # under a grid synthesizes a Python-int map that traces
+            # i64 under jax_enable_x64
+            pl.BlockSpec((4 * K,), lambda k: (_Z0,),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=(pl.BlockSpec((1, n1, LANES),
                                 lambda k: (k, _Z0, _Z0)),
