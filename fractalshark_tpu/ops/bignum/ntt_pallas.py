@@ -483,31 +483,119 @@ def ntt_nr_iter_products(vx, vy, vdx, vdy, signs, nfft: int,
 # transforms — exact integer convolutions).
 
 
+def _aligned_offsets(m: int):
+    """8-aligned per-stage packing offsets (same scheme as
+    _phase_offsets): unaligned sublane slices of VMEM tables force
+    Mosaic relayouts — measured 3.4x on DIT kernels whose natural
+    offsets are 2^s - 1."""
+    stages = m.bit_length() - 1
+    offs = []
+    off = 0
+    for s in range(stages):
+        offs.append(off)
+        hm = max(8, m >> (s + 1))
+        off += hm
+    return tuple(offs), -(-off // 8) * 8
+
+
 @functools.lru_cache(maxsize=8)
 def _split_tables(n: int):
-    """Per-kernel slices of the packed table (smaller operands than the
-    full 13-plane pack): fwd [4,2,n1,128] = sub-fwd w/wp + T1 w/wp;
-    lane [4,2,8,128] compact lane-stage planes; t1i [2,2,n1,128];
-    inv [2,2,n1,128] sub-inv w/wp; misc [2,8,128]."""
+    """Per-kernel tables for the split pipeline.  Sub-stage twiddles
+    repack at 8-ALIGNED offsets (stage s of the forward uses
+    hm = n1 >> (s+1) entries; the inverse uses hm = 2^s — both packed
+    largest-first so every slot start is 8-aligned):
+      sub_fwd/sub_inv [2(w/wp), 2(prime), H, 128]
+      t1/t1i          [2(w/wp), 2(prime), n1, 128]
+      lane            [4, 2, 8, 128]   misc [2, 8, 128]
+    """
     T = _tables(n)
-    fwd = np.ascontiguousarray(np.concatenate([T[0:2], T[4:6]]))
+    n1 = n // LANES
+    s1 = n1.bit_length() - 1
+    offs, H = _aligned_offsets(n1)
+
+    def repack(base):
+        out = np.zeros((2, 2, H, LANES), np.uint32)
+        for st in range(s1):
+            if base == 0:     # forward: source offset n1 - (n1 >> st)
+                hm = n1 >> (st + 1)
+                src = n1 - (n1 >> st)
+            else:             # inverse: source offset 2^st - 1
+                hm = 1 << st
+                src = hm - 1
+            # pack largest-first so slot starts stay aligned: forward
+            # stage st has hm = n1 >> (st+1) (decreasing); inverse
+            # stage st has hm = 2^st (increasing) -> pack inverse
+            # stages in REVERSE slot order
+            slot = offs[st] if base == 0 else offs[s1 - 1 - st]
+            for wp in range(2):
+                out[wp, :, slot:slot + hm, :] = \
+                    T[base + wp, :, src:src + hm, :]
+        return out
+
+    sub_fwd = repack(0)
+    sub_inv = repack(2)
+    t1 = np.ascontiguousarray(np.stack([T[4], T[5]]))
+    t1i = np.ascontiguousarray(np.stack([T[6], T[7]]))
     lane = np.ascontiguousarray(T[8:12, :, :8, :])
-    t1i = np.ascontiguousarray(T[6:8])
-    inv = np.ascontiguousarray(T[2:4])
     misc = np.ascontiguousarray(T[12, :, :8, :])
-    return fwd, lane, t1i, inv, misc
+    return sub_fwd, t1, lane, t1i, sub_inv, misc
 
 
-def _fwd_split_kernel():
+def _sub_dif_al(y, tab, p, n1: int):
+    """DIF over the sublane axis with 8-aligned stage-table offsets;
+    tab = (w_plane, wp_plane) of [P, H, 128]."""
+    V = y.shape[0]
+    P = p.shape[0]
+    s1 = n1.bit_length() - 1
+    offs, _ = _aligned_offsets(n1)
+    pc = p.reshape(1, P, 1, 1, LANES)
+    for s in range(s1):
+        hm = n1 >> (s + 1)
+        off = offs[s]
+        w = tab[0][:, off:off + hm].reshape(1, P, 1, hm, LANES)
+        wp = tab[1][:, off:off + hm].reshape(1, P, 1, hm, LANES)
+        y5 = y.reshape(V, P, 1 << s, 2, hm, LANES)
+        a = y5[:, :, :, 0]
+        b = y5[:, :, :, 1]
+        t = _madd(a, b, pc)
+        u = _smul(_msub(a, b, pc), w, wp, pc)
+        y = jnp.stack([t, u], axis=3).reshape(V, P, n1, LANES)
+    return y
+
+
+def _sub_dit_al(y, tab, p, n1: int):
+    """DIT over the sublane axis with 8-aligned stage-table offsets
+    (inverse stages pack in reverse slot order — see _split_tables)."""
+    V = y.shape[0]
+    P = p.shape[0]
+    s1 = n1.bit_length() - 1
+    offs, _ = _aligned_offsets(n1)
+    pc = p.reshape(1, P, 1, 1, LANES)
+    for s in range(s1):
+        hm = 1 << s
+        off = offs[s1 - 1 - s]
+        w = tab[0][:, off:off + hm].reshape(1, P, 1, hm, LANES)
+        wp = tab[1][:, off:off + hm].reshape(1, P, 1, hm, LANES)
+        y5 = y.reshape(V, P, n1 >> (s + 1), 2, hm, LANES)
+        a = y5[:, :, :, 0]
+        b = y5[:, :, :, 1]
+        u = _smul(b, w, wp, pc)
+        t0 = _madd(a, u, pc)
+        t1 = _msub(a, u, pc)
+        y = jnp.stack([t0, t1], axis=3).reshape(V, P, n1, LANES)
+    return y
+
+
+def _fwd_split_kernel(n1: int):
     """One grid step = one (value, prime) pair: sub-DIF + T1 twiddle on
     an [n1, 128] block (~n1 KB working set — the ungridded form's
     scoped VMEM exceeded the 16 MB limit at nfft 65536)."""
 
-    def kernel(x_ref, ft_ref, misc_ref, o_ref):
+    def kernel(x_ref, sf_ref, t1_ref, misc_ref, o_ref):
         p = misc_ref[:, 0]                     # [1, 128]
         y = x_ref[...][:, None]                # [1, 1, n1, 128]
-        y = _sub_dif(y, (ft_ref[0], ft_ref[1]), p)
-        o_ref[...] = _smul(y, ft_ref[2][None], ft_ref[3][None],
+        y = _sub_dif_al(y, (sf_ref[0], sf_ref[1]), p, n1)
+        o_ref[...] = _smul(y, t1_ref[0][None], t1_ref[1][None],
                            p.reshape(1, 1, 1, LANES))
 
     return kernel
@@ -551,14 +639,14 @@ def _mid_split_kernel(pair_plan, signed: bool):
     return kernel
 
 
-def _inv_split_kernel():
+def _inv_split_kernel(n1: int):
     """One grid step = one (product, prime) pair: sub-DIT + scale."""
 
-    def kernel(z_ref, it_ref, misc_ref, o_ref):
+    def kernel(z_ref, si_ref, misc_ref, o_ref):
         p = misc_ref[:, 0]
         sc = misc_ref[:, 2]
         scp = misc_ref[:, 3]
-        z = _sub_dit(z_ref[...], (it_ref[0], it_ref[1]), p)
+        z = _sub_dit_al(z_ref[...], (si_ref[0], si_ref[1]), p, n1)
         o_ref[...] = _smul(z, sc.reshape(1, 1, 1, LANES),
                            scp.reshape(1, 1, 1, LANES),
                            p.reshape(1, 1, 1, LANES))
@@ -580,8 +668,9 @@ def _ntt_products_split(x, signs=None, *, n: int, n_values: int,
     stays bounded at any n.  No x64 toggle: callable mid-trace from
     x64 outer jits (orbit_chunk's scan); bodies are pure u32."""
     n1 = n // LANES
-    fwd_t, lane_t, t1i_t, inv_t, misc_t = (jnp.asarray(a) for a in
-                                           _split_tables(n))
+    sub_fwd, t1_t, lane_t, t1i_t, sub_inv, misc_t = (
+        jnp.asarray(a) for a in _split_tables(n))
+    H = sub_fwd.shape[2]
     K = len(pair_plan)
     V = n_values
     # index maps must return i32: literal-0 entries trace as i64 under
@@ -589,11 +678,13 @@ def _ntt_products_split(x, signs=None, *, n: int, n_values: int,
     # Mosaic rejects the i64 func.return; numpy scalars stay i32
     z0 = np.int32(0)
     f0 = pl.pallas_call(
-        _fwd_split_kernel(),
+        _fwd_split_kernel(n1),
         grid=(V, 2),
         in_specs=[
             pl.BlockSpec((1, n1, LANES), lambda i, j: (i, z0, z0)),
-            pl.BlockSpec((4, 1, n1, LANES),
+            pl.BlockSpec((2, 1, H, LANES),
+                         lambda i, j: (z0, j, z0, z0)),
+            pl.BlockSpec((2, 1, n1, LANES),
                          lambda i, j: (z0, j, z0, z0)),
             pl.BlockSpec((1, 8, LANES), lambda i, j: (j, z0, z0)),
         ],
@@ -601,7 +692,7 @@ def _ntt_products_split(x, signs=None, *, n: int, n_values: int,
                                lambda i, j: (i, j, z0, z0)),
         out_shape=jax.ShapeDtypeStruct((V, 2, n1, LANES), jnp.uint32),
         interpret=interpret,
-    )(x.reshape(V, n1, LANES), fwd_t, misc_t)
+    )(x.reshape(V, n1, LANES), sub_fwd, t1_t, misc_t)
     signed = signs is not None
     blk = min(_MID_SUBBLK, n1)
     mid_in = [
@@ -630,12 +721,12 @@ def _ntt_products_split(x, signs=None, *, n: int, n_values: int,
         interpret=interpret,
     )(*mid_args)
     out = pl.pallas_call(
-        _inv_split_kernel(),
+        _inv_split_kernel(n1),
         grid=(K, 2),
         in_specs=[
             pl.BlockSpec((1, 1, n1, LANES),
                          lambda i, j: (i, j, z0, z0)),
-            pl.BlockSpec((2, 1, n1, LANES),
+            pl.BlockSpec((2, 1, H, LANES),
                          lambda i, j: (z0, j, z0, z0)),
             pl.BlockSpec((1, 8, LANES), lambda i, j: (j, z0, z0)),
         ],
@@ -643,7 +734,7 @@ def _ntt_products_split(x, signs=None, *, n: int, n_values: int,
                                lambda i, j: (i, j, z0, z0)),
         out_shape=jax.ShapeDtypeStruct((K, 2, n1, LANES), jnp.uint32),
         interpret=interpret,
-    )(z, inv_t, misc_t)
+    )(z, sub_inv, misc_t)
     return out.reshape(K, 2, n)
 
 
@@ -731,41 +822,34 @@ def _last_lane_bcast(x):
 def _flat_ks(g, p, n1: int):
     """Inclusive Kogge-Stone prefix of the carry monoid (g, p ∈ {0,1}
     I32) along the flat digit order of [n1, 128] (hierarchical: lanes,
-    then sublane aggregates).  The doubling passes run as fori_loops
-    with DYNAMIC rotate shifts — unrolled they made the kernel large
-    enough to crash the Mosaic compile at n1 = 512."""
+    then sublane aggregates).  Static unrolled doubling passes — the
+    fori_loop form (dynamic rotates) measured ~30% slower per orbit
+    iteration from per-iteration loop overhead."""
     lane = _lane_iota(g.ndim)
-
-    def lane_step(t, c):
-        g, p = c
-        k = jnp.int32(1) << t
-        gs = pltpu.roll(g, k, g.ndim - 1)
-        ps = pltpu.roll(p, k, p.ndim - 1)
+    k = 1
+    while k < LANES:
+        gs = _roll(g, k)
+        ps = _roll(p, k)
         m = lane >= k
         gs = jnp.where(m, gs, jnp.int32(0))
         ps = jnp.where(m, ps, jnp.int32(1))
-        return g | (p & gs), p & ps
-
-    g, p = jax.lax.fori_loop(jnp.int32(0), jnp.int32(7), lane_step,
-                             (g, p))
+        g = g | (p & gs)
+        p = p & ps
+        k <<= 1
     # per-row aggregates (value at lane 127) → sublane prefix
     Gr = _last_lane_bcast(g)
     Pr = _last_lane_bcast(p)
     sub = _sub_iota(g.ndim, n1)
-    s1 = n1.bit_length() - 1
-
-    def sub_step(t, c):
-        Gr, Pr = c
-        ss = jnp.int32(1) << t
-        gs = pltpu.roll(Gr, ss, Gr.ndim - 2)
-        ps = pltpu.roll(Pr, ss, Pr.ndim - 2)
+    ss = 1
+    while ss < n1:
+        gs = _sub_roll(Gr, ss)
+        ps = _sub_roll(Pr, ss)
         m = sub >= ss
         gs = jnp.where(m, gs, jnp.int32(0))
         ps = jnp.where(m, ps, jnp.int32(1))
-        return Gr | (Pr & gs), Pr & ps
-
-    Gr, Pr = jax.lax.fori_loop(jnp.int32(0), jnp.int32(s1), sub_step,
-                               (Gr, Pr))
+        Gr = Gr | (Pr & gs)
+        Pr = Pr & ps
+        ss <<= 1
     # incoming row carry = inclusive aggregate of the PREVIOUS row
     Gin = _sub_roll(Gr, 1)
     Gin = jnp.where(sub > 0, Gin, jnp.int32(0))
@@ -777,9 +861,10 @@ _DMASK = 0xFFFF
 
 def _flat_carry(acc, n1: int):
     """Canonicalize per-digit sums (< 2^32) to 16-bit digits along the
-    flat order; returns (digits u32, carry_out i32 {0,1} full-shape) —
-    the carry out of the global top digit (the two's-complement
-    finish's sign bit; the XLA carry_propagate drops it)."""
+    flat order; returns (digits u32, carry_out i32 full-shape) — the
+    TOTAL carry out of the global top digit (top dropped-high value
+    plus the lookahead carry; the biased subtract reads multi-bit
+    carry-outs)."""
     lo = acc & jnp.uint32(_DMASK)
     hi = acc >> 16
     a = lo + _flat_shift(hi, 1, n1)
@@ -789,26 +874,37 @@ def _flat_carry(acc, n1: int):
     G = _flat_ks(gi, pi, n1)
     Gu = jnp.where(G > 0, jnp.uint32(1), jnp.uint32(0))
     out = (d + _flat_shift(Gu, 1, n1)) & jnp.uint32(_DMASK)
-    hi_nz = jnp.where(hi != jnp.uint32(0), jnp.int32(1), jnp.int32(0))
-    cout = _masked_corner(hi_nz | G, n1)
+    # hi < 2^16 always → value-preserving vector bitcast to i32
+    hi_i = jax.lax.bitcast_convert_type(hi, jnp.int32)
+    cout = _masked_corner(hi_i + G, n1)
     return out, cout
+
+
+_FIN_BIAS = np.uint32(1 << 20)
 
 
 def _signed_finish(acc_p, acc_n, n1: int):
     """(sign ∈ {+1,-1} i32 full-shape, canonical digits) of the signed
     value pos − neg; ties and zero → +1 (fixedpoint.signed_add
-    semantics).  Two's-complement subtract: the global carry-out IS
-    the sign, the negative branch re-complements."""
-    P, _ = _flat_carry(acc_p, n1)
-    N, _ = _flat_carry(acc_n, n1)
-    comp = jnp.uint32(_DMASK) - N
-    one0 = jnp.where((_lane_iota(P.ndim) == 0) &
-                     (_sub_iota(P.ndim, n1) == 0),
-                     jnp.uint32(1), jnp.uint32(0))
-    u, cout = _flat_carry(P + comp + one0, n1)
+    semantics).
+
+    BIASED two's complement — one carry pass instead of three: with
+    per-digit accumulators < 2^19, D_i = p_i − n_i + 2^20 − 16·[i>0]
+    is non-negative and values pos − neg + 16·M exactly (the bias
+    telescopes: +2^20 per digit minus 16 per higher digit leaves only
+    16·2^(16L) ≡ 0 mod M).  One canonicalization yields
+    u = (pos − neg) mod M with total carry-out 16 ⟺ pos ≥ neg
+    (15 otherwise); the negative branch recomplements (second pass)."""
+    lane = _lane_iota(acc_p.ndim)
+    sub = _sub_iota(acc_p.ndim, n1)
+    not0 = (sub > 0) | (lane > 0)
+    D = acc_p + _FIN_BIAS - acc_n - \
+        jnp.where(not0, jnp.uint32(16), jnp.uint32(0))
+    u, cout = _flat_carry(D, n1)
+    one0 = jnp.where(not0, jnp.uint32(0), jnp.uint32(1))
     # recomplement for the negative branch: M - u = ~u + 1
     v, _ = _flat_carry((jnp.uint32(_DMASK) - u) + one0, n1)
-    pos = cout > 0                       # full shape
+    pos = cout >= 16
     mag = jnp.where(pos, u, v)
     nzi = jnp.where(mag != jnp.uint32(0), jnp.int32(1), jnp.int32(0))
     nz11 = jnp.max(jnp.max(nzi, axis=-1, keepdims=True), axis=-2,
