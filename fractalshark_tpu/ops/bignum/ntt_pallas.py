@@ -586,17 +586,21 @@ def _sub_dit_al(y, tab, p, n1: int):
     return y
 
 
-def _fwd_split_kernel(n1: int):
-    """One grid step = one (value, prime) pair: sub-DIF + T1 twiddle on
-    an [n1, 128] block (~n1 KB working set — the ungridded form's
-    scoped VMEM exceeded the 16 MB limit at nfft 65536)."""
+def _fwd_split_kernel(n1: int, n_values: int):
+    """Whole-array sub-DIF + T1 twiddle (one kernel, no grid — grid
+    steps re-DMA table blocks and serialize tiny launches; only the
+    MID kernel ever exceeded scoped VMEM).  Working set ~[V,2,n1,128]
+    + aligned tables — same budget as the production
+    sublane_transform, which fits at nfft 65536."""
 
     def kernel(x_ref, sf_ref, t1_ref, misc_ref, o_ref):
-        p = misc_ref[:, 0]                     # [1, 128]
-        y = x_ref[...][:, None]                # [1, 1, n1, 128]
+        p = misc_ref[:, 0]                     # [2, 128]
+        xv = x_ref[...]                        # [V, n1, 128]
+        y = jnp.broadcast_to(xv[:, None],
+                             (n_values, 2) + xv.shape[1:])
         y = _sub_dif_al(y, (sf_ref[0], sf_ref[1]), p, n1)
         o_ref[...] = _smul(y, t1_ref[0][None], t1_ref[1][None],
-                           p.reshape(1, 1, 1, LANES))
+                           p.reshape(1, 2, 1, LANES))
 
     return kernel
 
@@ -640,16 +644,16 @@ def _mid_split_kernel(pair_plan, signed: bool):
 
 
 def _inv_split_kernel(n1: int):
-    """One grid step = one (product, prime) pair: sub-DIT + scale."""
+    """Whole-array sub-DIT + scale (one kernel, no grid)."""
 
     def kernel(z_ref, si_ref, misc_ref, o_ref):
         p = misc_ref[:, 0]
         sc = misc_ref[:, 2]
         scp = misc_ref[:, 3]
         z = _sub_dit_al(z_ref[...], (si_ref[0], si_ref[1]), p, n1)
-        o_ref[...] = _smul(z, sc.reshape(1, 1, 1, LANES),
-                           scp.reshape(1, 1, 1, LANES),
-                           p.reshape(1, 1, 1, LANES))
+        o_ref[...] = _smul(z, sc.reshape(1, 2, 1, LANES),
+                           scp.reshape(1, 2, 1, LANES),
+                           p.reshape(1, 2, 1, LANES))
 
     return kernel
 
@@ -663,34 +667,29 @@ _Z0 = np.int32(0)   # i32-clean index-map zero (see _ntt_products_split)
 def _ntt_products_split(x, signs=None, *, n: int, n_values: int,
                         pair_plan, interpret: bool = False):
     """Split-pipeline equivalent of _ntt_products (same signature and
-    output) for sizes beyond the single-kernel VMEM window.  Every
-    kernel runs under a grid over an independent axis so scoped VMEM
-    stays bounded at any n.  No x64 toggle: callable mid-trace from
-    x64 outer jits (orbit_chunk's scan); bodies are pure u32."""
+    output) for sizes beyond the single-kernel VMEM window.  The sub
+    phases run as whole-array kernels; the mid (lane) kernel grids
+    over sublane blocks (the one that exceeded scoped VMEM ungridded).
+    No x64 toggle: callable mid-trace from x64 outer jits
+    (orbit_chunk's scan); bodies are pure u32."""
     n1 = n // LANES
     sub_fwd, t1_t, lane_t, t1i_t, sub_inv, misc_t = (
         jnp.asarray(a) for a in _split_tables(n))
-    H = sub_fwd.shape[2]
     K = len(pair_plan)
     V = n_values
     # index maps must return i32: literal-0 entries trace as i64 under
     # jax_enable_x64 (these calls run mid-trace in x64 outer jits) and
     # Mosaic rejects the i64 func.return; numpy scalars stay i32
     z0 = np.int32(0)
+    # the sub-phase kernels sit at ~16.1 MB scoped VMEM at nfft 65536
+    # (80 KB past the 16 MB compiler default); the chip has far more —
+    # raise the limit instead of gridding (grid steps re-DMA tables
+    # and serialize tiny launches)
+    cp = pltpu.CompilerParams(vmem_limit_bytes=64 << 20)
     f0 = pl.pallas_call(
-        _fwd_split_kernel(n1),
-        grid=(V, 2),
-        in_specs=[
-            pl.BlockSpec((1, n1, LANES), lambda i, j: (i, z0, z0)),
-            pl.BlockSpec((2, 1, H, LANES),
-                         lambda i, j: (z0, j, z0, z0)),
-            pl.BlockSpec((2, 1, n1, LANES),
-                         lambda i, j: (z0, j, z0, z0)),
-            pl.BlockSpec((1, 8, LANES), lambda i, j: (j, z0, z0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, n1, LANES),
-                               lambda i, j: (i, j, z0, z0)),
+        _fwd_split_kernel(n1, V),
         out_shape=jax.ShapeDtypeStruct((V, 2, n1, LANES), jnp.uint32),
+        compiler_params=cp,
         interpret=interpret,
     )(x.reshape(V, n1, LANES), sub_fwd, t1_t, misc_t)
     signed = signs is not None
@@ -722,17 +721,8 @@ def _ntt_products_split(x, signs=None, *, n: int, n_values: int,
     )(*mid_args)
     out = pl.pallas_call(
         _inv_split_kernel(n1),
-        grid=(K, 2),
-        in_specs=[
-            pl.BlockSpec((1, 1, n1, LANES),
-                         lambda i, j: (i, j, z0, z0)),
-            pl.BlockSpec((2, 1, H, LANES),
-                         lambda i, j: (z0, j, z0, z0)),
-            pl.BlockSpec((1, 8, LANES), lambda i, j: (j, z0, z0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, n1, LANES),
-                               lambda i, j: (i, j, z0, z0)),
         out_shape=jax.ShapeDtypeStruct((K, 2, n1, LANES), jnp.uint32),
+        compiler_params=cp,
         interpret=interpret,
     )(z, sub_inv, misc_t)
     return out.reshape(K, 2, n)
