@@ -355,11 +355,15 @@ def _use_pallas(nf: int) -> bool:
 
 PALLAS_NTT: bool = False
 
-# Split three-kernel Pallas pipeline for sizes beyond the whole-kernel
-# VMEM window (ntt_pallas SPLIT section): replaces the XLA four-step
-# whose two minor-dim transposes dominate the inverse phases at
-# nfft >= 32768 (View #30's 16384-limb operands run at nfft 65536).
-PALLAS_NTT_SPLIT: bool = True
+# Split three-kernel Pallas pipeline (transpose-free rollstep) for
+# sizes beyond the whole-kernel VMEM window — DECIDED OFF, measured
+# A/B at 16384 limbs on the View #30 center (wall best-of-3/256-step
+# chunks, v5e): XLA four-step + fused tail 0.422 ms/iter vs split +
+# fused tail 0.452 (gridded form 0.470, pre-alignment 0.547).  The
+# XLA transposes cost less than assumed once the fused tail removed
+# the real bottleneck; the split stays as a tested differential
+# implementation (tests/test_ntt_iter_fused.py) like PALLAS_NTT.
+PALLAS_NTT_SPLIT: bool = False
 
 
 def _use_pallas_split(nf: int) -> bool:
