@@ -104,12 +104,25 @@ def test_la_render_matches_perturbation_exactly(deep_view):
 
 
 def test_la_render_f32(deep_view):
+    """f32 vs f64 LA renders: the reference treats 32-bit LA as a
+    DIFFERENT render algorithm with per-pixel tolerance (HDRx32 vs
+    HDRx64 rows, RenderAlgorithm.h) — near the escape boundary a
+    last-ulp threshold flip legitimately cascades into whole-iteration
+    differences.  Pin the measured behavior tightly: ≥88% of pixels
+    bit-equal (measured 90.0%), median difference exactly 0, and
+    budget-capped (non-escaping) pixels agree on cappedness."""
     ptz, res, la = deep_view
     lav32 = np.asarray(la_kernel.la_perturb_render(
-        res, la, ptz, 32, 32, 3000, sub_dtype=np.float32))
+        res, la, ptz, 32, 32, 3000, sub_dtype=np.float32)
+        ).astype(np.int64)
     lav64 = np.asarray(la_kernel.la_perturb_render(
-        res, la, ptz, 32, 32, 3000, sub_dtype=np.float64))
-    assert (lav32 == lav64).mean() > 0.85
+        res, la, ptz, 32, 32, 3000, sub_dtype=np.float64)
+        ).astype(np.int64)
+    d = np.abs(lav32 - lav64)
+    assert (d == 0).mean() > 0.88
+    assert np.median(d) == 0
+    # pixels that exhaust the budget must do so in both precisions
+    np.testing.assert_array_equal(lav32 == 3000, lav64 == 3000)
 
 
 def test_lao_mode(deep_view):
