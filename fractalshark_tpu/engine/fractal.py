@@ -334,18 +334,24 @@ class Fractal:
         if imagina is None:
             imagina = path.endswith(".im")
         if imagina:
-            from fractalshark_tpu.io.imagina import load_orbit_im
+            from fractalshark_tpu.io.imagina import (OrbitParameterPack,
+                                                     load_orbit_im)
             f = load_orbit_im(path)
             results = f.results
             if results is None:
                 raise ValueError("location-only .im file: no orbit data")
-            zoom = (HighPrecision(2) /
-                    HighPrecision.from_mant_exp(
-                        int(f.half_h.m * (1 << 52)), f.half_h.e - 52,
-                        prec=max(64, -f.half_h.e + 128)))
-            self.set_view(PointZoomBBConverter(
-                pt_x=f.center_x, pt_y=f.center_y, zoom_factor=zoom))
+            pack = OrbitParameterPack(f)
+            self.set_view(pack.view())
             self.num_iterations = min(f.iteration_limit, 1 << 62)
+            # RecommendedSettings: re-derive the algorithm (and 32/64-
+            # bit iteration type) for the loaded orbit's depth — only
+            # when the user left the choice on AUTO (an explicit
+            # algorithm wins, like the reference's menu selection)
+            from fractalshark_tpu.core.algorithms import Family, \
+                get_algorithm
+            if get_algorithm(self.algorithm_name).family is Family.AUTO:
+                self.algorithm_name = pack.recommended_algorithm(
+                    has_accelerator=(self.backend == "tpu")).name
         else:
             from fractalshark_tpu.engine.perturbation_results import \
                 PerturbationResults

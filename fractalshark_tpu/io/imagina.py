@@ -178,6 +178,42 @@ class ImOrbitFile:
     magic: int
 
 
+@dataclass
+class OrbitParameterPack:
+    """Everything a loaded orbit implies about how to render it — the
+    reference's OrbitParameterPack + RecommendedSettings bundle
+    (RefOrbitCalc.cpp:3483): the adopted view, iteration budget/type,
+    and the re-derived render algorithm for the orbit's depth."""
+    file: ImOrbitFile
+
+    @property
+    def zoom_exp2(self) -> int:
+        return max(0, -int(self.file.half_h.e))
+
+    @property
+    def iter_type_bits(self) -> int:
+        """IterTypeEnum analogue: 64 when the budget needs it."""
+        return 64 if self.file.iteration_limit >= (1 << 31) else 32
+
+    def recommended_algorithm(self, has_accelerator: bool = True):
+        """Algorithm for the loaded orbit's depth (RecommendedSettings
+        re-derivation)."""
+        from fractalshark_tpu.core.algorithms import auto_select
+        return auto_select(self.zoom_exp2,
+                           has_accelerator=has_accelerator)
+
+    def view(self):
+        from fractalshark_tpu.core.pointzoom import PointZoomBBConverter
+        half = self.file.half_h
+        zoom = (HighPrecision(2) /
+                HighPrecision.from_mant_exp(
+                    int(half.m * (1 << 52)), half.e - 52,
+                    prec=max(64, -half.e + 128)))
+        return PointZoomBBConverter(pt_x=self.file.center_x,
+                                    pt_y=self.file.center_y,
+                                    zoom_factor=zoom)
+
+
 def load_orbit_im(path: str) -> ImOrbitFile:
     with open(path, "rb") as f:
         b = f.read()

@@ -110,3 +110,44 @@ def test_save_iters_as_text(tmp_path):
     arr = np.loadtxt(p)
     assert arr.shape == (8, 8)
     assert arr.max() <= 32
+
+
+def test_orbit_parameter_pack_recommendation(tmp_path):
+    """OrbitParameterPack re-derives view + algorithm + iteration type
+    from a loaded orbit (RecommendedSettings, RefOrbitCalc.cpp:3483);
+    an AUTO fractal adopts it, an explicit algorithm wins."""
+    from fractalshark_tpu.core.pointzoom import PointZoomBBConverter
+    from fractalshark_tpu.engine.fractal import Fractal
+    from fractalshark_tpu.engine.renderers import get_orbit_calc
+    from fractalshark_tpu.io.imagina import (OrbitParameterPack,
+                                             load_orbit_im)
+
+    ptz = PointZoomBBConverter(
+        pt_x="-0.743643887037158704752191506114774",
+        pt_y="0.131825904205311970493132056385139",
+        zoom_factor="1e8", prec=512)
+    f1 = Fractal(width=16, height=16, view=ptz,
+                 algorithm="GpuHDRx32PerturbedLAv2PO",
+                 num_iterations=800, backend="cpu")
+    f1.calc_fractal()
+    p = str(tmp_path / "o.im")
+    f1.save_ref_orbit(p, compression="imagina")
+
+    pack = OrbitParameterPack(load_orbit_im(p))
+    assert pack.iter_type_bits == 32
+    alg = pack.recommended_algorithm(has_accelerator=False)
+    # 1e8 = ~27 bits of zoom: direct f64 still covers it (auto_select
+    # thresholds); the point is the pack derives it from the ORBIT file
+    assert alg.name == "Cpu64"
+    assert pack.zoom_exp2 > 20
+    # AUTO fractal adopts the recommendation on load
+    f2 = Fractal(width=16, height=16, view=ptz, algorithm="AUTO",
+                 num_iterations=800, backend="cpu")
+    f2.load_ref_orbit(p)
+    assert f2.algorithm_name == alg.name
+    # explicit algorithm is NOT clobbered
+    f3 = Fractal(width=16, height=16, view=ptz,
+                 algorithm="GpuHDRx32PerturbedLAv2PO",
+                 num_iterations=800, backend="cpu")
+    f3.load_ref_orbit(p)
+    assert f3.algorithm_name == "GpuHDRx32PerturbedLAv2PO"
