@@ -249,17 +249,23 @@ class RefOrbitCalc:
         if backend == "auto":
             from fractalshark_tpu.engine import native_orbit
             backend = "native" if native_orbit.available() else "host"
-        if self.reuse_mode != "off" and backend == "device":
-            # device reuse shadows not recorded yet; the native
-            # evaluator records them inline (below), host as fallback
-            from fractalshark_tpu.engine import native_orbit
-            backend = "native" if native_orbit.available() else "host"
         if backend == "device":
             from fractalshark_tpu.ops.bignum.orbit import (
                 compute_reference_orbit_device)
+            device_reuse_fb = None
+            if self.reuse_mode != "off":
+                # authoritative orbit: reuse digit slices emitted by
+                # the device scan (orbit_chunk reuse_digits)
+                from fractalshark_tpu.engine.reuse import reuse_precision
+                rprec = reuse_precision(ptz.radius)
+                device_reuse_fb = rprec + 16
+                prec = max(prec, rprec + 32)
+                cx = ptz.pt_x.with_precision(prec)
+                cy = ptz.pt_y.with_precision(prec)
             res = compute_reference_orbit_device(
                 cx, cy, num_iterations, ptz.radius,
-                periodicity=periodicity, abort_flag=abort_flag)
+                periodicity=periodicity, abort_flag=abort_flag,
+                reuse_frac_bits=device_reuse_fb)
         elif backend == "native":
             from fractalshark_tpu.engine.native_orbit import (
                 compute_reference_orbit_native)

@@ -60,10 +60,12 @@ def _shadow_hdr(sign, digits, frac_bits):
     return m, e
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "steps", "mesh"))
+@functools.partial(jax.jit, static_argnames=("spec", "steps", "mesh",
+                                             "reuse_digits"))
 def orbit_chunk(sx, x, sy, y, dzdc_x, dzdc_y, dzdc_e,
                 scx, cx, scy, cy, rad_m, rad_e, cxf, cyf, *,
-                spec: FP.FixedSpec, steps: int, mesh=None):
+                spec: FP.FixedSpec, steps: int, mesh=None,
+                reuse_digits: int = 0):
     """Run `steps` iterations of z ← z² + c with the periodicity/escape
     bookkeeping ON DEVICE (PeriodicityChecker.h:46-95): the low-precision
     dzdc recurrence (f64 mantissas + shared i32 exponent — HDRFloat form)
@@ -73,7 +75,12 @@ def orbit_chunk(sx, x, sy, y, dzdc_x, dzdc_y, dzdc_e,
     once the NTT multiply got fast).
 
     Returns ((z state), (dzdc state), (zx_f64, zy_f64, period, escape))
-    where the flag/shadow arrays have length `steps`."""
+    where the flag/shadow arrays have length `steps`.
+
+    reuse_digits > 0 additionally emits the top `reuse_digits` digits
+    of each pre-update component plus signs — the intermediate-
+    precision reuse copy recorded DURING the run (ReuseModes,
+    RefOrbitCalc.cpp:543-548), a cheap digit slice per iteration."""
     F = spec.frac_bits
 
     def hdr_norm(mx, my, e):
@@ -161,8 +168,12 @@ def orbit_chunk(sx, x, sy, y, dzdc_x, dzdc_y, dzdc_e,
         else:
             nsx, nx, nsy, ny = FP.iterate_z(sx, x, sy, y,
                                             scx, cx, scy, cy, spec)
-        return ((nsx, nx, nsy, ny, ndx, ndy, nde),
-                (lzx, lzy, period_flag, escape_flag, sh_mx, sh_my, e_sh))
+        out = (lzx, lzy, period_flag, escape_flag, sh_mx, sh_my, e_sh)
+        if reuse_digits > 0:
+            D = spec.digits
+            out = out + (x[D - reuse_digits:], y[D - reuse_digits:],
+                         sx, sy)
+        return ((nsx, nx, nsy, ny, ndx, ndy, nde), out)
 
     state, out = jax.lax.scan(
         body, (sx, x, sy, y, dzdc_x, dzdc_y, dzdc_e), None, length=steps)
@@ -254,11 +265,17 @@ class TpuOrbitSession:
     def run(self, max_iterations: int, periodicity: bool = True,
             abort_flag: threading.Event | None = None,
             progress_cb=None,
-            store_path: str | None = None) -> PerturbationResults:
+            store_path: str | None = None,
+            reuse_frac_bits: int | None = None) -> PerturbationResults:
         """store_path: when given, the orbit accumulates in
         memory-mapped file-backed GrowableArrays (<path>.x / <path>.y)
         — appends land directly in the on-disk store, so saving is
-        free (Vectors.h AddPointOptions::EnableWithSave)."""
+        free (Vectors.h AddPointOptions::EnableWithSave).
+
+        reuse_frac_bits: record the intermediate-precision reuse copy
+        of every z during the run (per-iteration digit slices emitted
+        by the scan; attached as ``extra["reuse_orbit"]``).  Effective
+        precision rounds up to a 16-bit digit multiple."""
         spec = self.spec
         scx_i, cx_d = FP.hp_to_digits(self.center_x, spec)
         scy_i, cy_d = FP.hp_to_digits(self.center_y, spec)
@@ -290,6 +307,14 @@ class TpuOrbitSession:
         gy.append(0.0)
         ge = GrowableArray(np.int32)
         ge.append(0)
+        reuse_digits = 0
+        rzx: list = []
+        rzy: list = []
+        if reuse_frac_bits is not None:
+            fr16 = -(-int(reuse_frac_bits) // 16)
+            reuse_digits = min(fr16 + FP.INT_DIGITS, spec.digits)
+            rzx.append(0)     # zero seed
+            rzy.append(0)
         count = 1
         period = 0
         escaped_at = 0
@@ -305,9 +330,10 @@ class TpuOrbitSession:
                                      rad_m, rad_e,
                                      jnp.float64(cxf), jnp.float64(cyf),
                                      spec=spec, steps=steps,
-                                     mesh=self.mesh)
+                                     mesh=self.mesh,
+                                     reuse_digits=reuse_digits)
             (lzx, lzy, pflag, eflag,
-             sh_mx, sh_my, e_sh) = (np.asarray(v) for v in out)
+             sh_mx, sh_my, e_sh) = (np.asarray(v) for v in out[:7])
             # vectorized host bookkeeping: truncate at the first flag
             pidx = int(np.argmax(pflag)) if (periodicity and
                                              pflag.any()) else steps
@@ -330,6 +356,16 @@ class TpuOrbitSession:
             gx.extend(mx)
             gy.extend(my)
             ge.extend(ee)
+            if reuse_digits > 0:
+                rx_d = np.asarray(out[7])[:take].astype(np.uint16)
+                ry_d = np.asarray(out[8])[:take].astype(np.uint16)
+                rsx = np.asarray(out[9])[:take]
+                rsy = np.asarray(out[10])[:take]
+                for k in range(take):
+                    rzx.append(int(rsx[k]) * int.from_bytes(
+                        rx_d[k].tobytes(), "little"))
+                    rzy.append(int(rsy[k]) * int.from_bytes(
+                        ry_d[k].tobytes(), "little"))
             count += take
             if periodicity and pidx < steps and pidx <= eidx:
                 period = count
@@ -346,7 +382,7 @@ class TpuOrbitSession:
         es = ge.finalize()
         orbit_e = np.asarray(es, np.int32) if (np.asarray(es) != 0).any() \
             else None
-        return PerturbationResults(
+        res = PerturbationResults(
             center_x=self.center_x, center_y=self.center_y,
             orbit_x=np.asarray(xs, np.float64),
             orbit_y=np.asarray(ys, np.float64),
@@ -355,6 +391,13 @@ class TpuOrbitSession:
             max_iterations=max_iterations,
             precision_bits=spec.frac_bits,
             orbit_e=orbit_e)
+        if reuse_digits > 0:
+            from fractalshark_tpu.engine.reuse import ReuseOrbit
+            res.extra["reuse_orbit"] = ReuseOrbit(
+                zx=rzx, zy=rzy,
+                frac_bits=16 * (reuse_digits - FP.INT_DIGITS),
+                center_x=self.center_x, center_y=self.center_y)
+        return res
 
 
 def compute_reference_orbit_device(center_x: HighPrecision,
@@ -365,7 +408,9 @@ def compute_reference_orbit_device(center_x: HighPrecision,
                                    periodicity: bool = True,
                                    chunk_steps: int = 256,
                                    abort_flag=None,
-                                   mesh=None) -> PerturbationResults:
+                                   mesh=None,
+                                   reuse_frac_bits: int | None = None
+                                   ) -> PerturbationResults:
     """Device-orbit entry point (the analogue of
     RefOrbitCalc::AddPerturbationReferencePointGPU,
     RefOrbitCalc.cpp:2167-2260)."""
@@ -378,4 +423,5 @@ def compute_reference_orbit_device(center_x: HighPrecision,
                               center_y=center_y, max_radius=max_radius,
                               chunk_steps=chunk_steps, mesh=mesh)
     return session.run(max_iterations, periodicity=periodicity,
-                       abort_flag=abort_flag)
+                       abort_flag=abort_flag,
+                       reuse_frac_bits=reuse_frac_bits)

@@ -190,3 +190,39 @@ def test_native_backend_records_reuse_and_serves_deep_zoom():
                                rtol=0, atol=1e-13)
     np.testing.assert_allclose(r2.orbit_y[:n], r3.orbit_y[:n],
                                rtol=0, atol=1e-13)
+
+
+def test_device_backend_records_reuse_and_serves_deep_zoom():
+    """Device-orbit reuse recording (the scan emits per-iteration
+    digit slices): a device-backend authority at 1e60 serves a nearby
+    deeper view via perturbed perturbation, matching from-scratch."""
+    from fractalshark_tpu.core.pointzoom import PointZoomBBConverter
+    from fractalshark_tpu.engine.reforbit import RefOrbitCalc
+
+    prec = 768
+    v1 = PointZoomBBConverter(pt_x=CX, pt_y=CY, zoom_factor="1e60",
+                              prec=prec)
+    cx2 = HighPrecision(CX, prec=prec) + \
+        HighPrecision("1e-55", prec=prec)
+    v2 = PointZoomBBConverter(pt_x=cx2, pt_y=CY, zoom_factor="1e62",
+                              prec=prec)
+
+    calc = RefOrbitCalc(orbit_backend="device", reuse_mode="on")
+    r1 = calc.get_and_create_useful_results(v1, 600)
+    assert calc.last_details["backend"] == "device"
+    ro = r1.extra.get("reuse_orbit")
+    assert ro is not None
+    assert ro.frac_bits >= reuse_precision(v1.radius) + 16
+    assert ro.count() == r1.count_orbit_entries()
+
+    r2 = calc.get_and_create_useful_results(v2, 600)
+    assert calc.last_details.get("reused") is True
+
+    calc2 = RefOrbitCalc(orbit_backend="device", reuse_mode="off")
+    r3 = calc2.get_and_create_useful_results(v2, 600)
+    n = min(r2.count_orbit_entries(), r3.count_orbit_entries())
+    assert n > 100
+    np.testing.assert_allclose(r2.orbit_x[:n], r3.orbit_x[:n],
+                               rtol=0, atol=1e-13)
+    np.testing.assert_allclose(r2.orbit_y[:n], r3.orbit_y[:n],
+                               rtol=0, atol=1e-13)
