@@ -55,8 +55,15 @@ def device_time_ms(fn, *, trace_dir: str | None = None,
         count = 0
         for e in ev:
             if e.get("ph") == "X" and e.get("pid") in dev_pids:
+                nm = e["name"]
+                # skip computation ROLLUPS (module/loop containers):
+                # their durations nest the kernel events and would
+                # double/triple-count the total
+                if nm.startswith(("jit_", "jit(", "while", "body",
+                                  "cond", "Thread", "XLA Modules")):
+                    continue
                 ms = e.get("dur", 0) / 1e3
-                agg[e["name"]] += ms
+                agg[nm] += ms
                 total += ms
                 count += 1
         return {"total_ms": total, "by_kernel": dict(agg),
