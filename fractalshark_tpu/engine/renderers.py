@@ -205,15 +205,30 @@ def la_rc_render(fractal, results, la, w, h, identity: bool = False):
         fractal.benchmark.extra["compression_ratio"] = round(
             comp.compression_ratio(), 2)
     n = fractal.num_iterations
-    state = la_kernel.la_perturb_render(
-        results, la, fractal.ptz, w, h, n, sub_dtype=np.float32,
-        la_only=True, return_state=True)
-    _, _, ref_iter, dzr, dzi, dze, it, _ = state
-    it64 = np.asarray(it).astype(np.int64)
-    init = {"dzr": np.asarray(dzr), "dzi": np.asarray(dzi),
-            "dze": np.asarray(dze), "it": it64,
-            "jwait": np.asarray(ref_iter).astype(np.int64),
-            "done": (it64 >= n).astype(np.int32)}
+    init = None
+    if fractal.backend == "tpu":
+        # phase 1 preferred form: the streaming LA machine — node
+        # tables of any size sweep from HBM in lockstep (the XLA
+        # machine below pays a latency-bound gather per body step)
+        from fractalshark_tpu.ops.la_stream import la_phase_stream
+        try:
+            init = la_phase_stream(results, la, fractal.ptz, w, h, n,
+                                   abort_monitor=fractal.abort_monitor)
+        except Exception as e:  # noqa: BLE001 — fall back, keep note
+            fractal.benchmark.extra["la_stream_error"] = repr(e)[:160]
+            init = None
+        if init is not None:
+            fractal.benchmark.extra["la_phase"] = "stream"
+    if init is None:
+        state = la_kernel.la_perturb_render(
+            results, la, fractal.ptz, w, h, n, sub_dtype=np.float32,
+            la_only=True, return_state=True)
+        _, _, ref_iter, dzr, dzi, dze, it, _ = state
+        it64 = np.asarray(it).astype(np.int64)
+        init = {"dzr": np.asarray(dzr), "dzi": np.asarray(dzi),
+                "dze": np.asarray(dze), "it": it64,
+                "jwait": np.asarray(ref_iter).astype(np.int64),
+                "done": (it64 >= n).astype(np.int32)}
     return perturb_render_stream_rc(
         comp, results.center_x, results.center_y, fractal.ptz, w, h,
         n, init_state=init, abort_monitor=fractal.abort_monitor)

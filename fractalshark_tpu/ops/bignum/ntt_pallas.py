@@ -399,8 +399,12 @@ def _pairs(*idx):
 
 
 def _products(x, signs=None, *, n, n_values, pair_plan, interpret=False):
-    """Route to the single-kernel or split-pipeline implementation by
-    size (identical outputs)."""
+    """Route to the single-kernel, whole-aligned, or split-pipeline
+    implementation by size/flag (identical outputs)."""
+    if WHOLE_ALIGNED and supported_whole(n):
+        return _ntt_products_whole(x, signs, n=n, n_values=n_values,
+                                   pair_plan=pair_plan,
+                                   interpret=interpret)
     if supported_split(n):
         return _ntt_products_split(x, signs, n=n, n_values=n_values,
                                    pair_plan=pair_plan,
@@ -735,6 +739,103 @@ SPLIT_MAX_NFFT = 131072
 
 def supported_split(nfft: int) -> bool:
     return MAX_NFFT < nfft <= SPLIT_MAX_NFFT and nfft % LANES == 0
+
+
+# ---------------------------------------------------------------------------
+# Whole-multiply single kernel, ALIGNED-TABLE form (beyond MAX_NFFT)
+# ---------------------------------------------------------------------------
+#
+# The original whole kernel (_ntt_products) was VMEM-capped at nfft
+# 16384: its 36.5 MB scoped-VMEM estimate at 65536 predated the
+# round-3 fixes (8-aligned stage tables, raised vmem_limit_bytes).
+# This variant is the split pipeline's three kernels fused back into
+# ONE — no inter-kernel HBM round-trips for the [V,2,n1,128] working
+# set — using the identical aligned tables and op order, so outputs
+# are bit-identical to both other forms.  Routed by WHOLE_ALIGNED
+# (A/B flag; decided by measurement, see fixedpoint.PALLAS_NTT notes).
+
+WHOLE_ALIGNED: bool = False
+
+
+def supported_whole(nfft: int) -> bool:
+    return MAX_NFFT < nfft <= SPLIT_MAX_NFFT and nfft % LANES == 0
+
+
+def _whole_aligned_kernel(n1: int, n_values: int, pair_plan,
+                          signed: bool):
+    def kernel(*refs):
+        if signed:
+            (x_ref, sg_ref, sf_ref, t1_ref, lane_ref, t1i_ref, si_ref,
+             misc_ref, o_ref) = refs
+        else:
+            (x_ref, sf_ref, t1_ref, lane_ref, t1i_ref, si_ref,
+             misc_ref, o_ref) = refs
+        p = misc_ref[:, 0]                     # [2, 128]
+        pp = misc_ref[:, 1]
+        sc = misc_ref[:, 2]
+        scp = misc_ref[:, 3]
+        xv = x_ref[...]                        # [V, n1, 128]
+        y = jnp.broadcast_to(xv[:, None], (n_values, 2) + xv.shape[1:])
+        y = _sub_dif_al(y, (sf_ref[0], sf_ref[1]), p, n1)
+        y = _smul(y, t1_ref[0][None], t1_ref[1][None],
+                  p.reshape(1, 2, 1, LANES))
+        f = _lane_dif(y, (lane_ref[0], lane_ref[1]), p)
+        pz = p.reshape(1, 2, 1, LANES)
+        ppz = pp.reshape(1, 2, 1, LANES)
+        if signed:
+            sg = sg_ref[...]                   # [V, 1, 1, 128] int32
+            fneg = jnp.where(f == jnp.uint32(0), f, pz - f)
+            f = jnp.where(sg < 0, fneg, f)
+        outs = []
+        for terms in pair_plan:
+            acc = None
+            for (sgn, ia, ib) in terms:
+                t = _mont(f[ia], f[ib], pz[0], ppz[0])
+                if acc is None:
+                    assert sgn > 0, "first combine term must be +"
+                    acc = t
+                elif sgn > 0:
+                    acc = _madd(acc, t, pz[0])
+                else:
+                    acc = _msub(acc, t, pz[0])
+            outs.append(acc)
+        z = jnp.stack(outs)                    # [K, 2, n1, 128]
+        z = _lane_dit(z, (lane_ref[2], lane_ref[3]), p)
+        z = _smul(z, t1i_ref[0][None], t1i_ref[1][None], pz)
+        z = _sub_dit_al(z, (si_ref[0], si_ref[1]), p, n1)
+        o_ref[...] = _smul(z, sc.reshape(1, 2, 1, LANES),
+                           scp.reshape(1, 2, 1, LANES), pz)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n", "n_values",
+                                             "pair_plan", "interpret"))
+def _ntt_products_whole(x, signs=None, *, n: int, n_values: int,
+                        pair_plan, interpret: bool = False):
+    """Whole-chain aligned-table kernel (same signature/output as
+    _ntt_products / _ntt_products_split).  x64-clean like the split
+    form (callable mid-trace from orbit_chunk's x64 scan)."""
+    n1 = n // LANES
+    sub_fwd, t1_t, lane_t, t1i_t, sub_inv, misc_t = (
+        jnp.asarray(a) for a in _split_tables(n))
+    K = len(pair_plan)
+    V = n_values
+    signed = signs is not None
+    cp = pltpu.CompilerParams(vmem_limit_bytes=120 << 20)
+    args = [x.reshape(V, n1, LANES)]
+    if signed:
+        args.append(jnp.broadcast_to(
+            jnp.asarray(signs, jnp.int32).reshape(V, 1, 1, 1),
+            (V, 1, 1, LANES)))
+    args += [sub_fwd, t1_t, lane_t, t1i_t, sub_inv, misc_t]
+    out = pl.pallas_call(
+        _whole_aligned_kernel(n1, V, pair_plan, signed),
+        out_shape=jax.ShapeDtypeStruct((K, 2, n1, LANES), jnp.uint32),
+        compiler_params=cp,
+        interpret=interpret,
+    )(*args)
+    return out.reshape(K, 2, n)
 
 
 # ---------------------------------------------------------------------------
