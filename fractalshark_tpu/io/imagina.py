@@ -20,7 +20,9 @@ Byte-compatible rebuild of the reference's Imagina-derived format
                                   RelativePrecision, ValidRadius }
         LAReferenceTrivialContent (trivially-copied struct; see below)
         u64 compressedSize
-        entries ×compressedSize: {f64 x, f64 y} (ExtendedRange=0)
+        entries ×compressedSize: {f64 x, f64 y} (ExtendedRange=0) or
+            {f64 xm, i64 xe, f64 ym, i64 ye} HRReal pairs
+            (ExtendedRange=1 — deep orbits with sub-f64 dips)
                                  or {HRReal x, HRReal y} (=1),
                                  each followed by u64 compression-index
                                  field (low 63 bits index, high bit rebase)
@@ -126,11 +128,22 @@ _LA_CONTENT_SIZE = len(_la_trivial_content(0j, 0, 0, False))
 
 def save_orbit_im(path: str, results: PerturbationResults,
                   comp: CompressedOrbit | None = None,
-                  magic: int = SHARKS_MAGIC) -> None:
-    """Write a .im orbit file (SimpleCompression payload)."""
+                  magic: int = SHARKS_MAGIC,
+                  extended: bool | None = None) -> None:
+    """Write a .im orbit file (SimpleCompression payload).
+
+    extended=None (auto): the ExtendedRange payload (HRReal (m, e)
+    entry pairs, Imagina's deep-orbit format) is chosen whenever the
+    orbit carries HDR exponents — sub-f64 near-period dips
+    (|Z| ~ minibrot scale, e.g. 2^-380k on View #30) are UNREPRESENTABLE
+    as plain f64 anchors and would export as 0.0
+    (``PeriodicityChecker.h:32-33`` stores HDRFloat per entry)."""
     if comp is None:
         comp = results.compress(results.compression_error_exp or 20)
     half_h = HD.from_hp(results.max_radius)
+    if extended is None:
+        extended = bool(results.orbit_e is not None and
+                        np.any(results.orbit_e != 0))
 
     buf = bytearray(32)  # header placeholder
     loc_off = len(buf)
@@ -143,7 +156,7 @@ def save_orbit_im(path: str, results: PerturbationResults,
     _write_mpf(buf, results.center_y)
 
     ref_off = len(buf)
-    buf += struct.pack("<?", False)  # ExtendedRange: f64 payload
+    buf += struct.pack("<?", bool(extended))
     # AbsolutePrecision = 2·2^-precBits — the reference writes
     # HRReal{-precBits, 2} (PerturbationResults.cpp SaveOrbitBin)
     prec = HD(2.0, -int(results.precision_bits))
@@ -156,10 +169,25 @@ def save_orbit_im(path: str, results: PerturbationResults,
         max(0, results.max_iterations - 2), results.period != 0)
     m = len(comp.anchors_x)
     buf += struct.pack("<Q", m)
+    oe = results.orbit_e
     for i in range(m):
-        buf += struct.pack("<dd", float(comp.anchors_x[i]),
-                           float(comp.anchors_y[i]))
         idx = int(comp.anchor_index[i]) & ((1 << 63) - 1)
+        if extended:
+            # the (mantissa, shared-exp) forms live on the results
+            # orbit arrays; anchors_x/y are their (possibly
+            # underflowed) f64 collapse
+            if oe is not None and idx < len(results.orbit_x):
+                xm = float(results.orbit_x[idx])
+                ym = float(results.orbit_y[idx])
+                e = int(oe[idx])
+            else:
+                xm = float(comp.anchors_x[i])
+                ym = float(comp.anchors_y[i])
+                e = 0
+            buf += struct.pack("<dqdq", xm, e, ym, e)
+        else:
+            buf += struct.pack("<dd", float(comp.anchors_x[i]),
+                               float(comp.anchors_y[i]))
         buf += struct.pack("<Q", idx)
     buf += struct.pack("<Q", 0)  # no rebases (SimpleCompression)
 
@@ -245,14 +273,27 @@ def load_orbit_im(path: str) -> ImOrbitFile:
         ax = np.zeros(count, np.float64)
         ay = np.zeros(count, np.float64)
         ai = np.zeros(count, np.int64)
+        hdr_anchors = []  # (index, m_x, m_y, shared_e) sub-f64 dips
         for i in range(count):
             if extended:
                 xm, xe = struct.unpack_from("<dq", b, off)
                 off += 16
                 ym, ye = struct.unpack_from("<dq", b, off)
                 off += 16
-                ax[i] = xm * 2.0 ** min(max(xe, -1000), 1000)
-                ay[i] = ym * 2.0 ** min(max(ye, -1000), 1000)
+                ax[i] = np.ldexp(xm, int(np.clip(xe, -2000, 2000)))
+                ay[i] = np.ldexp(ym, int(np.clip(ye, -2000, 2000)))
+                # value representable only as (m, e): keep the
+                # shared-exponent HDR form (same policy as
+                # ops/bignum/orbit.py's dip emission)
+                dip = (xm != 0.0 and ax[i] == 0.0) or \
+                    (ym != 0.0 and ay[i] == 0.0)
+                if dip:
+                    e_sh = max(xe if xm != 0.0 else ye,
+                               ye if ym != 0.0 else xe)
+                    hdr_anchors.append(
+                        (i, np.ldexp(xm, int(max(xe - e_sh, -2000))),
+                         np.ldexp(ym, int(max(ye - e_sh, -2000))),
+                         int(e_sh)))
             else:
                 ax[i], ay[i] = struct.unpack_from("<dd", b, off)
                 off += 16
@@ -268,6 +309,17 @@ def load_orbit_im(path: str) -> ImOrbitFile:
             total_count=total, cx_low=float(cx), cy_low=float(cy),
             error_exp=20)
         ox, oy = comp.decompress()
+        oe = None
+        if hdr_anchors:
+            # re-inject the HDR dip entries into the decompressed
+            # orbit: (mantissa, exp) at their uncompressed indices
+            oe = np.zeros(len(ox), np.int32)
+            for (i, mx, my, e_sh) in hdr_anchors:
+                idx = int(ai[i])
+                if 0 <= idx < len(ox):
+                    ox[idx] = mx
+                    oy[idx] = my
+                    oe[idx] = e_sh
         radius = HighPrecision.from_mant_exp(
             int(half_h.m * (1 << 52)), half_h.e - 52, prec=64)
         results = PerturbationResults(
@@ -275,7 +327,7 @@ def load_orbit_im(path: str) -> ImOrbitFile:
             max_radius=radius,
             period=(int(ref_it) + 1) if is_periodic else 0,
             escaped_at=0, max_iterations=int(iter_limit) + 1,
-            precision_bits=prec)
+            precision_bits=prec, orbit_e=oe)
     # stored iterationLimit = budget - 1 (RefOrbitCalc.cpp:3083); both
     # consumers below want the reconstructed budget
     return ImOrbitFile(center_x=cx, center_y=cy, half_h=half_h,

@@ -529,13 +529,19 @@ def _finish_signed_rows(acc_p, acc_n, F: int, D: int, round_digit: int):
     return sign, mag[:, F:F + D]
 
 
-def iterate_z(sx, x, sy, y, scx, cx, scy, cy, spec: FixedSpec):
+def iterate_z(sx, x, sy, y, scx, cx, scy, cy, spec: FixedSpec,
+              return_shadow: bool = False):
     """ONE full z ← z² + c update on sign-magnitude digits:
     (nsx, nx, nsy, ny). Beyond multiply_iter's frequency-domain x²−y²,
     the +c adds and the ×2 of the imaginary part fold into the CRT
     accumulation — each component runs exactly one carry ripple and
     one signed subtract per iteration (the reference instead chains
-    separate grid-sync add passes, ``Add.cu``)."""
+    separate grid-sync add passes, ``Add.cu``).
+
+    return_shadow (fused-tail path only): additionally return
+    (shw_x, shw_y) — [5] i32 top-digit shadow rows emitted from inside
+    the tail kernel (orbit._emit_shadow semantics), so the orbit scan
+    skips its per-iteration argmax/dynamic_slice glue."""
     nf = spec.nfft
     D = spec.digits
     F = spec.frac_digits
@@ -569,9 +575,16 @@ def iterate_z(sx, x, sy, y, scx, cx, scy, cy, spec: FixedSpec):
         rnd = z.at[F - 1].set(jnp.uint32(1 << 15))
         sgs = jnp.stack([scx, scy, sx * sy,
                          jnp.int32(0)]).astype(jnp.int32)
+        if return_shadow:
+            dig, sgn, shw = NP.fused_tail(
+                inv.reshape(2, 2, nf), jnp.stack([cfx, cfy]), rnd,
+                sgs, n=nf, shadow_fd=(F, D))
+            return (sgn[0], dig[0, F:F + D], sgn[1], dig[1, F:F + D],
+                    (shw[0], shw[1]))
         dig, sgn = NP.fused_tail(inv.reshape(2, 2, nf),
                                  jnp.stack([cfx, cfy]), rnd, sgs, n=nf)
         return sgn[0], dig[0, F:F + D], sgn[1], dig[1, F:F + D]
+    assert not return_shadow, "shadow emission needs the fused tail"
     px, nx_ = _signed_streams(inv[0], inv[1], False, L)
     px, nx_ = _fold_addend(px, nx_, scx, cx, F)
     py, ny_ = _unsigned_stream(inv[2], inv[3], sx * sy, True, L)

@@ -1068,7 +1068,7 @@ def _tail_stream_cfg(r1, r2, n1: int, dbl, gswap):
             jnp.where(swap, acc_p, acc_n))
 
 
-def _tail_split_kernel(n: int):
+def _tail_split_kernel(n: int, shadow_fd=None):
     """One grid step = ONE component's full tail (CRT streams, addend
     fold, round, carry resolution, signed finish) — the carry chains
     are per-component, so the component axis grids freely and scoped
@@ -1076,10 +1076,18 @@ def _tail_split_kernel(n: int):
 
     Per-component config rides in SMEM cfg[4k..4k+3] =
     (double, gswap, csign, 0); the addend plane for component k is
-    cadd[k] (zeros when none)."""
+    cadd[k] (zeros when none).
+
+    shadow_fd=(F, D): additionally emit the top-digit SHADOW window of
+    the value slice [F, F+D) — (4 window digits, base index) in slice
+    coordinates, exactly orbit._emit_shadow's semantics — so the orbit
+    scan needs no per-iteration argmax/dynamic_slice glue (the
+    reference emits HDR shadows from inside the orbit kernel,
+    PeriodicityChecker.h:32-46)."""
     n1 = n // LANES
 
-    def kernel(inv_ref, cadd_ref, rnd_ref, cfg_ref, dig_o, sgn_o):
+    def kernel(inv_ref, cadd_ref, rnd_ref, cfg_ref, dig_o, sgn_o,
+               *shw_o):
         k = pl.program_id(0)
         dbl = cfg_ref[4 * k]
         gswap = cfg_ref[4 * k + 1]
@@ -1097,16 +1105,47 @@ def _tail_split_kernel(n: int):
         # through a gather Mosaic rejects)
         sgn_o[...] = sign[0:8, :].reshape(1, 8, LANES)
 
+        if shadow_fd is not None:
+            F_, D_ = shadow_fd
+
+            def red2(x):
+                return jnp.max(jnp.max(x, axis=-1, keepdims=True),
+                               axis=-2, keepdims=True)
+
+            # digits < 2^16 → value-preserving vector bitcast to i32
+            # (Mosaic has no unsigned reductions)
+            magi = jax.lax.bitcast_convert_type(mag, jnp.int32)
+            flat = _sub_iota(2, n1) * jnp.int32(LANES) + \
+                _lane_iota(2) - jnp.int32(F_)
+            inreg = (flat >= 0) & (flat < jnp.int32(D_))
+            nz = inreg & (magi != 0)
+            idx11 = red2(jnp.where(nz, flat, jnp.int32(-1)))
+            base11 = jnp.clip(idx11 - 3, jnp.int32(0),
+                              jnp.int32(D_ - 4))
+            basebc = jnp.broadcast_to(base11, (n1, LANES))
+            rows = [red2(jnp.where(inreg & (flat == basebc + k4),
+                                   magi, jnp.int32(0)))
+                    for k4 in range(4)] + [base11]
+            sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+            out8 = jnp.zeros((8, LANES), jnp.int32)
+            for r, v in enumerate(rows):
+                out8 = jnp.where(sub8 == r,
+                                 jnp.broadcast_to(v, (8, LANES)), out8)
+            shw_o[0][...] = out8[None]
+
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n", "nr", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n", "nr", "shadow_fd",
+                                             "interpret"))
 def fused_tail(inv, cadd, rnd, sgs, *, n: int, nr: bool = False,
-               interpret: bool = False):
+               shadow_fd=None, interpret: bool = False):
     """Fused CRT+carry tail: inv [K, 2, n] (K3 output), cadd [K, n]
     addend digit planes (zeros where none), rnd [n] round plane,
     sgs i32[4] = (scx, scy, sx·sy, 0).  Returns
-    (digits [K, n], signs i32[K])."""
+    (digits [K, n], signs i32[K]) — plus, with shadow_fd=(F, D), the
+    per-component shadow rows [K, 5] i32 (4 window digits + base in
+    value-slice coordinates; see _tail_split_kernel)."""
     n1 = n // LANES
     K = inv.shape[0]
     one = jnp.int32(1)
@@ -1123,8 +1162,19 @@ def fused_tail(inv, cadd, rnd, sgs, *, n: int, nr: bool = False,
         # global sign sx·sy (stream swap) doubled, +cy
         cfg = jnp.stack([zero, one, sgs[0], zero,
                          one, sgs[2], sgs[1], zero])
-    dig, sgn = pl.pallas_call(
-        _tail_split_kernel(n),
+    out_specs = [pl.BlockSpec((1, n1, LANES),
+                              lambda k: (k, _Z0, _Z0)),
+                 pl.BlockSpec((1, 8, LANES),
+                              lambda k: (k, _Z0, _Z0))]
+    out_shape = [jax.ShapeDtypeStruct((K, n1, LANES), jnp.uint32),
+                 jax.ShapeDtypeStruct((K, 8, LANES), jnp.int32)]
+    if shadow_fd is not None:
+        out_specs.append(pl.BlockSpec((1, 8, LANES),
+                                      lambda k: (k, _Z0, _Z0)))
+        out_shape.append(jax.ShapeDtypeStruct((K, 8, LANES),
+                                              jnp.int32))
+    outs = pl.pallas_call(
+        _tail_split_kernel(n, shadow_fd),
         grid=(K,),
         in_specs=[
             pl.BlockSpec((1, 2, n1, LANES),
@@ -1137,15 +1187,15 @@ def fused_tail(inv, cadd, rnd, sgs, *, n: int, nr: bool = False,
             pl.BlockSpec((4 * K,), lambda k: (_Z0,),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=(pl.BlockSpec((1, n1, LANES),
-                                lambda k: (k, _Z0, _Z0)),
-                   pl.BlockSpec((1, 8, LANES),
-                                lambda k: (k, _Z0, _Z0))),
-        out_shape=(jax.ShapeDtypeStruct((K, n1, LANES), jnp.uint32),
-                   jax.ShapeDtypeStruct((K, 8, LANES), jnp.int32)),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(inv.reshape(K, 2, n1, LANES), cadd.reshape(K, n1, LANES),
       rnd.reshape(n1, LANES), cfg)
+    if shadow_fd is not None:
+        dig, sgn, shw = outs
+        return dig.reshape(K, n), sgn[:, 0, 0], shw[:, 0:5, 0]
+    dig, sgn = outs
     return dig.reshape(K, n), sgn[:, 0, 0]
 
 

@@ -36,6 +36,14 @@ from fractalshark_tpu.ops.bignum import fixedpoint as FP
 
 WINDOW = 4  # top digits emitted per value (64 bits ≥ f64 precision)
 
+# Emit the shadow from inside the fused tail kernel instead of the
+# XLA argmax/dynamic_slice glue.  DECIDED OFF by A/B at 16384 limbs
+# (View #30 center, same machine state): the in-kernel reduce passes
+# cost MORE than the XLA glue they replace — 0.266 vs 0.239 ms/iter
+# device.  Bit-identical either way (tests/test_orbit_shadow.py);
+# kept as a tested alternative.
+TAIL_SHADOW: bool = False
+
 
 def _emit_shadow(digits):
     """Normalize: (window of WINDOW digits ending at the top nonzero
@@ -82,6 +90,21 @@ def orbit_chunk(sx, x, sy, y, dzdc_x, dzdc_y, dzdc_e,
     precision reuse copy recorded DURING the run (ReuseModes,
     RefOrbitCalc.cpp:543-548), a cheap digit slice per iteration."""
     F = spec.frac_bits
+    # fused-tail path: the tail kernel emits each component's top-digit
+    # shadow row, so the scan body skips its per-iteration
+    # argmax/dynamic_slice (the rows ride the scan carry — the shadow
+    # consumed at step k is the one the tail emitted at step k-1)
+    use_tail_shadow = TAIL_SHADOW and mesh is None and \
+        FP._use_fused_tail(spec.nfft, spec.digits)
+
+    def _row_shadow(sign, row):
+        """(m, e) from a [5] i32 shadow row (win digits + base) —
+        exactly _shadow_hdr's arithmetic."""
+        w = row[0:4].astype(jnp.float64)
+        m = (w[0] + w[1] * 65536.0 + w[2] * 65536.0 ** 2 +
+             w[3] * 65536.0 ** 3) * sign.astype(jnp.float64)
+        e = 16 * row[4] - F
+        return m, e
 
     def hdr_norm(mx, my, e):
         """Renormalize a shared-exponent complex so max(|mx|,|my|) lands
@@ -94,9 +117,14 @@ def orbit_chunk(sx, x, sy, y, dzdc_x, dzdc_y, dzdc_e,
         return mx * sc, my * sc, e + s.astype(jnp.int32)
 
     def body(state, _):
-        sx, x, sy, y, dx_m, dy_m, d_e = state
-        mzx, ezx = _shadow_hdr(sx, x, F)
-        mzy, ezy = _shadow_hdr(sy, y, F)
+        if use_tail_shadow:
+            sx, x, sy, y, dx_m, dy_m, d_e, rszx, rszy = state
+            mzx, ezx = _row_shadow(sx, rszx)
+            mzy, ezy = _row_shadow(sy, rszy)
+        else:
+            sx, x, sy, y, dx_m, dy_m, d_e = state
+            mzx, ezx = _shadow_hdr(sx, x, F)
+            mzy, ezy = _shadow_hdr(sy, y, F)
 
         # plain-f64 shadow for escape/periodicity math (exponents
         # below f64 range underflow to 0) PLUS the shared-exponent HDR
@@ -165,19 +193,32 @@ def orbit_chunk(sx, x, sy, y, dzdc_x, dzdc_y, dzdc_e,
                 iterate_z_sharded
             nsx, nx, nsy, ny = iterate_z_sharded(
                 sx, x, sy, y, scx, cx, scy, cy, spec=spec, mesh=mesh)
+            nstate = (nsx, nx, nsy, ny, ndx, ndy, nde)
+        elif use_tail_shadow:
+            nsx, nx, nsy, ny, (nrzx, nrzy) = FP.iterate_z(
+                sx, x, sy, y, scx, cx, scy, cy, spec,
+                return_shadow=True)
+            nstate = (nsx, nx, nsy, ny, ndx, ndy, nde, nrzx, nrzy)
         else:
             nsx, nx, nsy, ny = FP.iterate_z(sx, x, sy, y,
                                             scx, cx, scy, cy, spec)
+            nstate = (nsx, nx, nsy, ny, ndx, ndy, nde)
         out = (lzx, lzy, period_flag, escape_flag, sh_mx, sh_my, e_sh)
         if reuse_digits > 0:
             D = spec.digits
             out = out + (x[D - reuse_digits:], y[D - reuse_digits:],
                          sx, sy)
-        return ((nsx, nx, nsy, ny, ndx, ndy, nde), out)
+        return (nstate, out)
 
-    state, out = jax.lax.scan(
-        body, (sx, x, sy, y, dzdc_x, dzdc_y, dzdc_e), None, length=steps)
-    return state, out
+    init = (sx, x, sy, y, dzdc_x, dzdc_y, dzdc_e)
+    if use_tail_shadow:
+        def row0(sign, digits):
+            win, base = _emit_shadow(digits)
+            return jnp.concatenate([win.astype(jnp.int32),
+                                    base.astype(jnp.int32).reshape(1)])
+        init = init + (row0(sx, x), row0(sy, y))
+    state, out = jax.lax.scan(body, init, None, length=steps)
+    return state[:7], out
 
 
 def _shadow_to_f64(sign, win, base, spec: FP.FixedSpec) -> np.ndarray:

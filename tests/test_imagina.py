@@ -151,3 +151,44 @@ def test_orbit_parameter_pack_recommendation(tmp_path):
                  num_iterations=800, backend="cpu")
     f3.load_ref_orbit(p)
     assert f3.algorithm_name == "GpuHDRx32PerturbedLAv2PO"
+
+
+def test_extended_range_round_trip(tmp_path, orbit):
+    """ExtendedRange payload: an orbit with sub-f64 HDR dips exports
+    as HRReal (m, e) entry pairs, and a reload preserves the dip's
+    (mantissa, shared-exp) form where the f64 payload stores 0.0
+    (Imagina's deep-orbit format; PeriodicityChecker.h:32-33 stores
+    HDRFloat per entry)."""
+    from dataclasses import replace
+
+    from fractalshark_tpu.io.imagina import load_orbit_im, save_orbit_im
+
+    # plant a sub-f64 dip mid-orbit: value (0.71875, -0.40625)·2^-5000
+    dip = 900
+    ox = orbit.orbit_x.copy()
+    oy = orbit.orbit_y.copy()
+    oe = np.zeros(len(ox), np.int32)
+    ox[dip] = 0.71875
+    oy[dip] = -0.40625
+    oe[dip] = -5000
+    deep = replace(orbit, orbit_x=ox, orbit_y=oy, orbit_e=oe)
+
+    # auto-selects ExtendedRange (orbit_e nonzero)
+    p = str(tmp_path / "deep.im")
+    save_orbit_im(p, deep)
+    back = load_orbit_im(p)
+    res = back.results
+    assert res is not None and res.orbit_e is not None
+    assert res.orbit_e[dip] == -5000
+    assert res.orbit_x[dip] == 0.71875
+    assert res.orbit_y[dip] == -0.40625
+    # non-dip entries round-trip as before (plain, orbit_e == 0)
+    n = res.count_orbit_entries()
+    assert (res.orbit_e[:n] != 0).sum() == 1
+
+    # the f64 payload provably loses the dip
+    p2 = str(tmp_path / "deep_f64.im")
+    save_orbit_im(p2, deep, extended=False)
+    flat = load_orbit_im(p2).results
+    assert flat.orbit_e is None
+    assert flat.orbit_x[dip] == 0.0 and flat.orbit_y[dip] == 0.0

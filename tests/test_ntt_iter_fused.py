@@ -213,6 +213,50 @@ class TestPallasInterpret:
             got = np.asarray(dig)[:, F:F + D]
             assert (got == np.asarray(wmg)).all(), trial
 
+    def test_fused_tail_shadow_rows(self):
+        """shadow_fd emission: the in-kernel (window, base) rows must
+        equal orbit._emit_shadow on the value slice — the orbit scan
+        consumes these instead of its argmax/dynamic_slice glue."""
+        from fractalshark_tpu.ops.bignum.orbit import _emit_shadow
+        spec = FP.FixedSpec.for_limbs(1024)
+        nfft, D, F = spec.nfft, spec.digits, spec.frac_digits
+        rng = np.random.default_rng(77)
+        for trial in range(3):
+            (sx, ax), (sy, ay) = (_rand_mag(rng, spec),
+                                  _rand_mag(rng, spec))
+            (scx, cxd), (scy, cyd) = (_rand_mag(rng, spec),
+                                      _rand_mag(rng, spec))
+            pad = nfft - D
+            vx = jnp.concatenate([jnp.asarray(ax),
+                                  jnp.zeros(pad, jnp.uint32)])
+            vy = jnp.concatenate([jnp.asarray(ay),
+                                  jnp.zeros(pad, jnp.uint32)])
+            stacked = jnp.stack([vx, vx, vy, vy])
+            f = N.shoup_forward(stacked, nfft)
+            p2c, pp2c = N._row_consts(2)
+            sq = N._mont_mul_rows(f, f, *N._row_consts(4))
+            d = N._mod_sub_rows(sq[0:2], sq[2:4], p2c)
+            xy = N._mont_mul_rows(f[0:2], f[2:4], p2c, pp2c)
+            inv = N.shoup_inverse_scaled(jnp.concatenate([d, xy]),
+                                         nfft, extra_scale_r=True)
+            L = 2 * D
+            z = jnp.zeros((L,), jnp.uint32)
+            cfx = z.at[F:F + D].set(jnp.asarray(cxd))
+            cfy = z.at[F:F + D].set(jnp.asarray(cyd))
+            rnd = z.at[F - 1].set(jnp.uint32(1 << 15))
+            sgs = jnp.asarray([scx, scy, sx * sy, 0], jnp.int32)
+            dig, sgn, shw = NP.fused_tail(
+                inv.reshape(2, 2, nfft), jnp.stack([cfx, cfy]), rnd,
+                sgs, n=nfft, shadow_fd=(F, D), interpret=True)
+            shw = np.asarray(shw)
+            for k in range(2):
+                digits = jnp.asarray(np.asarray(dig)[k, F:F + D])
+                win, base = _emit_shadow(digits)
+                np.testing.assert_array_equal(
+                    shw[k, 0:4], np.asarray(win).astype(np.int32),
+                    err_msg=f"win k={k} trial={trial}")
+                assert shw[k, 4] == int(base), (trial, k)
+
     def test_fused_tail_nr_matches_xla_tail(self):
         """NR fused tail (4 signed rows, doubling, +1 addend) vs the
         XLA tail rows of iterate_z_nr."""

@@ -363,3 +363,32 @@ def test_rc_64bit_budget_and_jwait_pairs():
     assert (small < 1900).all()
     np.testing.assert_array_equal(got.astype(np.int64),
                                   small.astype(np.int64))
+
+
+def test_rc_orbit_positions_beyond_2_31():
+    """A compressed orbit whose TOTAL COUNT exceeds 2^31 entries
+    (View #27 class, period ~28B, Notes/FractalShark-06-RefOrbit.tex:
+    744-747): the (window, local) position pairs must address it
+    without overflow.  Every pixel escapes within the first windows
+    (anchors cover the live prefix), so counts must equal the plain
+    short-orbit render."""
+    from fractalshark_tpu.engine.perturbation_results import \
+        CompressedOrbit
+    from fractalshark_tpu.ops.perturb_stream import \
+        perturb_render_stream_rc
+    ptz, res = _escaping_view()
+    ident = CompressedOrbit.identity(res)
+    big_total = (1 << 31) + 4096
+    comp = CompressedOrbit(
+        anchors_x=ident.anchors_x, anchors_y=ident.anchors_y,
+        anchor_index=ident.anchor_index, total_count=big_total,
+        cx_low=ident.cx_low, cy_low=ident.cy_low,
+        error_exp=ident.error_exp)
+    out = perturb_render_stream_rc(
+        comp, res.center_x, res.center_y, ptz, 16, 24, 1700,
+        tile_h=8, interpret=True)
+    small = np.asarray(perturb.perturb_render_hdr(
+        res, ptz, 16, 24, 1700, sub_dtype=np.float32))
+    assert (small < 1700).all(), "view must escape everywhere"
+    np.testing.assert_array_equal(np.asarray(out).astype(np.int64),
+                                  small.astype(np.int64))

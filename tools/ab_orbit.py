@@ -4,6 +4,7 @@ Usage: python tools/ab_orbit.py CONFIG [limbs] [steps]
   CONFIG: xla    — XLA four-step transforms (+ fused tail default)
           split  — three-kernel split Pallas pipeline
           whole  — whole-chain aligned-table single kernel
+          shadow — xla + in-tail shadow emission (TAIL_SHADOW)
 Separate processes per config: the routing flags are read at trace
 time and orbit_chunk's jit cache would not retrace on a flag flip.
 
@@ -26,12 +27,15 @@ cfg = sys.argv[1] if len(sys.argv) > 1 else "xla"
 limbs = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
 steps = int(sys.argv[3]) if len(sys.argv) > 3 else 256
 
-if cfg == "split":
+if cfg == "shadow":
+    from fractalshark_tpu.ops.bignum import orbit as _O
+    _O.TAIL_SHADOW = True
+elif cfg == "split":
     FP.PALLAS_NTT_SPLIT = True
 elif cfg == "whole":
     FP.PALLAS_NTT_SPLIT = True
     NP.WHOLE_ALIGNED = True
-elif cfg != "xla":
+elif cfg not in ("xla",):
     raise SystemExit(f"unknown config {cfg}")
 
 spec = FP.FixedSpec.for_limbs(limbs)
