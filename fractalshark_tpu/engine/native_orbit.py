@@ -32,7 +32,11 @@ _build_failed = False
 
 def _build() -> bool:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-march=native", "-pthread",
+    # -ffp-contract=off: the compressor shadow recurrence must round
+    # exactly like the strict-IEEE host/device decompressors — FMA
+    # contraction shifts the store/skip decision on borderline entries
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-march=native",
+           "-ffp-contract=off", "-pthread",
            "-o", _SO, _SRC, "-l:libgmp.so.10"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -56,6 +60,33 @@ def _load():
         except OSError:
             _build_failed = True
             return None
+        lib.fs_orbit_create.restype = ctypes.c_void_p
+        lib.fs_orbit_create.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
+            ctypes.c_int64, ctypes.c_double, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double]
+        lib.fs_orbit_destroy.argtypes = [ctypes.c_void_p]
+        lib.fs_orbit_run.restype = ctypes.c_int64
+        lib.fs_orbit_run.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32)]
+        for fn in ("fs_orbit_iters", "fs_orbit_total_count",
+                   "fs_orbit_had_dip", "fs_orbit_state_size"):
+            getattr(lib, fn).restype = ctypes.c_int64
+            getattr(lib, fn).argtypes = [ctypes.c_void_p]
+        lib.fs_orbit_status.restype = ctypes.c_int32
+        lib.fs_orbit_status.argtypes = [ctypes.c_void_p]
+        lib.fs_orbit_serialize.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
+        lib.fs_orbit_deserialize.restype = ctypes.c_void_p
+        lib.fs_orbit_deserialize.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
         lib.fs_reference_orbit.restype = ctypes.c_int64
         lib.fs_reference_orbit.argtypes = [
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
@@ -100,6 +131,228 @@ def _hp_to_limbs(x: HighPrecision, nlimbs: int) -> tuple[np.ndarray, int]:
 def _round_shift(m: int, s: int) -> int:
     half = 1 << (s - 1)
     return (m + half) >> s if m >= 0 else -((-m + half) >> s)
+
+
+class NativeOrbitSession:
+    """Chunked, checkpointable native orbit — the endurance path.
+
+    The View #27 class (period ~28e9, 10^15-iteration budgets,
+    reference Notes/FractalShark-06-RefOrbit.tex:740-747) cannot hold
+    an uncompressed orbit (28e9 entries = 450 GB), so the native loop
+    emits SimpleCompression anchors on the fly
+    (PerturbationResults.cpp:2347-2381) and serializes its complete
+    state so a multi-hour run survives interruption exactly
+    (GpuOrbitSession checkpoint/resume, KernelInvoke.h:148-169).
+
+    checkpoint_path: base path; ``<base>.state`` holds
+    ``n_emitted:int64 || native state bytes`` (written atomically),
+    ``<base>.ax/.ay/.ae/.ai`` are file-backed GrowableArrays of the
+    emitted entries.  If the state file exists the session RESUMES
+    from it (the constructor's center/radius arguments are then only
+    used for result metadata).
+    """
+
+    def __init__(self, center_x: HighPrecision, center_y: HighPrecision,
+                 max_radius: HighPrecision,
+                 precision_bits: int | None = None,
+                 periodicity: bool = True,
+                 compression_error_exp: int | None = None,
+                 checkpoint_path: str | None = None):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native orbit library unavailable")
+        self._lib = lib
+        self.center_x = center_x
+        self.center_y = center_y
+        self.max_radius = max_radius
+        self.compression_error_exp = compression_error_exp
+        self.checkpoint_path = checkpoint_path
+        self.prec = precision_bits or max(center_x.prec, center_y.prec)
+        self.nlimbs = max(2, (self.prec + 80 + 63) // 64 + 1)
+        self._h = None
+        self._resumed = False
+
+        from fractalshark_tpu.utils.growable import (AddPointOptions,
+                                                     GrowableArray)
+        comp = compression_error_exp is not None
+        state_file = (checkpoint_path + ".state"
+                      if checkpoint_path else None)
+        if state_file and os.path.exists(state_file):
+            blob = open(state_file, "rb").read()
+            n_emitted = int.from_bytes(blob[:8], "little")
+            st = np.frombuffer(blob[8:], np.uint8).copy()
+            h = lib.fs_orbit_deserialize(
+                st.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                len(st))
+            if not h:
+                raise ValueError(f"corrupt orbit checkpoint {state_file}")
+            self._h = h
+            self._resumed = True
+            self._gx = GrowableArray.open_existing(checkpoint_path + ".ax")
+            self._gy = GrowableArray.open_existing(checkpoint_path + ".ay")
+            self._ge = GrowableArray.open_existing(checkpoint_path + ".ae")
+            self._gi = GrowableArray.open_existing(checkpoint_path + ".ai")
+            # arrays may be AHEAD of the state snapshot (crash between
+            # array flush and state write): truncate to the state's view
+            for g in (self._gx, self._gy, self._ge, self._gi):
+                g._n = min(g._n, n_emitted)
+        else:
+            cxl, sx = _hp_to_limbs(center_x.with_precision(self.prec),
+                                   self.nlimbs)
+            cyl, sy = _hp_to_limbs(center_y.with_precision(self.prec),
+                                   self.nlimbs)
+            rad = HD.from_hp(max_radius)
+            self._h = lib.fs_orbit_create(
+                cxl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), sx,
+                cyl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), sy,
+                self.nlimbs, rad.m, rad.e, int(periodicity),
+                int(compression_error_exp) if comp else 0,
+                float(center_x), float(center_y))
+            if checkpoint_path:
+                opt = AddPointOptions.ENABLE_WITH_SAVE
+                self._gx = GrowableArray(np.float64,
+                                         checkpoint_path + ".ax", opt)
+                self._gy = GrowableArray(np.float64,
+                                         checkpoint_path + ".ay", opt)
+                self._ge = GrowableArray(np.int32,
+                                         checkpoint_path + ".ae", opt)
+                self._gi = GrowableArray(np.int64,
+                                         checkpoint_path + ".ai", opt)
+            else:
+                self._gx = GrowableArray(np.float64)
+                self._gy = GrowableArray(np.float64)
+                self._ge = GrowableArray(np.int32)
+                self._gi = GrowableArray(np.int64)
+
+    # ------------------------------------------------------------- state
+
+    @property
+    def iters(self) -> int:
+        return int(self._lib.fs_orbit_iters(self._h))
+
+    @property
+    def total_count(self) -> int:
+        return int(self._lib.fs_orbit_total_count(self._h))
+
+    @property
+    def status(self) -> int:
+        """0 running, 1 period found, 2 escaped."""
+        return int(self._lib.fs_orbit_status(self._h))
+
+    @property
+    def n_emitted(self) -> int:
+        return len(self._gx)
+
+    @property
+    def had_dip(self) -> int:
+        return int(self._lib.fs_orbit_had_dip(self._h))
+
+    def checkpoint(self) -> None:
+        if not self.checkpoint_path:
+            return
+        for g in (self._gx, self._gy, self._ge, self._gi):
+            g.finalize()
+        n = self._lib.fs_orbit_state_size(self._h)
+        buf = np.zeros(n, np.uint8)
+        self._lib.fs_orbit_serialize(
+            self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        tmp = self.checkpoint_path + ".state.tmp"
+        with open(tmp, "wb") as f:
+            f.write(len(self._gx).to_bytes(8, "little"))
+            f.write(buf.tobytes())
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.checkpoint_path + ".state")
+
+    # --------------------------------------------------------------- run
+
+    def run(self, max_iterations: int, chunk: int = 1 << 20,
+            checkpoint_every_s: float = 300.0,
+            abort_flag: threading.Event | None = None,
+            progress_cb=None) -> int:
+        """Advance until done or max_iterations; returns status."""
+        import time
+        lib = self._lib
+        ox = np.empty(chunk + 2, np.float64)
+        oy = np.empty(chunk + 2, np.float64)
+        oe = np.empty(chunk + 2, np.int32)
+        oi = np.empty(chunk + 2, np.int64)
+        status = ctypes.c_int32(self.status)
+        last_ck = time.perf_counter()
+        t0 = last_ck
+        while self.status == 0 and self.iters < max_iterations:
+            if abort_flag is not None and abort_flag.is_set():
+                break
+            steps = min(chunk, max_iterations - self.iters)
+            wrote = lib.fs_orbit_run(
+                self._h, steps, steps + 2,
+                ox.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                oy.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                oe.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                oi.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.byref(status))
+            if wrote > 0:
+                self._gx.extend(ox[:wrote])
+                self._gy.extend(oy[:wrote])
+                self._ge.extend(oe[:wrote])
+                self._gi.extend(oi[:wrote])
+            now = time.perf_counter()
+            if self.checkpoint_path and \
+                    now - last_ck >= checkpoint_every_s:
+                self.checkpoint()
+                last_ck = now
+            if progress_cb is not None:
+                progress_cb(self.iters, max_iterations, now - t0)
+        if self.checkpoint_path:
+            self.checkpoint()
+        return self.status
+
+    # ----------------------------------------------------------- results
+
+    def results(self) -> PerturbationResults:
+        """Uncompressed-mode results (every entry emitted)."""
+        if self.compression_error_exp is not None:
+            raise ValueError("compressed session: use compressed()")
+        x = np.asarray(self._gx.view(), np.float64).copy()
+        y = np.asarray(self._gy.view(), np.float64).copy()
+        e = np.asarray(self._ge.view(), np.int32)
+        st = self.status
+        return PerturbationResults(
+            center_x=self.center_x, center_y=self.center_y,
+            orbit_x=x, orbit_y=y, max_radius=self.max_radius,
+            period=self.total_count if st == 1 else 0,
+            escaped_at=self.total_count if st == 2 else 0,
+            max_iterations=self.iters,
+            precision_bits=self.prec,
+            orbit_e=e.copy() if (e != 0).any() else None)
+
+    def compressed(self):
+        """Compressed-mode results: the anchors as a CompressedOrbit."""
+        from fractalshark_tpu.engine.perturbation_results import \
+            CompressedOrbit
+        if self.compression_error_exp is None:
+            raise ValueError("uncompressed session: use results()")
+        return CompressedOrbit(
+            anchors_x=np.asarray(self._gx.view(), np.float64).copy(),
+            anchors_y=np.asarray(self._gy.view(), np.float64).copy(),
+            anchor_index=np.asarray(self._gi.view(), np.int64).copy(),
+            total_count=self.total_count,
+            cx_low=float(self.center_x), cy_low=float(self.center_y),
+            error_exp=int(self.compression_error_exp))
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.fs_orbit_destroy(self._h)
+            self._h = None
+        for g in (self._gx, self._gy, self._ge, self._gi):
+            g.close()
+
+    def __del__(self):  # noqa: D105
+        try:
+            if self._h:
+                self._lib.fs_orbit_destroy(self._h)
+        except Exception:  # noqa: BLE001
+            pass
 
 
 def compute_reference_orbit_native(center_x: HighPrecision,

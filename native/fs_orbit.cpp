@@ -360,3 +360,360 @@ int64_t fs_reference_orbit(const mp_limb_t *cx_mag, int cx_sign,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Chunked, checkpointable orbit session (the endurance path).
+//
+// View #27-class targets (period ~28e9, 10^15-iteration budgets,
+// Notes/FractalShark-06-RefOrbit.tex:740-747) cannot materialize the
+// orbit uncompressed (28e9 entries = 450 GB).  This session mirrors the
+// reference's long-run machinery: on-the-fly SimpleCompression (the
+// Zhuoran relative-error test, PerturbationResults.cpp:2347-2381)
+// emitting only anchors, int64 iteration counters throughout, and full
+// state serialization so a multi-hour run checkpoints and resumes
+// exactly (NRCheckpointData-style, FeatureFinder.h:25-39).
+
+namespace {
+
+struct FsOrbitSession {
+    mp_size_t L = 0;
+    std::vector<mp_limb_t> zx, zy, cx, cy;
+    int sx = 1, sy = 1, csx = 1, csy = 1;
+    HDd radius{0.0, 0}, dzdc_x{1.0, 0}, dzdc_y{0.0, 0};
+    double cxf = 0.0, cyf = 0.0;
+    // compressor recurrence constants: EXACTLY the low-precision c
+    // the decompressor will use (float(center) host-side) — the
+    // 2-limb shadow() approximation can differ in the last ulp and
+    // would silently diverge the reconstruction recurrence
+    double cx_low = 0.0, cy_low = 0.0;
+    int periodicity = 1;
+    int compress_exp = 0;        // <= 0: uncompressed emission
+    double cscale = 0.0;         // 10^compress_exp
+    double szx = 0.0, szy = 0.0; // compressor shadow recurrence
+    int have_anchor = 0;
+    int seed_done = 0;
+    int32_t status = 0;
+    int64_t iters = 0;           // completed z <- z^2 + c advances
+    int64_t count = 0;           // emitted (uncompressed) index count
+    int64_t had_dip = 0;
+
+    // scratch + MT workers (not serialized)
+    std::vector<mp_limb_t> t2, x2, y2, xy2, tmp, sc_a, sc_b;
+    bool mt = false;
+    SqrWorker wa, wb;
+
+    void init_scratch() {
+        t2.resize(2 * L + 2);
+        x2.resize(L); y2.resize(L); xy2.resize(L); tmp.resize(L);
+        const char *mt_env = std::getenv("FS_ORBIT_MT");
+        mt = L >= 16 && std::thread::hardware_concurrency() >= 3;
+        if (mt_env && mt_env[0] == '1') mt = L >= 4;
+        if (mt_env && mt_env[0] == '0') mt = false;
+        if (mt) {
+            sc_a.resize(2 * L + 2);
+            sc_b.resize(2 * L + 2);
+            wa.src = zx.data(); wa.out = x2.data();
+            wa.scratch = sc_a.data();
+            wb.src = zy.data(); wb.out = y2.data();
+            wb.scratch = sc_b.data();
+            wa.L = wb.L = L;
+            wa.th = std::thread(&SqrWorker::loop, &wa);
+            wb.th = std::thread(&SqrWorker::loop, &wb);
+        }
+    }
+
+    ~FsOrbitSession() {
+        if (mt) {
+            wa.go.store(-1); wb.go.store(-1);
+            wa.th.join(); wb.th.join();
+        }
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+void *fs_orbit_create(const mp_limb_t *cx_mag, int cx_sign,
+                      const mp_limb_t *cy_mag, int cy_sign,
+                      int64_t nlimbs, double radius_m, int64_t radius_e,
+                      int periodicity, int compress_exp10,
+                      double cx_low, double cy_low) {
+    auto *s = new FsOrbitSession;
+    s->L = (mp_size_t)nlimbs;
+    s->cx.assign(cx_mag, cx_mag + s->L);
+    s->cy.assign(cy_mag, cy_mag + s->L);
+    s->csx = cx_sign; s->csy = cy_sign;
+    s->zx = s->cx; s->zy = s->cy;      // z starts at c
+    s->sx = cx_sign; s->sy = cy_sign;
+    s->radius = hd_reduce({radius_m, radius_e});
+    s->cxf = shadow(cx_mag, cx_sign, s->L);
+    s->cyf = shadow(cy_mag, cy_sign, s->L);
+    s->periodicity = periodicity;
+    s->compress_exp = compress_exp10;
+    s->cscale = compress_exp10 > 0 ? std::pow(10.0, compress_exp10) : 0.0;
+    s->cx_low = cx_low;
+    s->cy_low = cy_low;
+    s->init_scratch();
+    return s;
+}
+
+void fs_orbit_destroy(void *p) { delete (FsOrbitSession *)p; }
+
+int64_t fs_orbit_iters(void *p) { return ((FsOrbitSession *)p)->iters; }
+int64_t fs_orbit_total_count(void *p) {
+    return ((FsOrbitSession *)p)->count;
+}
+int64_t fs_orbit_had_dip(void *p) {
+    return ((FsOrbitSession *)p)->had_dip;
+}
+int32_t fs_orbit_status(void *p) { return ((FsOrbitSession *)p)->status; }
+
+// Advance up to `steps` iterations, writing emitted entries (anchors in
+// compressed mode, every entry otherwise) into out_x/out_y/out_e and
+// their uncompressed indices into out_idx (int64).  Stops early when
+// out_cap entries are written, on period detection (status 1) or escape
+// (status 2).  Returns the number of entries written this call.
+int64_t fs_orbit_run(void *p, int64_t steps, int64_t out_cap,
+                     double *out_x, double *out_y, int32_t *out_e,
+                     int64_t *out_idx, int32_t *status_out) {
+    auto *s = (FsOrbitSession *)p;
+    const mp_size_t L = s->L;
+    const bool comp = s->compress_exp > 0;
+    int64_t wrote = 0;
+
+    auto emit = [&](double tx, double ty, int32_t te, int64_t idx) {
+        out_x[wrote] = tx;
+        out_y[wrote] = ty;
+        out_e[wrote] = te;
+        if (out_idx) out_idx[wrote] = idx;
+        wrote++;
+    };
+
+    if (!s->seed_done) {
+        if (out_cap < 1) { *status_out = s->status; return 0; }
+        emit(0.0, 0.0, 0, 0);  // zero seed (PerturbationResults.cpp:866)
+        s->count = 1;
+        if (comp) {
+            s->szx = 0.0; s->szy = 0.0;
+            s->have_anchor = 1;
+            // advance shadow past the seed: z <- z^2 + c
+            s->szx = s->cx_low; s->szy = s->cy_low;
+        }
+        s->seed_done = 1;
+    }
+
+    for (int64_t k = 0; k < steps && s->status == 0; k++) {
+        if (wrote >= out_cap) break;
+        int64_t ex, ey;
+        const double mx = shadow_me(s->zx.data(), s->sx, L, &ex);
+        const double my = shadow_me(s->zy.data(), s->sy, L, &ey);
+        const double lzx = std::ldexp(mx, (int)ex);
+        const double lzy = std::ldexp(my, (int)ey);
+        const bool under_x = (mx != 0.0 && lzx == 0.0);
+        const bool under_y = (my != 0.0 && lzy == 0.0);
+        if (under_x || under_y) s->had_dip++;
+
+        if (comp) {
+            // Zhuoran relative-error test on the f64 shadow values
+            // (PerturbationResults.cpp:2347-2381); anchors reset the
+            // shadow recurrence to the true value.
+            bool store;
+            if (s->have_anchor) {
+                const double dx = s->szx - lzx, dy = s->szy - lzy;
+                const double err = dx * dx + dy * dy;
+                const double mag = lzx * lzx + lzy * lzy;
+                store = err * s->cscale >= mag;
+            } else {
+                store = true;
+            }
+            if (store) {
+                emit(lzx, lzy, 0, s->count);
+                s->szx = lzx; s->szy = lzy;
+                s->have_anchor = 1;
+            }
+            const double nx = s->szx * s->szx - s->szy * s->szy
+                              + s->cx_low;
+            const double ny = 2.0 * s->szx * s->szy + s->cy_low;
+            s->szx = nx; s->szy = ny;
+        } else if ((!under_x && !under_y)) {
+            emit(lzx, lzy, 0, s->count);
+        } else {
+            // HDR (mantissa, shared exponent) form — see the one-shot
+            // path above for the e_sh = max rule (ADVICE r2 #1).
+            int64_t e_sh;
+            if (mx == 0.0) e_sh = ey;
+            else if (my == 0.0) e_sh = ex;
+            else e_sh = std::max(ex, ey);
+            double hx = (ex - e_sh) < -2000 ? 0.0
+                        : std::ldexp(mx, (int)(ex - e_sh));
+            double hy = (ey - e_sh) < -2000 ? 0.0
+                        : std::ldexp(my, (int)(ey - e_sh));
+            emit(hx, hy, (int32_t)e_sh, s->count);
+        }
+        s->count++;
+
+        if (s->periodicity) {
+            HDd azx = hd_reduce({std::fabs(mx), ex});
+            HDd azy = hd_reduce({std::fabs(my), ey});
+            HDd n2 = hd_lt_abs(azx, azy) ? azy : azx;
+            HDd r0x = hd_reduce({std::fabs(s->dzdc_x.m), s->dzdc_x.e});
+            HDd r0y = hd_reduce({std::fabs(s->dzdc_y.m), s->dzdc_y.e});
+            HDd r0 = hd_lt_abs(r0x, r0y) ? r0y : r0x;
+            HDd n3 = hd_reduce({s->radius.m * r0.m,
+                                s->radius.e + r0.e + 1});
+            if (hd_lt_abs(n2, n3)) {
+                s->status = 1;
+                break;
+            }
+            HDd ndx = hd_add(hd_mul_f(s->dzdc_x, lzx),
+                             hd_mul_f(s->dzdc_y, -lzy));
+            ndx.e += 1;
+            ndx = hd_add(ndx, hd_from_double(1.0));
+            HDd ndy = hd_add(hd_mul_f(s->dzdc_y, lzx),
+                             hd_mul_f(s->dzdc_x, lzy));
+            ndy.e += 1;
+            s->dzdc_x = ndx;
+            s->dzdc_y = ndy;
+        }
+
+        if (s->mt) {
+            s->wa.go.store(s->iters + 1, std::memory_order_release);
+            s->wb.go.store(s->iters + 1, std::memory_order_release);
+        } else {
+            __gmpn_sqr(s->t2.data(), s->zx.data(), L);
+            std::memcpy(s->x2.data(), s->t2.data() + (L - 1),
+                        L * sizeof(mp_limb_t));
+            __gmpn_sqr(s->t2.data(), s->zy.data(), L);
+            std::memcpy(s->y2.data(), s->t2.data() + (L - 1),
+                        L * sizeof(mp_limb_t));
+        }
+        __gmpn_mul_n(s->t2.data(), s->zx.data(), s->zy.data(), L);
+        std::memcpy(s->xy2.data(), s->t2.data() + (L - 1),
+                    L * sizeof(mp_limb_t));
+        __gmpn_lshift(s->xy2.data(), s->xy2.data(), L, 1);
+        if (s->mt) {
+            int idle = 0;
+            while (s->wa.done.load(std::memory_order_acquire) !=
+                       s->iters + 1 ||
+                   s->wb.done.load(std::memory_order_acquire) !=
+                       s->iters + 1) {
+#if defined(__x86_64__)
+                __builtin_ia32_pause();
+#endif
+                if (++idle > 64) { std::this_thread::yield(); idle = 0; }
+            }
+        }
+
+        int s1;
+        signed_add(s->tmp.data(), s1, s->x2.data(), 1,
+                   s->y2.data(), -1, L);
+        int nsx;
+        signed_add(s->zx.data(), nsx, s->tmp.data(), s1,
+                   s->cx.data(), s->csx, L);
+        int sxy = s->sx * s->sy;
+        int nsy;
+        signed_add(s->zy.data(), nsy, s->xy2.data(), sxy,
+                   s->cy.data(), s->csy, L);
+        s->sx = nsx;
+        s->sy = nsy;
+        s->iters++;
+
+        const double tx = lzx + s->cxf;
+        const double ty = lzy + s->cyf;
+        if (tx * tx + ty * ty > 256.0) {
+            s->status = 2;
+            break;
+        }
+    }
+    *status_out = s->status;
+    return wrote;
+}
+
+// --- checkpoint serialization ---------------------------------------------
+
+static const uint64_t kOrbitCkMagic = 0x46534F5242434B31ull;  // FSORBCK1
+
+int64_t fs_orbit_state_size(void *p) {
+    auto *s = (FsOrbitSession *)p;
+    return (int64_t)(26 * 8 + 4 * s->L * 8);
+}
+
+void fs_orbit_serialize(void *p, uint8_t *buf) {
+    auto *s = (FsOrbitSession *)p;
+    uint64_t head[26] = {
+        kOrbitCkMagic, (uint64_t)s->L,
+        (uint64_t)s->iters, (uint64_t)s->count, (uint64_t)s->had_dip,
+        (uint64_t)(uint32_t)s->status, (uint64_t)s->periodicity,
+        (uint64_t)(int64_t)s->sx, (uint64_t)(int64_t)s->sy,
+        (uint64_t)(int64_t)s->csx, (uint64_t)(int64_t)s->csy,
+        0, (uint64_t)s->radius.e,
+        0, (uint64_t)s->dzdc_x.e,
+        0, (uint64_t)s->dzdc_y.e,
+        (uint64_t)(int64_t)s->compress_exp, (uint64_t)s->seed_done,
+        0, 0, (uint64_t)s->have_anchor,
+        0, 0,  // cx_low / cy_low (patched below)
+        0, 0};
+    std::memcpy(&head[11], &s->radius.m, 8);
+    std::memcpy(&head[13], &s->dzdc_x.m, 8);
+    std::memcpy(&head[15], &s->dzdc_y.m, 8);
+    std::memcpy(&head[19], &s->szx, 8);
+    std::memcpy(&head[20], &s->szy, 8);
+    std::memcpy(&head[22], &s->cx_low, 8);
+    std::memcpy(&head[23], &s->cy_low, 8);
+    std::memcpy(buf, head, sizeof(head));
+    uint8_t *q = buf + sizeof(head);
+    const size_t lb = s->L * sizeof(mp_limb_t);
+    std::memcpy(q, s->zx.data(), lb); q += lb;
+    std::memcpy(q, s->zy.data(), lb); q += lb;
+    std::memcpy(q, s->cx.data(), lb); q += lb;
+    std::memcpy(q, s->cy.data(), lb);
+}
+
+void *fs_orbit_deserialize(const uint8_t *buf, int64_t len) {
+    uint64_t head[26];
+    if (len < (int64_t)sizeof(head)) return nullptr;
+    std::memcpy(head, buf, sizeof(head));
+    if (head[0] != kOrbitCkMagic) return nullptr;
+    const mp_size_t L = (mp_size_t)head[1];
+    if (len != (int64_t)(sizeof(head) + 4 * L * sizeof(mp_limb_t)))
+        return nullptr;
+    auto *s = new FsOrbitSession;
+    s->L = L;
+    s->iters = (int64_t)head[2];
+    s->count = (int64_t)head[3];
+    s->had_dip = (int64_t)head[4];
+    s->status = (int32_t)head[5];
+    s->periodicity = (int)head[6];
+    s->sx = (int)(int64_t)head[7];
+    s->sy = (int)(int64_t)head[8];
+    s->csx = (int)(int64_t)head[9];
+    s->csy = (int)(int64_t)head[10];
+    std::memcpy(&s->radius.m, &head[11], 8);
+    s->radius.e = (int64_t)head[12];
+    std::memcpy(&s->dzdc_x.m, &head[13], 8);
+    s->dzdc_x.e = (int64_t)head[14];
+    std::memcpy(&s->dzdc_y.m, &head[15], 8);
+    s->dzdc_y.e = (int64_t)head[16];
+    s->compress_exp = (int)(int64_t)head[17];
+    s->cscale = s->compress_exp > 0
+                    ? std::pow(10.0, s->compress_exp) : 0.0;
+    s->seed_done = (int)head[18];
+    std::memcpy(&s->szx, &head[19], 8);
+    std::memcpy(&s->szy, &head[20], 8);
+    s->have_anchor = (int)head[21];
+    std::memcpy(&s->cx_low, &head[22], 8);
+    std::memcpy(&s->cy_low, &head[23], 8);
+    const uint8_t *q = buf + sizeof(head);
+    const size_t lb = L * sizeof(mp_limb_t);
+    s->zx.resize(L); std::memcpy(s->zx.data(), q, lb); q += lb;
+    s->zy.resize(L); std::memcpy(s->zy.data(), q, lb); q += lb;
+    s->cx.resize(L); std::memcpy(s->cx.data(), q, lb); q += lb;
+    s->cy.resize(L); std::memcpy(s->cy.data(), q, lb);
+    s->cxf = shadow(s->cx.data(), s->csx, L);
+    s->cyf = shadow(s->cy.data(), s->csy, L);
+    s->init_scratch();
+    return s;
+}
+
+}  // extern "C"

@@ -129,3 +129,107 @@ def test_mt3_pipeline_matches_single_thread(monkeypatch):
     np.testing.assert_array_equal(st.orbit_x, mt.orbit_x)
     np.testing.assert_array_equal(st.orbit_y, mt.orbit_y)
     assert st.period == mt.period
+
+
+# --- chunked / checkpointable session (endurance path) ----------------------
+
+
+@pytest.fixture
+def _view5_setup():
+    from fractalshark_tpu.core.precision import precision_from_view
+    from fractalshark_tpu.core.views import get_view_preset
+    if not NO.available():
+        pytest.skip("native toolchain unavailable")
+    v = get_view_preset(5)
+    ptz = v.ptz.square_aspect_ratio(64, 64)
+    prec = precision_from_view(ptz) + 32
+    return (ptz.pt_x.with_precision(prec), ptz.pt_y.with_precision(prec),
+            ptz.radius, prec)
+
+
+def test_session_chunked_matches_oneshot(_view5_setup):
+    """Chunked emission across odd chunk boundaries reproduces the
+    one-shot orbit exactly (incl. period detection)."""
+    cx, cy, rad, prec = _view5_setup
+    res = NO.compute_reference_orbit_native(cx, cy, 200000, rad,
+                                            precision_bits=prec)
+    s = NO.NativeOrbitSession(cx, cy, rad, precision_bits=prec)
+    st = s.run(200000, chunk=7777)
+    r2 = s.results()
+    np.testing.assert_array_equal(res.orbit_x, r2.orbit_x)
+    np.testing.assert_array_equal(res.orbit_y, r2.orbit_y)
+    assert res.period == r2.period and st == 1
+
+
+def test_session_compressed_matches_oracle(_view5_setup):
+    """On-the-fly native SimpleCompression == the Python compressor
+    run over the uncompressed orbit (PerturbationResults.cpp:2347-2381
+    semantics), bit-exact anchors and indices."""
+    from fractalshark_tpu.engine.perturbation_results import \
+        CompressedOrbit
+    cx, cy, rad, prec = _view5_setup
+    res = NO.compute_reference_orbit_native(cx, cy, 200000, rad,
+                                            precision_bits=prec)
+    oracle = CompressedOrbit.from_uncompressed(res, error_exp=20)
+    s = NO.NativeOrbitSession(cx, cy, rad, precision_bits=prec,
+                              compression_error_exp=20)
+    s.run(200000, chunk=7777)
+    co = s.compressed()
+    np.testing.assert_array_equal(co.anchors_x, oracle.anchors_x)
+    np.testing.assert_array_equal(co.anchors_y, oracle.anchors_y)
+    np.testing.assert_array_equal(co.anchor_index, oracle.anchor_index)
+    assert co.total_count == oracle.total_count
+    assert co.compression_ratio() > 50
+
+
+def test_session_checkpoint_resume_identity(tmp_path, _view5_setup):
+    """Interrupt mid-run, resume from the on-disk checkpoint, finish:
+    anchors and period identical to an uninterrupted run."""
+    from fractalshark_tpu.engine.perturbation_results import \
+        CompressedOrbit
+    cx, cy, rad, prec = _view5_setup
+    res = NO.compute_reference_orbit_native(cx, cy, 200000, rad,
+                                            precision_bits=prec)
+    oracle = CompressedOrbit.from_uncompressed(res, error_exp=20)
+    base = str(tmp_path / "ck")
+    s1 = NO.NativeOrbitSession(cx, cy, rad, precision_bits=prec,
+                               compression_error_exp=20,
+                               checkpoint_path=base)
+    s1.run(9000, chunk=2000)
+    assert s1.status == 0
+    s1.close()
+    s2 = NO.NativeOrbitSession(cx, cy, rad, precision_bits=prec,
+                               compression_error_exp=20,
+                               checkpoint_path=base)
+    assert s2._resumed and s2.iters == 9000
+    s2.run(200000, chunk=7777)
+    co = s2.compressed()
+    np.testing.assert_array_equal(co.anchors_x, oracle.anchors_x)
+    np.testing.assert_array_equal(co.anchor_index, oracle.anchor_index)
+    assert co.total_count == oracle.total_count and s2.status == 1
+
+
+def test_session_resume_truncates_ahead_arrays(tmp_path, _view5_setup):
+    """Crash-consistency: anchors appended after the last state
+    snapshot (arrays flushed, state not yet written) are dropped on
+    resume and recomputed — the result is still exact."""
+    cx, cy, rad, prec = _view5_setup
+    base = str(tmp_path / "ck")
+    s1 = NO.NativeOrbitSession(cx, cy, rad, precision_bits=prec,
+                               compression_error_exp=20,
+                               checkpoint_path=base)
+    s1.run(9000, chunk=2000)
+    n_ck = s1.n_emitted
+    # simulate post-checkpoint appends that never made it into a state
+    s1._gx.extend([1.0, 2.0])
+    s1._gy.extend([1.0, 2.0])
+    s1._ge.extend([0, 0])
+    s1._gi.extend([10 ** 9, 10 ** 9 + 1])
+    for g in (s1._gx, s1._gy, s1._ge, s1._gi):
+        g.finalize()
+    s1.close()
+    s2 = NO.NativeOrbitSession(cx, cy, rad, precision_bits=prec,
+                               compression_error_exp=20,
+                               checkpoint_path=base)
+    assert s2.n_emitted == n_ck
+    assert int(np.asarray(s2._gi.view())[-1]) < 10 ** 9
