@@ -361,12 +361,24 @@ def _ntt32768(extra):
     dzdc0 = (jnp.float64(1.0), jnp.float64(0.0), jnp.int32(0))
     consts = (jnp.float64(1.0), jnp.int32(-40),
               jnp.float64(float(cx)), jnp.float64(float(cy)))
-    best = None
-    for i in range(3):
-        t0 = time.perf_counter()
+    def run_once():
         _, sh = orbit_chunk(*args, *dzdc0, args[0], args[1], args[2],
                             args[3], *consts, spec=spec, steps=steps)
         np.asarray(sh[0][-1])
+
+    # the 131072-point program's first remote compile occasionally
+    # crashes the compile-helper subprocess (HTTP 500); one retry
+    # reliably goes through
+    try:
+        run_once()
+    except Exception as e:  # noqa: BLE001
+        extra["ntt32768_retry"] = repr(e)[:80]
+        time.sleep(5)
+        run_once()
+    best = None
+    for i in range(3):
+        t0 = time.perf_counter()
+        run_once()
         dt = time.perf_counter() - t0
         if i > 0:
             best = dt if best is None else min(best, dt)
