@@ -203,7 +203,17 @@ def orbit_chunk(sx, x, sy, y, dzdc_x, dzdc_y, dzdc_e,
             nsx, nx, nsy, ny = FP.iterate_z(sx, x, sy, y,
                                             scx, cx, scy, cy, spec)
             nstate = (nsx, nx, nsy, ny, ndx, ndy, nde)
-        out = (lzx, lzy, period_flag, escape_flag, sh_mx, sh_my, e_sh)
+        # ONE packed [7] f64 row per step (scan stacks → [steps, 7]):
+        # the session reads the whole chunk back in a single D2H
+        # transfer instead of seven (each transfer pays the full
+        # host↔device tunnel latency — the chunk loop's overhead was
+        # dominated by it, not by compute)
+        packed = jnp.stack([
+            lzx, lzy,
+            period_flag.astype(jnp.float64),
+            escape_flag.astype(jnp.float64),
+            sh_mx, sh_my, e_sh.astype(jnp.float64)])
+        out = (packed,)
         if reuse_digits > 0:
             D = spec.digits
             out = out + (x[D - reuse_digits:], y[D - reuse_digits:],
@@ -218,7 +228,14 @@ def orbit_chunk(sx, x, sy, y, dzdc_x, dzdc_y, dzdc_e,
                                     base.astype(jnp.int32).reshape(1)])
         init = init + (row0(sx, x), row0(sy, y))
     state, out = jax.lax.scan(body, init, None, length=steps)
-    return state[:7], out
+    # [steps, 7] → [7, steps]: row k keeps the historical tuple slot
+    # (lzx, lzy, period, escape, sh_mx, sh_my, e_sh), so callers that
+    # index out[0] / iterate rows see the same values as the old
+    # 7-array tuple — but the whole chunk is ONE device buffer.
+    packed = out[0].T
+    if reuse_digits > 0:
+        return state[:7], (packed,) + out[1:]
+    return state[:7], packed
 
 
 def _shadow_to_f64(sign, win, base, spec: FP.FixedSpec) -> np.ndarray:
@@ -362,19 +379,21 @@ class TpuOrbitSession:
         t0 = time.perf_counter()
         done = False
 
-        it = 0
-        while it < max_iterations and not done:
-            if abort_flag is not None and abort_flag.is_set():
-                break
-            steps = min(self.chunk_steps, max_iterations - it)
-            state, out = orbit_chunk(*state, scx, cxj, scy, cyj,
-                                     rad_m, rad_e,
-                                     jnp.float64(cxf), jnp.float64(cyf),
-                                     spec=spec, steps=steps,
-                                     mesh=self.mesh,
-                                     reuse_digits=reuse_digits)
-            (lzx, lzy, pflag, eflag,
-             sh_mx, sh_my, e_sh) = (np.asarray(v) for v in out[:7])
+        def _dispatch(st, steps):
+            return orbit_chunk(*st, scx, cxj, scy, cyj, rad_m, rad_e,
+                               jnp.float64(cxf), jnp.float64(cyf),
+                               spec=spec, steps=steps, mesh=self.mesh,
+                               reuse_digits=reuse_digits)
+
+        def _process(out, steps):
+            """Read one chunk back (a single packed D2H transfer) and
+            run the host bookkeeping; sets period/escape/done."""
+            nonlocal count, period, escaped_at, done
+            arr = np.asarray(out[0] if reuse_digits > 0 else out)
+            lzx, lzy, sh_mx, sh_my = arr[0], arr[1], arr[4], arr[5]
+            pflag = arr[2] != 0.0
+            eflag = arr[3] != 0.0
+            e_sh = arr[6].astype(np.int32)
             # vectorized host bookkeeping: truncate at the first flag
             pidx = int(np.argmax(pflag)) if (periodicity and
                                              pflag.any()) else steps
@@ -398,10 +417,10 @@ class TpuOrbitSession:
             gy.extend(my)
             ge.extend(ee)
             if reuse_digits > 0:
-                rx_d = np.asarray(out[7])[:take].astype(np.uint16)
-                ry_d = np.asarray(out[8])[:take].astype(np.uint16)
-                rsx = np.asarray(out[9])[:take]
-                rsy = np.asarray(out[10])[:take]
+                rx_d = np.asarray(out[1])[:take].astype(np.uint16)
+                ry_d = np.asarray(out[2])[:take].astype(np.uint16)
+                rsx = np.asarray(out[3])[:take]
+                rsy = np.asarray(out[4])[:take]
                 for k in range(take):
                     rzx.append(int(rsx[k]) * int.from_bytes(
                         rx_d[k].tobytes(), "little"))
@@ -414,9 +433,44 @@ class TpuOrbitSession:
             elif eidx < steps:
                 escaped_at = count
                 done = True
-            it += steps
-            if progress_cb is not None:
-                progress_cb(it, max_iterations, time.perf_counter() - t0)
+
+        # Double-buffered chunk loop: chunk k+1 is dispatched BEFORE
+        # chunk k's outputs are read back, so the k+1 device compute
+        # overlaps the k readback + host bookkeeping (the reference
+        # overlaps its chunked cooperative launches with host-side
+        # output draining the same way, RefOrbitCalc.cpp:2205-2233;
+        # here the overlap also hides the tunnel's transfer latency).
+        # When a flag fires inside chunk k, the in-flight chunk k+1 is
+        # simply discarded — z keeps iterating past the period on
+        # device, which is harmless.
+        it = 0          # iterations dispatched
+        processed = 0   # iterations processed on host
+        pending = None  # (out, steps) of the chunk in flight
+        while True:
+            if abort_flag is not None and abort_flag.is_set():
+                if pending is not None:
+                    _process(*pending)
+                    processed += pending[1]
+                    pending = None
+                break
+            if not done and it < max_iterations:
+                steps = min(self.chunk_steps, max_iterations - it)
+                state, out = _dispatch(state, steps)
+                it += steps
+                nxt = (out, steps)
+            else:
+                nxt = None
+            if pending is not None:
+                _process(*pending)
+                processed += pending[1]
+                if progress_cb is not None:
+                    progress_cb(processed, max_iterations,
+                                time.perf_counter() - t0)
+            pending = nxt
+            if done:
+                pending = None      # past-the-flag chunk: discard
+            if pending is None and (done or it >= max_iterations):
+                break
 
         xs = gx.finalize()
         ys = gy.finalize()
