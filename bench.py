@@ -319,6 +319,21 @@ def _ntt(extra):
         except Exception as e:  # noqa: BLE001
             extra["ntt_device_prof_error"] = repr(e)[:120]
 
+    # production session loop at the same compiled (limbs, steps)
+    # config: packed single-transfer readback of chunk k overlapped
+    # with chunk k+1's device compute (double-buffered), so the wall
+    # approaches pure device time
+    from fractalshark_tpu.ops.bignum.orbit import TpuOrbitSession
+    sess = TpuOrbitSession(spec=spec, center_x=cx, center_y=cy,
+                           max_radius=HighPrecision("1e-40", prec=64),
+                           chunk_steps=steps)
+    n_it = steps * 4
+    sess.run(n_it, periodicity=False)            # warm
+    t0 = time.perf_counter()
+    sess.run(n_it, periodicity=False)
+    extra["orbit_session_ms_per_iter"] = round(
+        (time.perf_counter() - t0) / n_it * 1e3, 3)
+
 
 def _deep_poster(extra):
     """Poster-scale (2048²) two-phase deep render on the View #6-class

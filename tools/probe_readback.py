@@ -1,9 +1,9 @@
-"""Quantify the per-chunk host overhead of the orbit session loop:
-dispatch latency, device compute, and the out[:7] readback pattern
-(7 separate D2H transfers through the axon tunnel vs one packed).
+"""Measure the orbit session's end-to-end per-iteration wall after the
+packed single-transfer chunk outputs + double-buffered loop, against
+the raw synchronous chunk cost.
 
 Run from repo root:  python -c "exec(open('tools/probe_readback.py').read())"
-Env: PR_LIMBS (16384), PR_STEPS (2048).
+Env: PR_LIMBS (16384), PR_STEPS (2048), PR_ITERS (8192).
 """
 import os
 import time
@@ -14,10 +14,11 @@ import jax.numpy as jnp
 
 from fractalshark_tpu.core.highprecision import HighPrecision
 from fractalshark_tpu.ops.bignum import fixedpoint as FP
-from fractalshark_tpu.ops.bignum.orbit import orbit_chunk
+from fractalshark_tpu.ops.bignum.orbit import TpuOrbitSession, orbit_chunk
 
 limbs = int(os.environ.get("PR_LIMBS", "16384"))
 steps = int(os.environ.get("PR_STEPS", "2048"))
+iters = int(os.environ.get("PR_ITERS", "8192"))
 spec = FP.FixedSpec.for_limbs(limbs)
 prec = spec.frac_bits
 cx = HighPrecision("-0.74364388703715870475460905435480729"
@@ -40,46 +41,32 @@ def dispatch(state):
 
 t0 = time.perf_counter()
 st, out = dispatch(args + dzdc0)
-np.asarray(out[0][-1])
+np.asarray(out)[0, -1]
 print(f"compile+first: {time.perf_counter() - t0:.1f}s "
       f"(limbs={limbs} steps={steps})", flush=True)
 
-# (a) full synchronous chunk: dispatch + block + 7 readbacks
+# (a) synchronous chunk: dispatch + device + ONE packed readback
 for tag in ("sync1", "sync2"):
     t0 = time.perf_counter()
     st2, out = dispatch(args + dzdc0)
     t_disp = time.perf_counter() - t0
     jax.block_until_ready(st2)
     t_dev = time.perf_counter() - t0
-    vals = [np.asarray(v) for v in out[:7]]
+    arr = np.asarray(out)
     t_all = time.perf_counter() - t0
     print(f"{tag}: dispatch {t_disp*1e3:.0f} ms; +device "
-          f"{(t_dev-t_disp)*1e3:.0f} ms; +7 readbacks "
+          f"{(t_dev-t_disp)*1e3:.0f} ms; +packed readback "
           f"{(t_all-t_dev)*1e3:.0f} ms; total {t_all*1e3:.0f} ms "
           f"({t_all/steps*1e3:.3f} ms/iter)", flush=True)
 
-# (b) readback cost alone, already-computed outputs
-jax.block_until_ready(out)
+# (b) the real session loop (double-buffered), budget-bounded
+sess = TpuOrbitSession(spec=spec, center_x=cx, center_y=cy,
+                       max_radius=HighPrecision("1e-40", prec=64),
+                       chunk_steps=steps)
+res = sess.run(iters, periodicity=False)       # warm path
 t0 = time.perf_counter()
-vals = [np.asarray(v) for v in out[:7]]
-t7 = time.perf_counter() - t0
-t0 = time.perf_counter()
-one = np.asarray(out[0])
-t1 = time.perf_counter() - t0
-print(f"readback: 7 arrays {t7*1e3:.0f} ms; 1 array {t1*1e3:.0f} ms",
-      flush=True)
-
-# (c) pipelined: dispatch chunk k+1 BEFORE reading chunk k's outputs
-state = args + dzdc0
-st_prev, out_prev = dispatch(state)
-n = 4
-t0 = time.perf_counter()
-for _ in range(n):
-    st_next, out_next = dispatch(st_prev[:7] if len(st_prev) > 7
-                                 else st_prev)
-    _ = [np.asarray(v) for v in out_prev[:7]]
-    st_prev, out_prev = st_next, out_next
-jax.block_until_ready(st_prev)
-dt = (time.perf_counter() - t0) / n
-print(f"pipelined: {dt*1e3:.0f} ms/chunk ({dt/steps*1e3:.3f} ms/iter)",
+res = sess.run(iters, periodicity=False)
+dt = time.perf_counter() - t0
+print(f"session: {iters} iters in {dt:.2f} s "
+      f"({dt/iters*1e3:.3f} ms/iter) orbit_len={res.count_orbit_entries()}",
       flush=True)

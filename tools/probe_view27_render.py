@@ -41,24 +41,34 @@ gx = GrowableArray.open_existing(CK + ".ax")
 gy = GrowableArray.open_existing(CK + ".ay")
 gi = GrowableArray.open_existing(CK + ".ai")
 n = min(n_emitted, len(gx), len(gy), len(gi))
-ax = np.asarray(gx.view()[:n], np.float64).copy()
-ay = np.asarray(gy.view()[:n], np.float64).copy()
-ai = np.asarray(gi.view()[:n], np.int64).copy()
+# A budget-B render touches orbit positions <= B only (per-pixel ref
+# cursors advance by one per iteration and rebase back to 0), so slice
+# the anchor prefix covering [0, B] instead of shipping all ~362M
+# anchors (~9 GB) to the device.  total_count is clamped to the
+# covered span; no pixel can reach it.
+ai_all = gi.view()[:n]
+n_pref = int(np.searchsorted(ai_all, BUDGET + 2)) + 1
+n_pref = min(n_pref + 1, n)
+ax = np.asarray(gx.view()[:n_pref], np.float64).copy()
+ay = np.asarray(gy.view()[:n_pref], np.float64).copy()
+ai = np.asarray(ai_all[:n_pref], np.int64).copy()
+covered = int(ai[-1]) if n_pref < n else int(head[3])
 
 v = get_view_preset(27)
 ptz = v.ptz.square_aspect_ratio(SIZE, SIZE)
 co = CompressedOrbit(
     anchors_x=ax, anchors_y=ay, anchor_index=ai,
-    total_count=total_count, cx_low=float(ptz.pt_x),
+    total_count=covered, cx_low=float(ptz.pt_x),
     cy_low=float(ptz.pt_y),
     error_exp=int(v.compression_error_exp_low or 20))
 
 print(json.dumps({
     "orbit_iters": iters, "total_count": total_count,
     "n_anchors": n, "ratio": round(total_count / max(1, n), 1),
+    "prefix_anchors": n_pref, "prefix_covered": covered,
     "budget": BUDGET, "size": SIZE}))
 
-assert BUDGET < total_count, "budget must stay inside the orbit prefix"
+assert BUDGET + 1 < covered, "budget must stay inside the anchor prefix"
 t0 = time.perf_counter()
 out = perturb_render_stream_rc(co, ptz.pt_x, ptz.pt_y, ptz,
                                SIZE, SIZE, BUDGET)
