@@ -81,10 +81,13 @@ res = {
     "iter_sum": pxit,
     "gpxit_s": round(pxit / dt / 1e9, 3),
 }
-# honest projection: a full interior render must run ~2x period per
-# pixel (View #30's measured band was ~2x period); px-it/s from this
-# probe, 768^2 frame
+# honest projection of the RAW perturbation tail (no LA): an interior
+# render runs ~2x period per pixel (View #30's measured band was ~2x
+# period).  The number is astronomic by construction — it is WHY the
+# reference (and we) treat LA iteration-skipping as mandatory at this
+# class; the probe's claim is the working pipeline + px-it/s, not a
+# render plan.
 proj_pxit = 768 * 768 * 2.0 * 28e9
-res["projected_768sq_full_render_h"] = round(
+res["projected_raw_tail_768sq_h"] = round(
     proj_pxit / max(pxit / dt, 1) / 3600.0, 1)
 print(json.dumps(res))
