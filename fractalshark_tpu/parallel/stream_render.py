@@ -147,3 +147,120 @@ def sharded_perturb_render_stream(results, ptz: PointZoomBBConverter,
                 break
     return PS._iters_from_rem(state[3], state[4], max_iter,
                               height, width)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mesh", "axis", "tile_h", "height_l", "width", "budget",
+    "interpret"))
+def _rc_launch_sharded(scal, cvals, anc, dcr, dci, dce, state, *,
+                       mesh: Mesh, axis: str, tile_h: int,
+                       height_l: int, width: int, budget: int,
+                       interpret: bool):
+    rep = P()
+    rows = P(axis)
+
+    def body(scal, cvals, awh, awl, axh, axl, ayh, ayl,
+             dcr, dci, dce, *st):
+        return PS._rc_launch(scal, cvals, awh, awl, axh, axl, ayh, ayl,
+                             dcr, dci, dce, st, tile_h, height_l,
+                             width, budget, interpret)
+
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(rep,) * 8 + (rows, rows, rows) + (rows,) * 12,
+        out_specs=(rows,) * 12,
+        check_vma=False)
+    return f(scal, cvals, *anc, dcr, dci, dce, *state)
+
+
+def sharded_perturb_render_stream_rc(compressed, center_x, center_y,
+                                     ptz: PointZoomBBConverter,
+                                     width: int, height: int,
+                                     max_iter: int, mesh: Mesh,
+                                     tile_h: int = 8,
+                                     launch_windows: int | None = None,
+                                     interpret: bool = False,
+                                     abort_monitor=None):
+    """`perturb_render_stream_rc` (on-device decompression from a
+    CompressedOrbit — the View #27-class kernel) with the pixel grid
+    row-slab-sharded over `mesh`; anchors/recurrence constants
+    replicated.  Fresh renders only (no LA-phase handoff state)."""
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    M = len(compressed.anchors_x)
+    if M == 0:
+        return None
+    awh, awl, xh, xl, yh, yl, mpad = PS._prep_anchors(compressed)
+
+    max_ref = int(compressed.total_count) - 1
+    n_win = -(-max_ref // PS.WIN)
+    last_local = max_ref - (n_win - 1) * PS.WIN
+    cx = np.float32(compressed.cx_low)
+    cy = np.float32(compressed.cy_low)
+    cvals = jnp.asarray([cx, np.float32(compressed.cx_low - float(cx)),
+                         cy, np.float32(compressed.cy_low - float(cy))],
+                        jnp.float32)
+    dx, dy, cxo, cyo = delta_params(ptz, center_x, center_y,
+                                    width, height)
+    dc = _dc_grids_hdr(dx, dy, cxo, cyo, width, height, np.float32)
+    scal = jnp.asarray([last_local, n_win, mpad // PS.ANC_BLK, 0],
+                       jnp.int32)
+
+    slab = ndev * tile_h
+    ph = -(-height // slab) * slab
+    gw = -(-width // PS.LANE)
+    pw = gw * PS.LANE
+    height_l = ph // ndev
+    n_tiles = (ph // tile_h) * gw
+    if launch_windows is None:
+        launch_windows = max(4, (4 << 20) // (PS.WIN * max(1, n_tiles)))
+
+    def pad(a, fill=0):
+        return jnp.pad(a, ((0, ph - height), (0, pw - width)),
+                       constant_values=fill)
+
+    done0 = np.ones((ph, pw), np.int32)
+    done0[:height, :width] = 0
+    rhi0, rlo0 = PS._rem_split(max_iter)
+    rows = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    def dev_rows(a):
+        return jax.device_put(a, rows)
+
+    state = tuple(dev_rows(a) for a in (
+        jnp.zeros((ph, pw), jnp.float32),
+        jnp.zeros((ph, pw), jnp.float32),
+        jnp.full((ph, pw), int(hdr.MIN_BIG_EXPONENT), jnp.int32),
+        jnp.full((ph, pw), rhi0, jnp.int32),
+        jnp.full((ph, pw), rlo0, jnp.int32),
+        jnp.asarray(done0),
+        jnp.zeros((ph, pw), jnp.int32),
+        jnp.zeros((ph, pw), jnp.int32),
+        jnp.zeros((ph, pw), jnp.int32),
+        jnp.zeros((ph, pw), jnp.int32),
+        jnp.zeros((n_tiles * 8, 128), jnp.int32),
+        jnp.zeros((n_tiles * 8, 128), jnp.float32),
+    ))
+    anc = tuple(jax.device_put(jnp.asarray(a), rep)
+                for a in (awh, awl, xh, xl, yh, yl))
+    dcr = dev_rows(pad(dc.re))
+    dci = dev_rows(pad(dc.im))
+    dce = dev_rows(pad(dc.e, fill=int(hdr.MIN_BIG_EXPONENT)))
+    scal = jax.device_put(scal, rep)
+    cvals = jax.device_put(cvals, rep)
+
+    with jax.enable_x64(False):
+        while True:
+            state = _rc_launch_sharded(
+                scal, cvals, anc, dcr, dci, dce, state,
+                mesh=mesh, axis=axis, tile_h=tile_h,
+                height_l=height_l, width=pw,
+                budget=int(launch_windows), interpret=interpret)
+            flags = np.asarray(state[10])[::8, 3]
+            if flags.min() >= 1:
+                break
+            if abort_monitor is not None and abort_monitor.aborted():
+                break
+    return PS._iters_from_rem(state[3], state[4], max_iter,
+                              height, width)

@@ -49,6 +49,27 @@ def test_sharded_stream_matches_single_device(mesh, deep):
     np.testing.assert_array_equal(np.asarray(got), xla)
 
 
+def test_sharded_stream_rc_matches_single_device(mesh, deep):
+    """The RC (on-device decompression) kernel — the View #27-class
+    path — sharded over the mesh, vs the single-device RC wrapper."""
+    from fractalshark_tpu.engine.perturbation_results import \
+        CompressedOrbit
+    from fractalshark_tpu.ops.perturb_stream import \
+        perturb_render_stream_rc
+    from fractalshark_tpu.parallel.stream_render import \
+        sharded_perturb_render_stream_rc
+
+    ptz, res = deep
+    co = CompressedOrbit.from_uncompressed(res)
+    got = sharded_perturb_render_stream_rc(
+        co, res.center_x, res.center_y, ptz, 64, 64, 1500,
+        mesh=mesh, tile_h=8, interpret=True)
+    ref = perturb_render_stream_rc(
+        co, res.center_x, res.center_y, ptz, 64, 64, 1500,
+        tile_h=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_sharded_stream_nondivisible_rows(mesh, deep):
     """Row count not divisible by ndev·tile_h: padding slabs must stay
     inert (their pixels start done) and the visible frame must match."""
