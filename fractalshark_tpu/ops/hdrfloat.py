@@ -217,6 +217,37 @@ def gte_reduced(a: HDR, b: HDR):
     return ~lt_reduced(a, b)
 
 
+# Unreduced compare fast paths (streaming-kernel hot loops).  Both are
+# BOOLEAN-IDENTICAL to reducing first and comparing with the
+# *_reduced forms, under the preconditions below — they exist to drop
+# the per-step frexp/renormalize passes (measured ~10% of the
+# perturbation step).  Preconditions (hold for every call site:
+# chebychev_norm / norm_squared of a reduce_complex'd value, or a
+# stored reduced threshold): operands are non-negative with mantissa
+# either exactly 0 (any exponent; zero values carry the huge-negative
+# sentinel-derived exponent) or in [1, 2^30).
+#
+# Proof sketch: the compare m_a·2^(e_a) < m_b·2^(e_b) is evaluated as
+# m_a < m_b·pow2i(e_b − e_a).  In the f32-representable shift range
+# the scaling is exact (both sides exact, no ties lost).  Outside it,
+# pow2i clamps at ±126: with the shift that large the magnitudes
+# differ by ≥ 2^96, so the clamped product still lands on the correct
+# side of m_a (m_b·2^126 ≥ 2^126 > m_a, resp. m_b·2^-126 ≤ 2^-96 <
+# any nonzero m_a); f32 overflow of the product gives +inf which
+# compares correctly.  Zero mantissas: 0 < t ⟺ t > 0 and m_a < 0
+# never — matching the reduced forms' sentinel-exponent compares.
+
+
+def lt_unreduced(a: HDR, b: HDR):
+    """a < b for unreduced non-negative operands (see block comment)."""
+    return a.m < b.m * pow2i(b.e - a.e, a.m.dtype)
+
+
+def gt_pow2_unreduced(a: HDR, k: int):
+    """a > 2**k for an unreduced non-negative a (see block comment)."""
+    return a.m > pow2i(k - a.e, a.m.dtype)
+
+
 def lte_reduced(a: HDR, b: HDR):
     return ~gt_reduced(a, b)
 

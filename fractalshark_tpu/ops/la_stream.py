@@ -122,8 +122,10 @@ def _kernel(scal_ref, nf32_ref, ni32_ref, dcr_ref, dci_ref, dce_ref,
             newdz = hdr.reduce_complex(hdr.complex_mul(t, dz))
             # within budget ⇔ step_length ≤ remaining (pair compare)
             l_le_rem = (lhi_s < rhi) | ((lhi_s == rhi) & (llo_s <= rlo))
-            usable = l_le_rem & hdr.lt_reduced(
-                hdr.reduce(hdr.chebychev_norm(newdz)), thr)
+            # unreduced compare: boolean-identical to reducing first
+            # (hdrfloat.lt_unreduced proof), one frexp pass cheaper
+            usable = l_le_rem & hdr.lt_unreduced(
+                hdr.chebychev_norm(newdz), thr)
 
             drop = live & ~usable
             stepx = live & usable
@@ -149,9 +151,9 @@ def _kernel(scal_ref, nf32_ref, ni32_ref, dcr_ref, dci_ref, dce_ref,
                 jnp.full(shape, smf[_F_RP1_IM, s_local], jnp.float32),
                 jnp.full(shape, smi[_I_RP1_E, s_local], jnp.int32))
             z_full = hdr.reduce_complex(hdr.complex_add(rp1, dz_ev))
-            reb = hdr.lt_reduced(
-                hdr.reduce(hdr.chebychev_norm(z_full)),
-                hdr.reduce(hdr.chebychev_norm(dz_ev))) | \
+            reb = hdr.lt_unreduced(
+                hdr.chebychev_norm(z_full),
+                hdr.chebychev_norm(dz_ev)) | \
                 (p + 1 >= macro)
             dzr = jnp.where(stepx, jnp.where(reb, z_full.re, dz_ev.re),
                             dzr)

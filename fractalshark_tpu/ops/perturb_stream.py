@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fractalshark_tpu.core.pointzoom import PointZoomBBConverter
 from fractalshark_tpu.ops import hdrfloat as hdr
-from fractalshark_tpu.ops.hdrfloat import HDR, HDRComplex
+from fractalshark_tpu.ops.hdrfloat import HDRComplex
 from fractalshark_tpu.ops.perturb import _dc_grids_hdr, delta_params
 
 LANE = 128
@@ -103,8 +103,6 @@ def _kernel(scal_ref, z0_ref, oxh_ref, oyh_ref, dcr_ref, dci_ref, dce_ref,
     n_win = scal_ref[2]
 
     dc = HDRComplex(dcr_ref[:], dci_ref[:], dce_ref[:])
-    two56 = HDR(jnp.full(shape, 1.0, jnp.float32),
-                jnp.full(shape, 8, jnp.int32))
 
     def win_body(w, carry):
         dzr, dzi, dze, rhi, rlo, done, active, zcx, zcy = carry
@@ -138,10 +136,12 @@ def _kernel(scal_ref, z0_ref, oxh_ref, oyh_ref, dcr_ref, dci_ref, dce_ref,
                 HDRComplex(jnp.full(shape, zx1, jnp.float32),
                            jnp.full(shape, zy1, jnp.float32),
                            jnp.zeros(shape, jnp.int32)), ndz))
-            nsq = hdr.reduce(hdr.norm_squared(zf))
-            dsq = hdr.reduce(hdr.norm_squared(ndz))
-            esc = hdr.gt_reduced(nsq, two56)
-            reb = hdr.lt_reduced(nsq, dsq) | (s + 1 >= max_ref)
+            # unreduced compares: boolean-identical to reducing first
+            # (hdrfloat.lt_unreduced proof), two frexp passes cheaper
+            nsq = hdr.norm_squared(zf)
+            dsq = hdr.norm_squared(ndz)
+            esc = hdr.gt_pow2_unreduced(nsq, 8)
+            reb = hdr.lt_unreduced(nsq, dsq) | (s + 1 >= max_ref)
             esc_px = live & esc
             upd = live & ~esc
             reb_px = upd & reb
@@ -393,8 +393,6 @@ def _rc_kernel(scal_ref, cval_ref, awh_ref, awl_ref, axh_ref, axl_ref,
     ccy = DF(cval_ref[2], cval_ref[3])
 
     dc = HDRComplex(dcr_ref[:], dci_ref[:], dce_ref[:])
-    two56 = HDR(jnp.full(shape, 1.0, jnp.float32),
-                jnp.full(shape, 8, jnp.int32))
 
     def refill(blocks_loaded):
         """DMA anchor block `blocks_loaded` into pool slot (b & 1)."""
@@ -471,11 +469,12 @@ def _rc_kernel(scal_ref, cval_ref, awh_ref, awl_ref, axh_ref, axl_ref,
                 HDRComplex(jnp.full(shape, nzxh, jnp.float32),
                            jnp.full(shape, nzyh, jnp.float32),
                            jnp.zeros(shape, jnp.int32)), ndz))
-            nsq = hdr.reduce(hdr.norm_squared(zf))
-            dsq = hdr.reduce(hdr.norm_squared(ndz))
-            esc = hdr.gt_reduced(nsq, two56)
+            # unreduced compares (hdrfloat.lt_unreduced proof)
+            nsq = hdr.norm_squared(zf)
+            dsq = hdr.norm_squared(ndz)
+            esc = hdr.gt_pow2_unreduced(nsq, 8)
             at_wrap = in_last_win & (s_local + 1 >= last_local)
-            reb = hdr.lt_reduced(nsq, dsq) | at_wrap
+            reb = hdr.lt_unreduced(nsq, dsq) | at_wrap
             esc_px = live & esc
             upd = live & ~esc
             reb_px = upd & reb
