@@ -319,20 +319,43 @@ def _ntt(extra):
         except Exception as e:  # noqa: BLE001
             extra["ntt_device_prof_error"] = repr(e)[:120]
 
-    # production session loop at the same compiled (limbs, steps)
-    # config: packed single-transfer readback of chunk k overlapped
-    # with chunk k+1's device compute (double-buffered), so the wall
-    # approaches pure device time
+
+def _orbit_session(extra):
+    """Production orbit-session loop at the PRODUCTION chunk size
+    (2048 steps, the run_view30 config): packed single-transfer
+    readback of chunk k overlapped with chunk k+1's device compute
+    (double-buffered).  Measured separately from _ntt because the
+    2048-step scan is its own compile; at small chunks the ~30-45 ms
+    per-dispatch tunnel overhead dominates and the number measures the
+    tunnel, not the loop (0.871 ms/iter at 256-step chunks vs 0.330 at
+    2048 on the same kernels)."""
+    import time
+
+    import jax
+
+    from fractalshark_tpu.core.highprecision import HighPrecision
+    from fractalshark_tpu.core.views import get_view_preset
+    from fractalshark_tpu.ops.bignum import fixedpoint as FP
     from fractalshark_tpu.ops.bignum.orbit import TpuOrbitSession
-    sess = TpuOrbitSession(spec=spec, center_x=cx, center_y=cy,
+
+    if jax.default_backend() != "tpu":
+        return
+    limbs, steps = 16384, 2048
+    spec = FP.FixedSpec.for_limbs(limbs)
+    prec = spec.frac_bits - 20
+    v30 = get_view_preset(30).ptz
+    sess = TpuOrbitSession(spec=spec,
+                           center_x=v30.pt_x.with_precision(prec),
+                           center_y=v30.pt_y.with_precision(prec),
                            max_radius=HighPrecision("1e-40", prec=64),
                            chunk_steps=steps)
     n_it = steps * 4
-    sess.run(n_it, periodicity=False)            # warm
+    sess.run(n_it, periodicity=False)            # warm (incl. compile)
     t0 = time.perf_counter()
     sess.run(n_it, periodicity=False)
     extra["orbit_session_ms_per_iter"] = round(
         (time.perf_counter() - t0) / n_it * 1e3, 3)
+    extra["orbit_session_chunk_steps"] = steps
 
 
 def _deep_poster(extra):
@@ -458,6 +481,7 @@ def main() -> int:
     # NTT first: the View #30 orbit rate is the most important
     # companion metric and must not be starved by a slow compile window
     parts = [("native", _native), ("ntt", _ntt),
+             ("orbit_session", _orbit_session),
              ("perturb/la", _perturb_and_la), ("deep_la", _deep_la),
              ("ntt_sharded", _ntt_sharded), ("ntt32768", _ntt32768),
              ("deep_poster", _deep_poster)]
@@ -478,7 +502,8 @@ def main() -> int:
     emit()
     # rough first-compile cost of each part through the remote-compile
     # tunnel; a part only starts if it plausibly fits the remaining budget
-    est_s = {"native": 5, "ntt": 100, "perturb/la": 110, "deep_la": 130,
+    est_s = {"native": 5, "ntt": 100, "orbit_session": 240,
+             "perturb/la": 110, "deep_la": 130,
              "ntt_sharded": 150, "ntt32768": 200, "deep_poster": 200}
     for name, fn in parts:
         remaining = budget_s - (time.perf_counter() - t_start)
