@@ -483,8 +483,12 @@ def main() -> int:
     parts = [("native", _native), ("ntt", _ntt),
              ("orbit_session", _orbit_session),
              ("perturb/la", _perturb_and_la), ("deep_la", _deep_la),
-             ("ntt_sharded", _ntt_sharded), ("ntt32768", _ntt32768),
-             ("deep_poster", _deep_poster)]
+             ("ntt_sharded", _ntt_sharded),
+             ("deep_poster", _deep_poster),
+             # last: the 131072-point compile is the longest and least
+             # reliable (remote compile-helper 500s); don't let it
+             # starve the parts after it
+             ("ntt32768", _ntt32768)]
     headline = None
     try:
         headline = _headline(extra)

@@ -206,10 +206,18 @@ def la_rc_render(fractal, results, la, w, h, identity: bool = False):
             comp.compression_ratio(), 2)
     n = fractal.num_iterations
     init = None
-    if fractal.backend == "tpu":
-        # phase 1 preferred form: the streaming LA machine — node
-        # tables of any size sweep from HBM in lockstep (the XLA
-        # machine below pays a latency-bound gather per body step)
+    # Phase 1 default: the XLA LA machine (one packed gather per body
+    # step).  Measured A/B on View #30 512² (9-stage table, period
+    # 669,773; tools/probe_view30_render.py, warm): XLA machine 1.0 s
+    # vs streaming sweep machine 6.3 s — at render-scale pixel counts
+    # the gathers amortize and the lockstep stage sweeps cost more
+    # than they save.  The streaming machine stays selectable
+    # (FRACTALSHARK_LA_PHASE=stream) as the pixel-identical
+    # alternative; both are pinned to the one-kernel machine in
+    # tests/test_la_stream.py.
+    import os
+    if (fractal.backend == "tpu"
+            and os.environ.get("FRACTALSHARK_LA_PHASE") == "stream"):
         from fractalshark_tpu.ops.la_stream import la_phase_stream
         try:
             init = la_phase_stream(results, la, fractal.ptz, w, h, n,
