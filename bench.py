@@ -405,14 +405,17 @@ def _ntt32768(extra):
         np.asarray(sh[0][-1])
 
     # the 131072-point program's first remote compile occasionally
-    # crashes the compile-helper subprocess (HTTP 500); one retry
-    # reliably goes through
-    try:
-        run_once()
-    except Exception as e:  # noqa: BLE001
-        extra["ntt32768_retry"] = repr(e)[:80]
-        time.sleep(5)
-        run_once()
+    # crashes the compile-helper subprocess (HTTP 500) — seen twice in
+    # a row on fresh helper instances; retry with backoff
+    for attempt in range(3):
+        try:
+            run_once()
+            break
+        except Exception as e:  # noqa: BLE001
+            if attempt == 2:
+                raise
+            extra[f"ntt32768_retry{attempt}"] = repr(e)[:80]
+            time.sleep(15 * (attempt + 1))
     best = None
     for i in range(3):
         t0 = time.perf_counter()
