@@ -1303,8 +1303,14 @@ def sublane_transform(y, *, m: int, inverse: bool,
     # NOTE: no enable_x64 toggle here — this is called mid-trace from
     # x64 outer jits (orbit_chunk's scan); the kernel body is pure u32
     # so nothing traces as i64.
+    # Raised scoped-VMEM limit: at the View #32 operand (nfft 131072 →
+    # [4, 256, 512] blocks) the unrolled stage chain's stack peaks at
+    # ~27 MB against the 16 MB default and the compile fails; the
+    # whole-kernel family already runs at 64-120 MB limits on v5e.
+    cp = pltpu.CompilerParams(vmem_limit_bytes=64 << 20)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((rows, m, L), jnp.uint32),
+        compiler_params=cp,
         interpret=interpret,
     )(y, jnp.asarray(w), jnp.asarray(wp), jnp.asarray(p))
