@@ -642,7 +642,23 @@ def _use_phase_pallas(m: int, lanes: int) -> bool:
             and (m & (m - 1)) == 0 and lanes % 128 == 0)
 
 
+def _use_phase_mxu(m: int, rows: int) -> bool:
+    """MXU matmul phase transforms (ntt_mxu.mxu_transform): the short
+    transform as chunked int8 matmuls on the systolic array.  Checked
+    FIRST — when enabled it displaces both the Pallas sublane kernels
+    and the XLA stage passes (bit-identical outputs all three ways)."""
+    from fractalshark_tpu.ops.bignum import ntt_mxu as NM
+    if not NM.NTT_MXU:
+        return False
+    if NM.NTT_MXU != "force" and jax.default_backend() != "tpu":
+        return False    # CPU/test default: XLA stage passes
+    return NM.supported(m, rows)
+
+
 def _phase_dif(y, tws, p_col, m: int):
+    if _use_phase_mxu(m, y.shape[0]):
+        from fractalshark_tpu.ops.bignum import ntt_mxu as NM
+        return NM.mxu_transform(y, m=m, inverse=False)
     if _use_phase_pallas(m, y.shape[-1]):
         from fractalshark_tpu.ops.bignum import ntt_pallas as NP
         return NP.sublane_transform(y, m=m, inverse=False)
@@ -650,6 +666,9 @@ def _phase_dif(y, tws, p_col, m: int):
 
 
 def _phase_dit(y, tws, p_col, m: int):
+    if _use_phase_mxu(m, y.shape[0]):
+        from fractalshark_tpu.ops.bignum import ntt_mxu as NM
+        return NM.mxu_transform(y, m=m, inverse=True)
     if _use_phase_pallas(m, y.shape[-1]):
         from fractalshark_tpu.ops.bignum import ntt_pallas as NP
         return NP.sublane_transform(y, m=m, inverse=True)

@@ -1,0 +1,125 @@
+"""MXU (matmul) NTT phase transforms: bit-identity against the VPU
+butterfly paths and the exact-integer multiply oracle.
+
+The MXU path (ops/bignum/ntt_mxu.py) evaluates the four-step's short
+transforms as chunked int8 matmuls.  These tests pin:
+* the host-built phase matrices reproduce _axis0_dif/_axis0_dit
+  EXACTLY (same scrambled output order, unscaled inverse);
+* balanced base-256 chunking round-trips and respects int8 bounds;
+* a full multiply with the MXU phases routed in is bit-identical.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fractalshark_tpu.ops.bignum import ntt as N
+from fractalshark_tpu.ops.bignum import ntt_mxu as NM
+
+
+def _rand_rows(rng, rows, m, L):
+    out = np.empty((rows, m, L), np.uint32)
+    for r in range(rows):
+        p = (N.P1, N.P2)[r % 2]
+        out[r] = rng.integers(0, p, (m, L), dtype=np.uint64)
+    return jnp.asarray(out)
+
+
+@pytest.mark.parametrize("m", [8, 64, 256])
+@pytest.mark.parametrize("inverse", [False, True])
+def test_phase_bit_identity(m, inverse):
+    rng = np.random.default_rng(m + inverse)
+    rows, L = 4, 128
+    y = _rand_rows(rng, rows, m, L)
+    tws = N._fourstep_consts(m * m, rows)["tw1_i" if inverse
+                                          else "tw1_f"]
+    p_col, _ = N._row_consts(rows)
+    ref = (N._axis0_dit if inverse else N._axis0_dif)(y, tws, p_col)
+    got = NM.mxu_transform(y, m=m, inverse=inverse)
+    assert got.dtype == jnp.uint32
+    assert (np.asarray(got) == np.asarray(ref)).all()
+
+
+def test_balanced_chunks_roundtrip():
+    rng = np.random.default_rng(7)
+    v = np.concatenate([
+        rng.integers(0, N.P1, 4096, dtype=np.uint64).astype(np.uint32),
+        np.array([0, 1, 127, 128, 255, 256, N.P1 - 1, N.P2 - 1],
+                 np.uint32)])
+    ch = np.asarray(NM._balanced_chunks(jnp.asarray(v)), np.int64)
+    assert ch.dtype == np.int64 and np.abs(ch).max() <= 128
+    recon = sum(ch[k] * 256 ** k for k in range(4))
+    assert (recon == v.astype(np.int64)).all()
+    # host-side chunker agrees
+    hch = NM._balanced_int8_np(v).astype(np.int64)
+    assert (hch == ch).all()
+
+
+def test_phase_matrix_is_linear_butterfly():
+    """M @ basis == butterfly(basis) for a non-power-of-content case:
+    spot-check the matrix columns directly."""
+    m = 16
+    for prime_idx in (0, 1):
+        for inverse in (False, True):
+            M = NM._phase_matrix(m, prime_idx, inverse)
+            rows = 2
+            y = np.zeros((rows, m, m), np.uint32)
+            y[prime_idx] = np.eye(m, dtype=np.uint32)
+            tws = N._fourstep_consts(m * m, rows)[
+                "tw1_i" if inverse else "tw1_f"]
+            p_col, _ = N._row_consts(rows)
+            ref = np.asarray((N._axis0_dit if inverse else N._axis0_dif)(
+                jnp.asarray(y), tws, p_col))[prime_idx]
+            assert (ref == M).all()
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+def test_pallas_form_matches_xla_form(inverse):
+    """The fused Pallas kernel (interpret mode on CPU) == einsum form."""
+    rng = np.random.default_rng(11 + inverse)
+    rows, m, L = 4, 64, 64
+    y = _rand_rows(rng, rows, m, L)
+    ref = NM.mxu_transform_xla(y, m=m, inverse=inverse)
+    got = NM.mxu_transform_pallas(y, m=m, inverse=inverse,
+                                  interpret=True)
+    assert (np.asarray(got) == np.asarray(ref)).all()
+
+
+def test_multiply_bit_identity_mxu_routed():
+    """Full orbit-iteration multiply with NTT_MXU routed in == default
+    path, and the x·y stream matches exact big-int arithmetic."""
+    from fractalshark_tpu.ops.bignum import fixedpoint as FP
+    spec = FP.FixedSpec.for_limbs(2048)   # nfft 8192: four-step path
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 1 << 16, spec.digits, dtype=np.uint32)
+    b = rng.integers(0, 1 << 16, spec.digits, dtype=np.uint32)
+    aj, bj = jnp.asarray(a), jnp.asarray(b)
+    (bs, bd), bxy = FP.multiply_iter(aj, bj, spec)
+    old = NM.NTT_MXU
+    NM.NTT_MXU = "force"   # route on the CPU backend too
+    try:
+        (gs, gd), gxy = FP.multiply_iter(aj, bj, spec)
+    finally:
+        NM.NTT_MXU = old
+    assert int(gs) == int(bs)
+    assert (np.asarray(gd) == np.asarray(bd)).all()
+    assert (np.asarray(gxy) == np.asarray(bxy)).all()
+
+    # exact-int oracle with in-range values (full-digit inputs above
+    # exceed the fixed-point range by design — they only pin identity)
+    from fractalshark_tpu.core.highprecision import HighPrecision
+    prec = spec.frac_bits + 30
+    _, dx = FP.hp_to_digits(HighPrecision(1.375, prec=prec), spec)
+    _, dy = FP.hp_to_digits(HighPrecision(-0.8125, prec=prec), spec)
+    NM.NTT_MXU = "force"
+    try:
+        (gs2, gd2), gxy2 = FP.multiply_iter(jnp.asarray(dx),
+                                            jnp.asarray(dy), spec)
+    finally:
+        NM.NTT_MXU = old
+    ix, iy = FP.digits_to_int(dx), FP.digits_to_int(dy)
+    half = 1 << (spec.frac_bits - 1)
+    assert int(gs2) * FP.digits_to_int(np.asarray(gd2)) == \
+        (ix * ix - iy * iy + half) >> spec.frac_bits
+    assert FP.digits_to_int(np.asarray(gxy2)) == \
+        (ix * iy + half) >> spec.frac_bits
