@@ -396,6 +396,13 @@ def _use_fused_tail(nf: int, D: int) -> bool:
     return 2 * D == nf and nf % 128 == 0 and nf >= 2048
 
 
+def _use_mxu_iter(nf: int) -> bool:
+    """Whole-iteration MXU frequency kernel (ntt_mxu.mxu_iter_products):
+    checked before the split-pipeline and XLA four-step routes."""
+    from fractalshark_tpu.ops.bignum import ntt_mxu as NM
+    return NM.use_iter_kernel(nf)
+
+
 def multiply_iter(ax, ay, spec: FixedSpec):
     """Orbit-iteration multiply: ((sign_d, d), xy) with
     sign_d·d = x² − y² and xy = x·y (magnitudes in, fixed-point
@@ -416,7 +423,11 @@ def multiply_iter(ax, ay, spec: FixedSpec):
     vy = jnp.concatenate([ay, jnp.zeros((pad,), jnp.uint32)])
     F = spec.frac_digits
 
-    if _any_pallas(nf):
+    if _use_mxu_iter(nf):
+        from fractalshark_tpu.ops.bignum import ntt_mxu as NM
+        inv = NM.mxu_iter_products(
+            vx, vy, n=nf, interpret=jax.default_backend() != "tpu")
+    elif _any_pallas(nf):
         from fractalshark_tpu.ops.bignum import ntt_pallas as NP
         inv = NP.ntt_iter_products(vx, vy, nf)
     else:
@@ -549,7 +560,15 @@ def iterate_z(sx, x, sy, y, scx, cx, scy, cy, spec: FixedSpec,
     vx = jnp.concatenate([x, jnp.zeros((pad,), jnp.uint32)])
     vy = jnp.concatenate([y, jnp.zeros((pad,), jnp.uint32)])
 
-    if _any_pallas(nf):
+    from fractalshark_tpu.ops.bignum import ntt_mxu as NM
+    full_fused = (NM.MXU_ITER_FULL and _use_mxu_iter(nf)
+                  and _use_fused_tail(nf, D))
+    if full_fused:
+        inv = None                        # single-kernel path below
+    elif _use_mxu_iter(nf):
+        inv = NM.mxu_iter_products(
+            vx, vy, n=nf, interpret=jax.default_backend() != "tpu")
+    elif _any_pallas(nf):
         from fractalshark_tpu.ops.bignum import ntt_pallas as NP
         inv = NP.ntt_iter_products(vx, vy, nf)
     else:
@@ -575,6 +594,22 @@ def iterate_z(sx, x, sy, y, scx, cx, scy, cy, spec: FixedSpec,
         rnd = z.at[F - 1].set(jnp.uint32(1 << 15))
         sgs = jnp.stack([scx, scy, sx * sy,
                          jnp.int32(0)]).astype(jnp.int32)
+        if full_fused:
+            one = jnp.int32(1)
+            zero = jnp.int32(0)
+            cfg = jnp.stack([zero, one, sgs[0], zero,
+                             one, sgs[2], sgs[1], zero])
+            interp = jax.default_backend() != "tpu"
+            if return_shadow:
+                dig, sgn, shw = NM.mxu_iterate_full(
+                    vx, vy, jnp.stack([cfx, cfy]), rnd, cfg, n=nf,
+                    shadow_fd=(F, D), interpret=interp)
+                return (sgn[0], dig[0, F:F + D], sgn[1],
+                        dig[1, F:F + D], (shw[0], shw[1]))
+            dig, sgn = NM.mxu_iterate_full(
+                vx, vy, jnp.stack([cfx, cfy]), rnd, cfg, n=nf,
+                interpret=interp)
+            return sgn[0], dig[0, F:F + D], sgn[1], dig[1, F:F + D]
         if return_shadow:
             dig, sgn, shw = NP.fused_tail(
                 inv.reshape(2, 2, nf), jnp.stack([cfx, cfy]), rnd,

@@ -47,8 +47,28 @@ from fractalshark_tpu.ops.bignum import ntt as N
 # the XLA stage passes; the einsum form remains directly callable.
 NTT_MXU: bool = True
 
+# Whole-iteration frequency kernel (mxu_iter_products): forward +
+# pointwise + inverse as ONE Pallas kernel.  Subsumes the per-phase
+# routing for iterate_z/multiply_iter when enabled.  A/B at the View
+# #30 operand (16384 limbs, 2048-step chunks, identical checksums):
+# 0.231 wall / 0.154 device ms/iter (4 phase kernels + XLA glue) →
+# 0.181 wall / 0.104 device.  Default ON (gate requires TPU backend).
+MXU_ITER: bool = True
+
+# Fully fused iterate kernel (mxu_iterate_full): frequency products +
+# CRT/carry tail + shadow emission in ONE kernel per iteration.
+MXU_ITER_FULL: bool = False
+
 _CHUNKS = 4          # balanced base-256 digits per mod-p value
 _DIAGS = 2 * _CHUNKS - 1
+
+
+def use_iter_kernel(n: int) -> bool:
+    if not (MXU_ITER and NTT_MXU):
+        return False
+    if NTT_MXU != "force" and jax.default_backend() != "tpu":
+        return False
+    return iter_kernel_supported(n)
 
 
 @functools.lru_cache(maxsize=32)
@@ -286,3 +306,325 @@ def mxu_transform_pallas(y, *, m: int, inverse: bool,
     # [2, m, Rg, L] -> row-interleaved [R, m, L]
     out = out.reshape(2, m, rg, L).transpose(2, 0, 1, 3)
     return out.reshape(rows, m, L)
+
+
+# ---------------------------------------------------------------------------
+# Whole-iteration frequency kernel: the ENTIRE frequency-domain part of
+# one orbit multiply (forward four-step of x and y, T1 twiddles,
+# Montgomery pointwise x²−y² / x·y, inverse four-step, n⁻¹·R scale) as
+# ONE Pallas kernel, grid over the 2 CRT primes.  The four-step's
+# physical transposes disappear: the second/third phases contract along
+# LANES against pre-transposed matrices (U·Mᵀ is still one MXU matmul),
+# so data stays in the [n1 sublanes, n2 lanes] layout end to end.
+# Replaces per multiply: 4 phase-kernel launches + 4 XLA balanced-chunk
+# decompositions + 2 transposes + 2 T1 passes + 3 Montgomery pointwise
+# passes + the scale pass (each a [4, nfft] HBM round trip) — measured
+# 0.231 ms/iter wall vs 0.154 device at 16384 limbs, i.e. ~1/3 of the
+# iteration was XLA glue + inter-op bubbles.
+# Reference counterpart: MultiplyNTT.cu runs its whole pipeline inside
+# one cooperative kernel (`HpSharkFloatLib/MultiplyNTT.cu:47-153`).
+# ---------------------------------------------------------------------------
+
+# Input digits are base-2^16 (< 2^16), so 3 balanced base-256 chunks
+# suffice for the first forward phase (top chunk ∈ {0, 1}).
+_IN_CHUNKS = 3
+
+
+@functools.lru_cache(maxsize=8)
+def _matrix_chunks_t(m: int, prime_idx: int, inverse: bool) -> np.ndarray:
+    """int8 [4, m, m] balanced digits of the TRANSPOSED phase matrix
+    (for lane-contracting applications out = U · Mᵀ)."""
+    return _balanced_int8_np(
+        np.ascontiguousarray(_phase_matrix(m, prime_idx, inverse).T))
+
+
+@functools.lru_cache(maxsize=8)
+def _iter_tables(n: int):
+    """Numpy constant operands for the whole-iteration kernel."""
+    n1, n2 = N._split_n(n)
+    mf1 = np.stack([_matrix_chunks(n1, g, False) for g in range(2)])
+    mf2t = np.stack([_matrix_chunks_t(n2, g, False) for g in range(2)])
+    mi2t = np.stack([_matrix_chunks_t(n2, g, True) for g in range(2)])
+    mi1 = np.stack([_matrix_chunks(n1, g, True) for g in range(2)])
+    c = N._fourstep_consts(n, 2)
+    t1, t1p = c["t1"]
+    t1i, t1ip = c["t1i"]
+    t1s = np.stack([t1, t1p, t1i, t1ip], axis=1).astype(np.uint32)
+    misc = np.zeros((2, 16, 1), np.uint32)
+    for g, p in enumerate((N.P1, N.P2)):
+        misc[g, 0, 0] = p
+        for k in range(1, _DIAGS):
+            v = pow(256, k, p)
+            misc[g, k, 0] = v
+            misc[g, 6 + k, 0] = (v << 32) // p
+        misc[g, 13, 0] = N._MONT[p][0]              # -p^-1 mod 2^32
+        sc = pow(n, p - 2, p) * (1 << 32) % p        # n^-1 · R
+        misc[g, 14, 0] = sc
+        misc[g, 15, 0] = (sc << 32) // p
+    return mf1, mf2t, mi2t, mi1, t1s, misc
+
+
+def _chunk8_ker(u):
+    """In-kernel balanced base-256 chunks of u32 canonical residues."""
+    v = u.astype(jnp.int32)
+    out = []
+    for _ in range(_CHUNKS):
+        c = v & 255
+        adj = jnp.where(c >= 128, jnp.int32(1), jnp.int32(0))
+        out.append((c - (adj << 8)).astype(jnp.int8))
+        v = (v >> 8) + adj
+    return out
+
+
+def _apply_ker(get_m, x8, p, pi, get_w, lane_contract: bool):
+    """One phase transform inside the kernel: chunked MXU dots +
+    diagonal Shoup recombination.  get_m(d): [m, m] int8 matrix chunk
+    (pre-transposed when lane_contract); x8: list of [n1, n2] int8
+    chunk planes; get_w(k): the (w, wp) Shoup pair of 2^(8k) mod p;
+    returns [n1out, n2out] u32 canonical residues."""
+    from fractalshark_tpu.ops.bignum.ntt_pallas import _madd, _smul
+    nx = len(x8)
+    acc = None
+    for k in range(_CHUNKS + nx - 1):
+        t = None
+        for d in range(_CHUNKS):
+            c = k - d
+            if 0 <= c < nx:
+                if lane_contract:
+                    s = jax.lax.dot_general(
+                        x8[c], get_m(d), (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                else:
+                    s = jax.lax.dot_general(
+                        get_m(d), x8[c], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                t = s if t is None else t + s
+        u = jnp.where(t < 0, t + pi, t).astype(jnp.uint32)
+        if k == 0:
+            acc = u
+        else:
+            w, wp = get_w(k)
+            acc = _madd(acc, _smul(u, w, wp, p), p)
+    return acc
+
+
+def _freq_products(g, x8_ref, mf1_ref, mf2t_ref, mi2t_ref, mi1_ref,
+                   t1_ref, misc_ref):
+    """In-kernel frequency-domain products for prime g: returns
+    (d, xy) [n1, n2] u32 planes.  Refs are indexed [g, ...] so the
+    same body serves the gridded (leading block dim 1) and whole-array
+    (leading dim 2) forms."""
+    from fractalshark_tpu.ops.bignum.ntt_pallas import _mont, _msub, _smul
+    p = misc_ref[g, 0:1, :]
+    pi = p.astype(jnp.int32)
+    pp = misc_ref[g, 13:14, :]
+    sc = misc_ref[g, 14:15, :]
+    scp = misc_ref[g, 15:16, :]
+
+    def get_w(k):
+        return misc_ref[g, k:k + 1, :], misc_ref[g, 6 + k:7 + k, :]
+
+    def mats(ref):
+        return lambda d: ref[g, d]
+
+    f = []
+    for v in range(2):                               # x then y
+        x8 = [x8_ref[c, v] for c in range(_IN_CHUNKS)]
+        b = _apply_ker(mats(mf1_ref), x8, p, pi, get_w, False)
+        b = _smul(b, t1_ref[g, 0], t1_ref[g, 1], p)
+        f.append(_apply_ker(mats(mf2t_ref), _chunk8_ker(b), p, pi,
+                            get_w, True))
+    fx, fy = f
+    xx = _mont(fx, fx, p, pp)
+    yy = _mont(fy, fy, p, pp)
+    outs = []
+    for prod in (_msub(xx, yy, p), _mont(fx, fy, p, pp)):
+        u = _apply_ker(mats(mi2t_ref), _chunk8_ker(prod), p, pi,
+                       get_w, True)
+        u = _smul(u, t1_ref[g, 2], t1_ref[g, 3], p)
+        a = _apply_ker(mats(mi1_ref), _chunk8_ker(u), p, pi, get_w,
+                       False)
+        outs.append(_smul(a, sc, scp, p))
+    return outs                                      # d, xy
+
+
+def _iter_kernel(x8_ref, mf1_ref, mf2t_ref, mi2t_ref, mi1_ref,
+                 t1_ref, misc_ref, o_ref):
+    d, xy = _freq_products(0, x8_ref, mf1_ref, mf2t_ref, mi2t_ref,
+                           mi1_ref, t1_ref, misc_ref)
+    o_ref[0, 0] = d
+    o_ref[1, 0] = xy
+
+
+def iter_kernel_supported(n: int) -> bool:
+    if n & (n - 1) or n < 8192:
+        return False
+    n1, n2 = N._split_n(n)
+    return n1 % 8 == 0 and n2 % 128 == 0 and 8 <= n1 <= 4096 \
+        and n2 <= 4096
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def mxu_iter_products(vx, vy, *, n: int, interpret: bool = False):
+    """[4, n] u32 rows (d_p1, d_p2, xy_p1, xy_p2): bit-identical to
+    fourstep_forward → Montgomery pointwise → fourstep_inverse_scaled
+    (extra_scale_r=True) on stacked [vx, vx, vy, vy]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert iter_kernel_supported(n)
+    n1, n2 = N._split_n(n)
+    mf1, mf2t, mi2t, mi1, t1s, misc = _iter_tables(n)
+    xg = jnp.stack([vx, vy]).reshape(2, n1, n2)
+    x8 = _balanced_chunks(xg)[:_IN_CHUNKS]           # [3, 2, n1, n2]
+    miscb = jnp.broadcast_to(jnp.asarray(misc), (2, 16, n2))
+    cp = pltpu.CompilerParams(vmem_limit_bytes=100 << 20)
+    out = pl.pallas_call(
+        _iter_kernel,
+        grid=(2,),
+        in_specs=[
+            pl.BlockSpec((_IN_CHUNKS, 2, n1, n2),
+                         lambda g: (_Z0, _Z0, _Z0, _Z0)),
+            pl.BlockSpec((1, _CHUNKS, n1, n1),
+                         lambda g: (g, _Z0, _Z0, _Z0)),
+            pl.BlockSpec((1, _CHUNKS, n2, n2),
+                         lambda g: (g, _Z0, _Z0, _Z0)),
+            pl.BlockSpec((1, _CHUNKS, n2, n2),
+                         lambda g: (g, _Z0, _Z0, _Z0)),
+            pl.BlockSpec((1, _CHUNKS, n1, n1),
+                         lambda g: (g, _Z0, _Z0, _Z0)),
+            pl.BlockSpec((1, 4, n1, n2), lambda g: (g, _Z0, _Z0, _Z0)),
+            pl.BlockSpec((1, 16, n2), lambda g: (g, _Z0, _Z0)),
+        ],
+        out_specs=pl.BlockSpec((2, 1, n1, n2),
+                               lambda g: (_Z0, g, _Z0, _Z0)),
+        out_shape=jax.ShapeDtypeStruct((2, 2, n1, n2), jnp.uint32),
+        compiler_params=cp,
+        interpret=interpret,
+    )(x8, jnp.asarray(mf1), jnp.asarray(mf2t), jnp.asarray(mi2t),
+      jnp.asarray(mi1), jnp.asarray(t1s), miscb)
+    return out.reshape(4, n)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused iterate kernel: frequency products (both primes) + the
+# CRT/carry tail (ntt_pallas semantics) + shadow emission in ONE
+# kernel.  The per-iteration dispatch collapses to a single Pallas
+# call: measured per-step launch/bubble overhead was ~50 µs/iter on
+# top of the two kernels' device time (0.181 wall vs 0.104+ device).
+# ---------------------------------------------------------------------------
+
+
+def _iterfull_kernel(n: int, shadow_fd):
+    from fractalshark_tpu.ops.bignum import ntt_pallas as NP
+    n1, n2 = N._split_n(n)
+    H = n2 // NP.LANES
+    n1t = n // NP.LANES          # tail digit-plane rows
+
+    def to_tail(a):
+        """[n1, n2] → [n1·H, 128] row-major flat relayout (128-aligned
+        lane slices + a leading-dim reshape — no Mosaic lane reshape)."""
+        parts = [a[:, h * NP.LANES:(h + 1) * NP.LANES]
+                 for h in range(H)]
+        return jnp.stack(parts, axis=1).reshape(n1t, NP.LANES)
+
+    def kernel(x8_ref, mf1_ref, mf2t_ref, mi2t_ref, mi1_ref,
+               t1_ref, misc_ref, cadd_ref, rnd_ref, cfg_ref,
+               dig_o, sgn_o, *shw_o):
+        per_g = []
+        for g in range(2):
+            per_g.append(_freq_products(
+                g, x8_ref, mf1_ref, mf2t_ref, mi2t_ref, mi1_ref,
+                t1_ref, misc_ref))
+        rnd = rnd_ref[...]
+        for k in range(2):                           # d then xy
+            r1 = to_tail(per_g[0][k])
+            r2 = to_tail(per_g[1][k])
+            dbl = cfg_ref[4 * k]
+            gswap = cfg_ref[4 * k + 1]
+            csign = cfg_ref[4 * k + 2]
+            acc_p, acc_n = NP._tail_stream_cfg(r1, r2, n1t, dbl, gswap)
+            c = cadd_ref[k]
+            z = jnp.zeros_like(c)
+            acc_p = acc_p + jnp.where(csign > 0, c, z) + rnd
+            acc_n = acc_n + jnp.where(csign > 0, z, c)
+            sign, mag = NP._signed_finish(acc_p, acc_n, n1t)
+            dig_o[k] = mag
+            sgn_o[k] = sign[0:8, :]
+            if shadow_fd is not None:
+                F_, D_ = shadow_fd
+                shw_o[0][k] = NP._shadow_rows(mag, n1t, F_, D_)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n", "shadow_fd",
+                                             "interpret"))
+def mxu_iterate_full(vx, vy, cadd, rnd, cfg, *, n: int,
+                     shadow_fd=None, interpret: bool = False):
+    """One whole z ← z² + c digit update in one kernel.
+
+    vx, vy: [n] u32 digit magnitudes (padded); cadd: [2, n] addend
+    digit planes (|cx|, |cy| at the value offset); rnd: [n] round
+    plane; cfg i32[8] = per-component (double, gswap, csign, 0) as in
+    ntt_pallas.fused_tail's plain layout.  Returns (digits [2, n] u32,
+    signs i32 [2][, shadows i32 [2, 5]]) — bit-identical to
+    mxu_iter_products → ntt_pallas.fused_tail."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from fractalshark_tpu.ops.bignum import ntt_pallas as NP
+
+    assert iter_kernel_supported(n)
+    n1, n2 = N._split_n(n)
+    n1t = n // NP.LANES
+    mf1, mf2t, mi2t, mi1, t1s, misc = _iter_tables(n)
+    xg = jnp.stack([vx, vy]).reshape(2, n1, n2)
+    x8 = _balanced_chunks(xg)[:_IN_CHUNKS]           # [3, 2, n1, n2]
+    miscb = jnp.broadcast_to(jnp.asarray(misc), (2, 16, n2))
+    cp = pltpu.CompilerParams(vmem_limit_bytes=110 << 20)
+    out_specs = [
+        pl.BlockSpec((2, n1t, NP.LANES), lambda: (_Z0, _Z0, _Z0)),
+        pl.BlockSpec((2, 8, NP.LANES), lambda: (_Z0, _Z0, _Z0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((2, n1t, NP.LANES), jnp.uint32),
+        jax.ShapeDtypeStruct((2, 8, NP.LANES), jnp.int32),
+    ]
+    if shadow_fd is not None:
+        out_specs.append(pl.BlockSpec((2, 8, NP.LANES),
+                                      lambda: (_Z0, _Z0, _Z0)))
+        out_shape.append(jax.ShapeDtypeStruct((2, 8, NP.LANES),
+                                              jnp.int32))
+    outs = pl.pallas_call(
+        _iterfull_kernel(n, shadow_fd),
+        in_specs=[
+            pl.BlockSpec((_IN_CHUNKS, 2, n1, n2),
+                         lambda: (_Z0, _Z0, _Z0, _Z0)),
+            pl.BlockSpec((2, _CHUNKS, n1, n1),
+                         lambda: (_Z0, _Z0, _Z0, _Z0)),
+            pl.BlockSpec((2, _CHUNKS, n2, n2),
+                         lambda: (_Z0, _Z0, _Z0, _Z0)),
+            pl.BlockSpec((2, _CHUNKS, n2, n2),
+                         lambda: (_Z0, _Z0, _Z0, _Z0)),
+            pl.BlockSpec((2, _CHUNKS, n1, n1),
+                         lambda: (_Z0, _Z0, _Z0, _Z0)),
+            pl.BlockSpec((2, 4, n1, n2), lambda: (_Z0, _Z0, _Z0, _Z0)),
+            pl.BlockSpec((2, 16, n2), lambda: (_Z0, _Z0, _Z0)),
+            pl.BlockSpec((2, n1t, NP.LANES), lambda: (_Z0, _Z0, _Z0)),
+            pl.BlockSpec((n1t, NP.LANES), lambda: (_Z0, _Z0)),
+            pl.BlockSpec((8,), lambda: (_Z0,),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        compiler_params=cp,
+        interpret=interpret,
+    )(x8, jnp.asarray(mf1), jnp.asarray(mf2t), jnp.asarray(mi2t),
+      jnp.asarray(mi1), jnp.asarray(t1s), miscb,
+      cadd.reshape(2, n1t, NP.LANES), rnd.reshape(n1t, NP.LANES),
+      cfg)
+    if shadow_fd is not None:
+        dig, sgn, shw = outs
+        return dig.reshape(2, n), sgn[:, 0, 0], shw[:, 0:5, 0]
+    dig, sgn = outs
+    return dig.reshape(2, n), sgn[:, 0, 0]

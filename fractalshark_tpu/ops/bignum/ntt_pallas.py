@@ -1107,33 +1107,39 @@ def _tail_split_kernel(n: int, shadow_fd=None):
 
         if shadow_fd is not None:
             F_, D_ = shadow_fd
-
-            def red2(x):
-                return jnp.max(jnp.max(x, axis=-1, keepdims=True),
-                               axis=-2, keepdims=True)
-
-            # digits < 2^16 → value-preserving vector bitcast to i32
-            # (Mosaic has no unsigned reductions)
-            magi = jax.lax.bitcast_convert_type(mag, jnp.int32)
-            flat = _sub_iota(2, n1) * jnp.int32(LANES) + \
-                _lane_iota(2) - jnp.int32(F_)
-            inreg = (flat >= 0) & (flat < jnp.int32(D_))
-            nz = inreg & (magi != 0)
-            idx11 = red2(jnp.where(nz, flat, jnp.int32(-1)))
-            base11 = jnp.clip(idx11 - 3, jnp.int32(0),
-                              jnp.int32(D_ - 4))
-            basebc = jnp.broadcast_to(base11, (n1, LANES))
-            rows = [red2(jnp.where(inreg & (flat == basebc + k4),
-                                   magi, jnp.int32(0)))
-                    for k4 in range(4)] + [base11]
-            sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
-            out8 = jnp.zeros((8, LANES), jnp.int32)
-            for r, v in enumerate(rows):
-                out8 = jnp.where(sub8 == r,
-                                 jnp.broadcast_to(v, (8, LANES)), out8)
-            shw_o[0][...] = out8[None]
+            shw_o[0][...] = _shadow_rows(mag, n1, F_, D_)[None]
 
     return kernel
+
+
+def _shadow_rows(mag, n1: int, F_: int, D_: int):
+    """[8, LANES] i32 shadow block of a digit plane: the top-digit
+    window of the value slice [F, F+D) — (4 window digits, base index)
+    in slice coordinates, exactly orbit._emit_shadow's semantics."""
+    def red2(x):
+        return jnp.max(jnp.max(x, axis=-1, keepdims=True),
+                       axis=-2, keepdims=True)
+
+    # digits < 2^16 → value-preserving vector bitcast to i32
+    # (Mosaic has no unsigned reductions)
+    magi = jax.lax.bitcast_convert_type(mag, jnp.int32)
+    flat = _sub_iota(2, n1) * jnp.int32(LANES) + \
+        _lane_iota(2) - jnp.int32(F_)
+    inreg = (flat >= 0) & (flat < jnp.int32(D_))
+    nz = inreg & (magi != 0)
+    idx11 = red2(jnp.where(nz, flat, jnp.int32(-1)))
+    base11 = jnp.clip(idx11 - 3, jnp.int32(0),
+                      jnp.int32(D_ - 4))
+    basebc = jnp.broadcast_to(base11, (n1, LANES))
+    rows = [red2(jnp.where(inreg & (flat == basebc + k4),
+                           magi, jnp.int32(0)))
+            for k4 in range(4)] + [base11]
+    sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    out8 = jnp.zeros((8, LANES), jnp.int32)
+    for r, v in enumerate(rows):
+        out8 = jnp.where(sub8 == r,
+                         jnp.broadcast_to(v, (8, LANES)), out8)
+    return out8
 
 
 @functools.partial(jax.jit, static_argnames=("n", "nr", "shadow_fd",

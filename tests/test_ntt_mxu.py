@@ -123,3 +123,50 @@ def test_multiply_bit_identity_mxu_routed():
         (ix * ix - iy * iy + half) >> spec.frac_bits
     assert FP.digits_to_int(np.asarray(gxy2)) == \
         (ix * iy + half) >> spec.frac_bits
+
+
+def test_iter_kernel_bit_identity():
+    """Whole-iteration frequency kernel (interpret mode) == the XLA
+    four-step → Montgomery pointwise → scaled-inverse chain, bitwise."""
+    nf = 8192
+    rng = np.random.default_rng(5)
+    D = nf // 2
+    vx = np.zeros(nf, np.uint32)
+    vy = np.zeros(nf, np.uint32)
+    vx[:D] = rng.integers(0, 1 << 16, D)
+    vy[:D] = rng.integers(0, 1 << 16, D)
+    vx, vy = jnp.asarray(vx), jnp.asarray(vy)
+
+    stacked = jnp.stack([vx, vx, vy, vy])
+    f = N.fourstep_forward(stacked, nf)
+    p2c, pp2c = N._row_consts(2)
+    sq = N._mont_mul_rows(f, f, *N._row_consts(4))
+    d = N._mod_sub_rows(sq[0:2], sq[2:4], p2c)
+    xy = N._mont_mul_rows(f[0:2], f[2:4], p2c, pp2c)
+    prod = jnp.concatenate([d, xy])
+    inv_ref = N.fourstep_inverse_scaled(prod, nf, extra_scale_r=True)
+
+    got = NM.mxu_iter_products(vx, vy, n=nf, interpret=True)
+    assert got.dtype == jnp.uint32 and got.shape == (4, nf)
+    assert (np.asarray(got) == np.asarray(inv_ref)).all()
+
+
+def test_iter_kernel_routed_multiply():
+    """multiply_iter with MXU_ITER forced == default path, bitwise."""
+    from fractalshark_tpu.ops.bignum import fixedpoint as FP
+    spec = FP.FixedSpec.for_limbs(2048)   # nfft 8192
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 1 << 16, spec.digits, dtype=np.uint32)
+    b = rng.integers(0, 1 << 16, spec.digits, dtype=np.uint32)
+    aj, bj = jnp.asarray(a), jnp.asarray(b)
+    (bs, bd), bxy = FP.multiply_iter(aj, bj, spec)
+    old_m, old_i = NM.NTT_MXU, NM.MXU_ITER
+    NM.NTT_MXU, NM.MXU_ITER = "force", True
+    try:
+        assert NM.use_iter_kernel(spec.nfft)
+        (gs, gd), gxy = FP.multiply_iter(aj, bj, spec)
+    finally:
+        NM.NTT_MXU, NM.MXU_ITER = old_m, old_i
+    assert int(gs) == int(bs)
+    assert (np.asarray(gd) == np.asarray(bd)).all()
+    assert (np.asarray(gxy) == np.asarray(bxy)).all()

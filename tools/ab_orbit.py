@@ -35,6 +35,13 @@ elif cfg == "split":
 elif cfg == "whole":
     FP.PALLAS_NTT_SPLIT = True
     NP.WHOLE_ALIGNED = True
+elif cfg == "mxuiter":
+    from fractalshark_tpu.ops.bignum import ntt_mxu as NM
+    NM.MXU_ITER = True
+elif cfg == "mxufull":
+    from fractalshark_tpu.ops.bignum import ntt_mxu as NM
+    NM.MXU_ITER = True
+    NM.MXU_ITER_FULL = True
 elif cfg not in ("xla",):
     raise SystemExit(f"unknown config {cfg}")
 
