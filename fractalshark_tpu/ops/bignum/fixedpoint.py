@@ -419,18 +419,21 @@ def multiply_iter(ax, ay, spec: FixedSpec):
     D = spec.digits
     pad = nf - D
 
-    vx = jnp.concatenate([ax, jnp.zeros((pad,), jnp.uint32)])
-    vy = jnp.concatenate([ay, jnp.zeros((pad,), jnp.uint32)])
     F = spec.frac_digits
 
     if _use_mxu_iter(nf):
         from fractalshark_tpu.ops.bignum import ntt_mxu as NM
         inv = NM.mxu_iter_products(
-            vx, vy, n=nf, interpret=jax.default_backend() != "tpu")
+            ax, ay, n=nf, in_digits=D,
+            interpret=jax.default_backend() != "tpu")
     elif _any_pallas(nf):
         from fractalshark_tpu.ops.bignum import ntt_pallas as NP
+        vx = jnp.concatenate([ax, jnp.zeros((pad,), jnp.uint32)])
+        vy = jnp.concatenate([ay, jnp.zeros((pad,), jnp.uint32)])
         inv = NP.ntt_iter_products(vx, vy, nf)
     else:
+        vx = jnp.concatenate([ax, jnp.zeros((pad,), jnp.uint32)])
+        vy = jnp.concatenate([ay, jnp.zeros((pad,), jnp.uint32)])
         stacked = jnp.stack([vx, vx, vy, vy])
         four_step = nf >= 8192
         f = (N.fourstep_forward(stacked, nf) if four_step
@@ -557,17 +560,20 @@ def iterate_z(sx, x, sy, y, scx, cx, scy, cy, spec: FixedSpec,
     D = spec.digits
     F = spec.frac_digits
     pad = nf - D
-    vx = jnp.concatenate([x, jnp.zeros((pad,), jnp.uint32)])
-    vy = jnp.concatenate([y, jnp.zeros((pad,), jnp.uint32)])
-
     from fractalshark_tpu.ops.bignum import ntt_mxu as NM
     full_fused = (NM.MXU_ITER_FULL and _use_mxu_iter(nf)
                   and _use_fused_tail(nf, D))
+    if full_fused or _use_mxu_iter(nf):
+        vx = vy = None      # unpadded in_digits path — no pad concat
+    else:
+        vx = jnp.concatenate([x, jnp.zeros((pad,), jnp.uint32)])
+        vy = jnp.concatenate([y, jnp.zeros((pad,), jnp.uint32)])
     if full_fused:
         inv = None                        # single-kernel path below
     elif _use_mxu_iter(nf):
         inv = NM.mxu_iter_products(
-            vx, vy, n=nf, interpret=jax.default_backend() != "tpu")
+            x, y, n=nf, in_digits=D,
+            interpret=jax.default_backend() != "tpu")
     elif _any_pallas(nf):
         from fractalshark_tpu.ops.bignum import ntt_pallas as NP
         inv = NP.ntt_iter_products(vx, vy, nf)
@@ -602,13 +608,13 @@ def iterate_z(sx, x, sy, y, scx, cx, scy, cy, spec: FixedSpec,
             interp = jax.default_backend() != "tpu"
             if return_shadow:
                 dig, sgn, shw = NM.mxu_iterate_full(
-                    vx, vy, jnp.stack([cfx, cfy]), rnd, cfg, n=nf,
-                    shadow_fd=(F, D), interpret=interp)
+                    x, y, jnp.stack([cfx, cfy]), rnd, cfg, n=nf,
+                    shadow_fd=(F, D), interpret=interp, in_digits=D)
                 return (sgn[0], dig[0, F:F + D], sgn[1],
                         dig[1, F:F + D], (shw[0], shw[1]))
             dig, sgn = NM.mxu_iterate_full(
-                vx, vy, jnp.stack([cfx, cfy]), rnd, cfg, n=nf,
-                interpret=interp)
+                x, y, jnp.stack([cfx, cfy]), rnd, cfg, n=nf,
+                interpret=interp, in_digits=D)
             return sgn[0], dig[0, F:F + D], sgn[1], dig[1, F:F + D]
         if return_shadow:
             dig, sgn, shw = NP.fused_tail(

@@ -364,11 +364,12 @@ def _iter_tables(n: int):
     return mf1, mf2t, mi2t, mi1, t1s, misc
 
 
-def _chunk8_ker(u):
-    """In-kernel balanced base-256 chunks of u32 canonical residues."""
+def _chunk8_ker(u, chunks: int = _CHUNKS):
+    """In-kernel balanced base-256 chunks of u32 canonical residues
+    (chunks=3 suffices for base-2^16 digit inputs)."""
     v = u.astype(jnp.int32)
     out = []
-    for _ in range(_CHUNKS):
+    for _ in range(chunks):
         c = v & 255
         adj = jnp.where(c >= 128, jnp.int32(1), jnp.int32(0))
         out.append((c - (adj << 8)).astype(jnp.int8))
@@ -408,12 +409,18 @@ def _apply_ker(get_m, x8, p, pi, get_w, lane_contract: bool):
     return acc
 
 
-def _freq_products(g, x8_ref, mf1_ref, mf2t_ref, mi2t_ref, mi1_ref,
+def _freq_products(g, xg_ref, mf1_ref, mf2t_ref, mi2t_ref, mi1_ref,
                    t1_ref, misc_ref):
     """In-kernel frequency-domain products for prime g: returns
     (d, xy) [n1, n2] u32 planes.  Refs are indexed [g, ...] so the
     same body serves the gridded (leading block dim 1) and whole-array
-    (leading dim 2) forms."""
+    (leading dim 2) forms.
+
+    xg_ref: [2, n1h, n2] u32 UNPADDED digit planes (n1h = D/n2 rows).
+    The zero padding never materializes: the phase-1 matrices arrive
+    host-sliced to [n1, n1h] (the padded rows contribute exactly 0 to
+    every dot), and the balanced chunking runs in-kernel (3 chunks —
+    inputs are base-2^16 digits)."""
     from fractalshark_tpu.ops.bignum.ntt_pallas import _mont, _msub, _smul
     p = misc_ref[g, 0:1, :]
     pi = p.astype(jnp.int32)
@@ -429,7 +436,7 @@ def _freq_products(g, x8_ref, mf1_ref, mf2t_ref, mi2t_ref, mi1_ref,
 
     f = []
     for v in range(2):                               # x then y
-        x8 = [x8_ref[c, v] for c in range(_IN_CHUNKS)]
+        x8 = _chunk8_ker(xg_ref[v], _IN_CHUNKS)
         b = _apply_ker(mats(mf1_ref), x8, p, pi, get_w, False)
         b = _smul(b, t1_ref[g, 0], t1_ref[g, 1], p)
         f.append(_apply_ker(mats(mf2t_ref), _chunk8_ker(b), p, pi,
@@ -448,9 +455,9 @@ def _freq_products(g, x8_ref, mf1_ref, mf2t_ref, mi2t_ref, mi1_ref,
     return outs                                      # d, xy
 
 
-def _iter_kernel(x8_ref, mf1_ref, mf2t_ref, mi2t_ref, mi1_ref,
+def _iter_kernel(xg_ref, mf1_ref, mf2t_ref, mi2t_ref, mi1_ref,
                  t1_ref, misc_ref, o_ref):
-    d, xy = _freq_products(0, x8_ref, mf1_ref, mf2t_ref, mi2t_ref,
+    d, xy = _freq_products(0, xg_ref, mf1_ref, mf2t_ref, mi2t_ref,
                            mi1_ref, t1_ref, misc_ref)
     o_ref[0, 0] = d
     o_ref[1, 0] = xy
@@ -464,28 +471,39 @@ def iter_kernel_supported(n: int) -> bool:
         and n2 <= 4096
 
 
-@functools.partial(jax.jit, static_argnames=("n", "interpret"))
-def mxu_iter_products(vx, vy, *, n: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("n", "interpret",
+                                             "in_digits"))
+def mxu_iter_products(vx, vy, *, n: int, interpret: bool = False,
+                      in_digits: int | None = None):
     """[4, n] u32 rows (d_p1, d_p2, xy_p1, xy_p2): bit-identical to
     fourstep_forward → Montgomery pointwise → fourstep_inverse_scaled
-    (extra_scale_r=True) on stacked [vx, vx, vy, vy]."""
+    (extra_scale_r=True) on stacked [vx, vx, vy, vy].
+
+    in_digits: when given, vx/vy are UNPADDED [in_digits] digit
+    vectors — the zero padding never materializes (half-depth phase-1
+    dots against host-sliced matrices)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     assert iter_kernel_supported(n)
     n1, n2 = N._split_n(n)
+    if in_digits is None:
+        n1h = n1
+    else:
+        n1h = in_digits // n2
+        assert n1h * n2 == in_digits and 0 < n1h <= n1
     mf1, mf2t, mi2t, mi1, t1s, misc = _iter_tables(n)
-    xg = jnp.stack([vx, vy]).reshape(2, n1, n2)
-    x8 = _balanced_chunks(xg)[:_IN_CHUNKS]           # [3, 2, n1, n2]
+    mf1 = mf1[:, :, :, :n1h]
+    xg = jnp.stack([vx, vy]).reshape(2, n1h, n2)
     miscb = jnp.broadcast_to(jnp.asarray(misc), (2, 16, n2))
     cp = pltpu.CompilerParams(vmem_limit_bytes=100 << 20)
     out = pl.pallas_call(
         _iter_kernel,
         grid=(2,),
         in_specs=[
-            pl.BlockSpec((_IN_CHUNKS, 2, n1, n2),
-                         lambda g: (_Z0, _Z0, _Z0, _Z0)),
-            pl.BlockSpec((1, _CHUNKS, n1, n1),
+            pl.BlockSpec((2, n1h, n2),
+                         lambda g: (_Z0, _Z0, _Z0)),
+            pl.BlockSpec((1, _CHUNKS, n1, n1h),
                          lambda g: (g, _Z0, _Z0, _Z0)),
             pl.BlockSpec((1, _CHUNKS, n2, n2),
                          lambda g: (g, _Z0, _Z0, _Z0)),
@@ -501,7 +519,7 @@ def mxu_iter_products(vx, vy, *, n: int, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((2, 2, n1, n2), jnp.uint32),
         compiler_params=cp,
         interpret=interpret,
-    )(x8, jnp.asarray(mf1), jnp.asarray(mf2t), jnp.asarray(mi2t),
+    )(xg, jnp.asarray(mf1), jnp.asarray(mf2t), jnp.asarray(mi2t),
       jnp.asarray(mi1), jnp.asarray(t1s), miscb)
     return out.reshape(4, n)
 
@@ -528,13 +546,13 @@ def _iterfull_kernel(n: int, shadow_fd):
                  for h in range(H)]
         return jnp.stack(parts, axis=1).reshape(n1t, NP.LANES)
 
-    def kernel(x8_ref, mf1_ref, mf2t_ref, mi2t_ref, mi1_ref,
+    def kernel(xg_ref, mf1_ref, mf2t_ref, mi2t_ref, mi1_ref,
                t1_ref, misc_ref, cadd_ref, rnd_ref, cfg_ref,
                dig_o, sgn_o, *shw_o):
         per_g = []
         for g in range(2):
             per_g.append(_freq_products(
-                g, x8_ref, mf1_ref, mf2t_ref, mi2t_ref, mi1_ref,
+                g, xg_ref, mf1_ref, mf2t_ref, mi2t_ref, mi1_ref,
                 t1_ref, misc_ref))
         rnd = rnd_ref[...]
         for k in range(2):                           # d then xy
@@ -559,9 +577,10 @@ def _iterfull_kernel(n: int, shadow_fd):
 
 
 @functools.partial(jax.jit, static_argnames=("n", "shadow_fd",
-                                             "interpret"))
+                                             "interpret", "in_digits"))
 def mxu_iterate_full(vx, vy, cadd, rnd, cfg, *, n: int,
-                     shadow_fd=None, interpret: bool = False):
+                     shadow_fd=None, interpret: bool = False,
+                     in_digits: int | None = None):
     """One whole z ← z² + c digit update in one kernel.
 
     vx, vy: [n] u32 digit magnitudes (padded); cadd: [2, n] addend
@@ -577,9 +596,14 @@ def mxu_iterate_full(vx, vy, cadd, rnd, cfg, *, n: int,
     assert iter_kernel_supported(n)
     n1, n2 = N._split_n(n)
     n1t = n // NP.LANES
+    if in_digits is None:
+        n1h = n1
+    else:
+        n1h = in_digits // n2
+        assert n1h * n2 == in_digits and 0 < n1h <= n1
     mf1, mf2t, mi2t, mi1, t1s, misc = _iter_tables(n)
-    xg = jnp.stack([vx, vy]).reshape(2, n1, n2)
-    x8 = _balanced_chunks(xg)[:_IN_CHUNKS]           # [3, 2, n1, n2]
+    mf1 = mf1[:, :, :, :n1h]
+    xg = jnp.stack([vx, vy]).reshape(2, n1h, n2)
     miscb = jnp.broadcast_to(jnp.asarray(misc), (2, 16, n2))
     cp = pltpu.CompilerParams(vmem_limit_bytes=110 << 20)
     out_specs = [
@@ -598,9 +622,9 @@ def mxu_iterate_full(vx, vy, cadd, rnd, cfg, *, n: int,
     outs = pl.pallas_call(
         _iterfull_kernel(n, shadow_fd),
         in_specs=[
-            pl.BlockSpec((_IN_CHUNKS, 2, n1, n2),
-                         lambda: (_Z0, _Z0, _Z0, _Z0)),
-            pl.BlockSpec((2, _CHUNKS, n1, n1),
+            pl.BlockSpec((2, n1h, n2),
+                         lambda: (_Z0, _Z0, _Z0)),
+            pl.BlockSpec((2, _CHUNKS, n1, n1h),
                          lambda: (_Z0, _Z0, _Z0, _Z0)),
             pl.BlockSpec((2, _CHUNKS, n2, n2),
                          lambda: (_Z0, _Z0, _Z0, _Z0)),
@@ -619,7 +643,7 @@ def mxu_iterate_full(vx, vy, cadd, rnd, cfg, *, n: int,
         out_shape=tuple(out_shape),
         compiler_params=cp,
         interpret=interpret,
-    )(x8, jnp.asarray(mf1), jnp.asarray(mf2t), jnp.asarray(mi2t),
+    )(xg, jnp.asarray(mf1), jnp.asarray(mf2t), jnp.asarray(mi2t),
       jnp.asarray(mi1), jnp.asarray(t1s), miscb,
       cadd.reshape(2, n1t, NP.LANES), rnd.reshape(n1t, NP.LANES),
       cfg)

@@ -21,6 +21,7 @@ Device↔host crossing happens once per chunk, not per iteration.
 from __future__ import annotations
 
 import functools
+import math
 import threading
 import time
 from dataclasses import dataclass
@@ -43,6 +44,20 @@ WINDOW = 4  # top digits emitted per value (64 bits ≥ f64 precision)
 # device.  Bit-identical either way (tests/test_orbit_shadow.py);
 # kept as a tested alternative.
 TAIL_SHADOW: bool = False
+
+# Split bookkeeping: the digit scan carries ONLY the bignum state
+# (iterate_z kernels + the tail kernel's i32 shadow rows), and all f64
+# bookkeeping — shadow→HDR conversion, periodicity compare, the dzdc
+# recurrence, escape, output packing — runs as a SECOND kernel-free
+# pass over the whole chunk (vectorized where possible, one tiny-op
+# scan for the sequential dzdc/periodicity part).  Motivation: the
+# ~30 scalar XLA ops interleaved between the Pallas dispatches cost
+# ~60-75 µs/iter of device-idle wall (0.181 wall vs 0.104 device at
+# 16384 limbs; a glue-free kernel scan measures 0.079 wall).
+# Session A/B at the View #30 center (16384 limbs, 2048-step chunks):
+# 0.198 → 0.154 ms/iter session wall.  Default ON (gate requires the
+# fused tail, i.e. TPU).
+SPLIT_BOOKKEEPING: bool = True
 
 
 def _emit_shadow(digits):
@@ -96,6 +111,8 @@ def orbit_chunk(sx, x, sy, y, dzdc_x, dzdc_y, dzdc_e,
     # consumed at step k is the one the tail emitted at step k-1)
     use_tail_shadow = TAIL_SHADOW and mesh is None and \
         FP._use_fused_tail(spec.nfft, spec.digits)
+    split_bk = SPLIT_BOOKKEEPING and mesh is None and \
+        FP._use_fused_tail(spec.nfft, spec.digits)
 
     def _row_shadow(sign, row):
         """(m, e) from a [5] i32 shadow row (win digits + base) —
@@ -115,6 +132,41 @@ def orbit_chunk(sx, x, sy, y, dzdc_x, dzdc_y, dzdc_e,
                       0.0)
         sc = jnp.exp2(-s)
         return mx * sc, my * sc, e + s.astype(jnp.int32)
+
+    def row0(sign, digits):
+        win, base = _emit_shadow(digits)
+        return jnp.concatenate([win.astype(jnp.int32),
+                                base.astype(jnp.int32).reshape(1)])
+
+    if split_bk:
+        # Digit-only device scan: iterate_z kernels + the tail's i32
+        # shadow rows; ALL f64 bookkeeping (HDR shadows, periodicity,
+        # the dzdc recurrence, escape) moves to host_bookkeeping() —
+        # exact numpy/math f64, hidden under the session's
+        # double-buffered chunk loop.  The dzdc args are ignored here
+        # (the recurrence lives on host); state is the 4-digit tuple.
+        D = spec.digits
+
+        def body1(state, _):
+            sx_, x_, sy_, y_, rszx, rszy = state
+            row = jnp.concatenate(
+                [rszx, rszy,
+                 jnp.stack([sx_, sy_]).astype(jnp.int32)])     # [12]
+            nsx, nx, nsy, ny, (nrzx, nrzy) = FP.iterate_z(
+                sx_, x_, sy_, y_, scx, cx, scy, cy, spec,
+                return_shadow=True)
+            out = (row,)
+            if reuse_digits > 0:
+                out = out + (x_[D - reuse_digits:],
+                             y_[D - reuse_digits:], sx_, sy_)
+            return (nsx, nx, nsy, ny, nrzx, nrzy), out
+
+        init1 = (sx, x, sy, y, row0(sx, x), row0(sy, y))
+        state1, out1 = jax.lax.scan(body1, init1, None, length=steps)
+        rows = out1[0].T                              # [12, steps] i32
+        if reuse_digits > 0:
+            return state1[:4], (rows,) + out1[1:]
+        return state1[:4], rows
 
     def body(state, _):
         if use_tail_shadow:
@@ -222,10 +274,6 @@ def orbit_chunk(sx, x, sy, y, dzdc_x, dzdc_y, dzdc_e,
 
     init = (sx, x, sy, y, dzdc_x, dzdc_y, dzdc_e)
     if use_tail_shadow:
-        def row0(sign, digits):
-            win, base = _emit_shadow(digits)
-            return jnp.concatenate([win.astype(jnp.int32),
-                                    base.astype(jnp.int32).reshape(1)])
         init = init + (row0(sx, x), row0(sy, y))
     state, out = jax.lax.scan(body, init, None, length=steps)
     # [steps, 7] → [7, steps]: row k keeps the historical tuple slot
@@ -236,6 +284,109 @@ def orbit_chunk(sx, x, sy, y, dzdc_x, dzdc_y, dzdc_e,
     if reuse_digits > 0:
         return state[:7], (packed,) + out[1:]
     return state[:7], packed
+
+
+def host_bookkeeping(rows: np.ndarray, dz, rad_m: float, rad_e: int,
+                     cxf: float, cyf: float, frac_bits: int,
+                     periodicity: bool = True):
+    """Exact host mirror of the device bookkeeping (SPLIT_BOOKKEEPING
+    mode): rows [12, steps] i32 = (win_x[4], base_x, win_y[4], base_y,
+    sx, sy) per step; dz = (dx_m, dy_m, d_e) host floats.  Returns
+    (packed [7, steps] f64 — same row layout as the device scan — and
+    the advanced dz).  Every operation is exact-rounded IEEE f64
+    (np.ldexp / np.frexp / math.ldexp / math.frexp — no exp2/log2
+    approximations), so results are bit-identical to the CPU device
+    path and machine-independent.
+
+    The sequential dzdc/periodicity loop runs in plain Python floats
+    (~µs per step, hidden under the session's double-buffered chunk
+    loop) and stops early once a terminating flag fires — flags past
+    the first stop are never consumed by the session."""
+    steps = rows.shape[1]
+    F = frac_bits
+    sgx = rows[10].astype(np.float64)
+    sgy = rows[11].astype(np.float64)
+    wx = rows[0:4].astype(np.float64)
+    wy = rows[5:9].astype(np.float64)
+    # explicit sum order == _row_shadow/_shadow_hdr
+    mzx = (wx[0] + wx[1] * 65536.0 + wx[2] * 65536.0 ** 2
+           + wx[3] * 65536.0 ** 3) * sgx
+    mzy = (wy[0] + wy[1] * 65536.0 + wy[2] * 65536.0 ** 2
+           + wy[3] * 65536.0 ** 3) * sgy
+    ezx = 16 * rows[4].astype(np.int64) - F
+    ezy = 16 * rows[9].astype(np.int64) - F
+    lzx = np.ldexp(mzx, ezx)
+    lzy = np.ldexp(mzy, ezy)
+    e_sh = np.maximum(ezx, ezy)
+    sh_mx = np.ldexp(mzx, ezx - e_sh)
+    sh_my = np.ldexp(mzy, ezy - e_sh)
+    tx = lzx + cxf
+    ty = lzy + cyf
+    escape = tx * tx + ty * ty > 256.0
+
+    def vnorm1(m, e):
+        _, fe = np.frexp(m)
+        s = np.where(m > 0.0, fe.astype(np.int64) - 1, 0)
+        return np.ldexp(m, -s), e + s
+
+    axm, axe = vnorm1(np.abs(mzx), ezx)
+    aym, aye = vnorm1(np.abs(mzy), ezy)
+    ge = (axe > aye) | ((axe == aye) & (axm >= aym))
+    n2m = np.where(ge, axm, aym)
+    n2e = np.where(ge, axe, aye)
+    n2z = np.maximum(np.abs(mzx), np.abs(mzy)) == 0.0
+
+    def pnorm1(m: float, e: int):
+        if m > 0.0:
+            s = math.frexp(m)[1] - 1
+            return math.ldexp(m, -s), e + s
+        return m, e
+
+    eidx = int(np.argmax(escape)) if escape.any() else steps
+    limit = min(steps, eidx + 1)
+    period = np.zeros(steps, np.float64)
+    dx_m, dy_m, d_e = float(dz[0]), float(dz[1]), int(dz[2])
+    rad_m = float(rad_m)
+    rad_e = int(rad_e)
+    for k in range(limit):
+        dxm, dxe = pnorm1(abs(dx_m), d_e)
+        dym, dye = pnorm1(abs(dy_m), d_e)
+        if (dxe > dye) or (dxe == dye and dxm >= dym):
+            dmm, dme = dxm, dxe
+        else:
+            dmm, dme = dym, dye
+        n3m, n3e = pnorm1(rad_m * dmm, rad_e + dme + 1)
+        if n2z[k]:
+            pk = True
+        else:
+            pk = (n2e[k] < n3e) or (n2e[k] == n3e and n2m[k] < n3m)
+        if pk:
+            period[k] = 1.0
+            if periodicity:
+                break
+        mzxk, mzyk = float(mzx[k]), float(mzy[k])
+        exk, eyk = int(ezx[k]), int(ezy[k])
+        ezz = max(exk, eyk)
+        azx = math.ldexp(mzxk, exk - ezz)
+        azy = math.ldexp(mzyk, eyk - ezz)
+        px = azx * dx_m - azy * dy_m
+        py = azx * dy_m + azy * dx_m
+        pe = ezz + d_e + 1
+        res_e = max(pe, 0)
+        ndx = math.ldexp(px, pe - res_e) + math.ldexp(1.0, -res_e)
+        ndy = math.ldexp(py, pe - res_e)
+        amax = max(abs(ndx), abs(ndy))
+        if amax > 0.0:
+            s = math.frexp(amax)[1] - 1
+            ndx = math.ldexp(ndx, -s)
+            ndy = math.ldexp(ndy, -s)
+        else:
+            s = 0
+        dx_m, dy_m, d_e = ndx, ndy, res_e + s
+    packed = np.stack([
+        lzx, lzy, period, escape.astype(np.float64),
+        sh_mx, sh_my, e_sh.astype(np.float64)])
+    return packed, (dx_m, dy_m, d_e)
 
 
 def _shadow_to_f64(sign, win, base, spec: FP.FixedSpec) -> np.ndarray:
@@ -342,9 +493,16 @@ class TpuOrbitSession:
         cxj = jnp.asarray(cx_d)
         cyj = jnp.asarray(cy_d)
         # z starts at c (RefOrbitCalc.cpp:509-511); dzdc = 1 + 0i at
-        # shared exponent 0 (HDR form, carried through the device scan)
-        state = (scx, cxj, scy, cyj,
-                 jnp.float64(1.0), jnp.float64(0.0), jnp.int32(0))
+        # shared exponent 0 (HDR form, carried through the device scan
+        # — or host-side in SPLIT_BOOKKEEPING mode)
+        host_bk = SPLIT_BOOKKEEPING and self.mesh is None and \
+            FP._use_fused_tail(spec.nfft, spec.digits)
+        dz0_dev = (jnp.float64(1.0), jnp.float64(0.0), jnp.int32(0))
+        dz = (1.0, 0.0, 0)
+        if host_bk:
+            state = (scx, cxj, scy, cyj)
+        else:
+            state = (scx, cxj, scy, cyj) + dz0_dev
 
         radius = HD.from_hp(self.max_radius)
         rad_m = jnp.float64(radius.m)
@@ -383,7 +541,8 @@ class TpuOrbitSession:
         done = False
 
         def _dispatch(st, steps):
-            return orbit_chunk(*st, scx, cxj, scy, cyj, rad_m, rad_e,
+            full = st + dz0_dev if host_bk else st
+            return orbit_chunk(*full, scx, cxj, scy, cyj, rad_m, rad_e,
                                cxf, cyf,
                                spec=spec, steps=steps, mesh=self.mesh,
                                reuse_digits=reuse_digits)
@@ -391,8 +550,13 @@ class TpuOrbitSession:
         def _process(out, steps):
             """Read one chunk back (a single packed D2H transfer) and
             run the host bookkeeping; sets period/escape/done."""
-            nonlocal count, period, escaped_at, done
+            nonlocal count, period, escaped_at, done, dz
             arr = np.asarray(out[0] if reuse_digits > 0 else out)
+            if host_bk:
+                arr, dz = host_bookkeeping(
+                    arr, dz, float(radius.m), int(radius.e),
+                    float(self.center_x), float(self.center_y),
+                    spec.frac_bits, periodicity=periodicity)
             lzx, lzy, sh_mx, sh_my = arr[0], arr[1], arr[4], arr[5]
             pflag = arr[2] != 0.0
             eflag = arr[3] != 0.0

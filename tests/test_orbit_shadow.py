@@ -45,6 +45,7 @@ def test_orbit_tail_shadow_matches_xla_glue(monkeypatch):
     monkeypatch.setattr(
         FP, "_use_fused_tail",
         lambda nf, D: 2 * D == nf and nf % 128 == 0 and nf >= 2048)
+    monkeypatch.setattr(O, "SPLIT_BOOKKEEPING", False)  # legacy path
     O.orbit_chunk.clear_cache()
     try:
         got_st, got_sh = _chunk(spec, steps)
@@ -55,3 +56,54 @@ def test_orbit_tail_shadow_matches_xla_glue(monkeypatch):
         np.testing.assert_array_equal(a, b, err_msg=f"state[{k}]")
     for k, (a, b) in enumerate(zip(ref_sh, got_sh)):
         np.testing.assert_array_equal(a, b, err_msg=f"out[{k}]")
+
+
+def test_orbit_split_bookkeeping_bit_identity(monkeypatch):
+    """SPLIT_BOOKKEEPING (digit-only kernel scan + exact host f64
+    bookkeeping) reproduces the interleaved device scan bit for bit:
+    digit state, final dzdc, and the packed shadow/flag rows."""
+    spec = FP.FixedSpec.for_limbs(1024)   # nfft 4096 == 2·digits
+    steps = 24
+    ref_st, ref_sh = _chunk(spec, steps)
+
+    real_ft = NP.fused_tail
+
+    def ft(*a, **k):
+        k["interpret"] = True
+        return real_ft(*a, **k)
+
+    monkeypatch.setattr(NP, "fused_tail", ft)
+    monkeypatch.setattr(
+        FP, "_use_fused_tail",
+        lambda nf, D: 2 * D == nf and nf % 128 == 0 and nf >= 2048)
+    monkeypatch.setattr(O, "SPLIT_BOOKKEEPING", True)
+    O.orbit_chunk.clear_cache()
+    try:
+        got_st, rows = _chunk(spec, steps)
+    finally:
+        O.orbit_chunk.clear_cache()
+
+    for k, (a, b) in enumerate(zip(ref_st[:4], got_st)):
+        np.testing.assert_array_equal(a, b, err_msg=f"state[{k}]")
+
+    cx = -0.7436438870371587
+    cy = 0.1318259042053119
+    packed, dzf = O.host_bookkeeping(
+        np.stack(rows), (1.0, 0.0, 0), 1.0, -40, cx, cy,
+        spec.frac_bits,
+        periodicity=False)   # full loop: final dzdc must match
+    ref = np.asarray(ref_sh)
+    # flags must agree exactly; f64 shadows/dzdc to a few ulp — the
+    # device scan's XLA lowering contracts mul+add chains into FMAs,
+    # so bitwise cross-path identity is unattainable.  The host pass
+    # (pure IEEE ldexp/frexp, no contraction) is the better-defined
+    # semantic and matches the native C++ evaluator.
+    np.testing.assert_array_equal(ref[2], packed[2], err_msg="period")
+    np.testing.assert_array_equal(ref[3], packed[3], err_msg="escape")
+    np.testing.assert_array_equal(ref[6], packed[6], err_msg="e_sh")
+    for r in (0, 1, 4, 5):
+        np.testing.assert_allclose(ref[r], packed[r], rtol=1e-14,
+                                   err_msg=f"row {r}")
+    np.testing.assert_allclose([float(ref_st[4]), float(ref_st[5])],
+                               [dzf[0], dzf[1]], rtol=1e-13)
+    assert int(ref_st[6]) == dzf[2]

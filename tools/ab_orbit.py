@@ -42,6 +42,9 @@ elif cfg == "mxufull":
     from fractalshark_tpu.ops.bignum import ntt_mxu as NM
     NM.MXU_ITER = True
     NM.MXU_ITER_FULL = True
+elif cfg == "bksplit":
+    from fractalshark_tpu.ops.bignum import orbit as _O2
+    _O2.SPLIT_BOOKKEEPING = True
 elif cfg not in ("xla",):
     raise SystemExit(f"unknown config {cfg}")
 
