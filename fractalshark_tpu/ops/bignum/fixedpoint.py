@@ -650,7 +650,15 @@ def iterate_z_nr(sx, x, sy, y, sdx, dx, sdy, dy,
     def padv(v):
         return jnp.concatenate([v, jnp.zeros((pad,), jnp.uint32)])
 
-    if _any_pallas(nf):
+    if _use_mxu_iter(nf):
+        from fractalshark_tpu.ops.bignum import ntt_mxu as NM
+        inv = NM.mxu_nr_products(
+            x, y, dx, dy,
+            jnp.stack([jnp.int32(sx), jnp.int32(sy),
+                       jnp.int32(sdx), jnp.int32(sdy)]),
+            n=nf, in_digits=D,
+            interpret=jax.default_backend() != "tpu")
+    elif _any_pallas(nf):
         from fractalshark_tpu.ops.bignum import ntt_pallas as NP
         inv = NP.ntt_nr_iter_products(
             padv(x), padv(y), padv(dx), padv(dy),

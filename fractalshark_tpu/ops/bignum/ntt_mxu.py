@@ -455,6 +455,115 @@ def _freq_products(g, xg_ref, mf1_ref, mf2t_ref, mi2t_ref, mi1_ref,
     return outs                                      # d, xy
 
 
+def _freq_products_nr(g, xg_ref, sgn_ref, mf1_ref, mf2t_ref, mi2t_ref,
+                      mi1_ref, t1_ref, misc_ref):
+    """NR variant: xg_ref [4, n1h, n2] u32 magnitudes (x, y, dx, dy),
+    sgn_ref i32[4] SMEM signs applied in the SPECTRUM domain
+    (iterate_z_nr's fneg semantics).  Returns (d, xy, u, v) planes:
+    d = x²−y², xy = x·y, u = x·dx − y·dy, v = x·dy + y·dx."""
+    from fractalshark_tpu.ops.bignum.ntt_pallas import (_madd, _mont,
+                                                        _msub, _smul)
+    p = misc_ref[g, 0:1, :]
+    pi = p.astype(jnp.int32)
+    pp = misc_ref[g, 13:14, :]
+    sc = misc_ref[g, 14:15, :]
+    scp = misc_ref[g, 15:16, :]
+
+    def get_w(k):
+        return misc_ref[g, k:k + 1, :], misc_ref[g, 6 + k:7 + k, :]
+
+    def mats(ref):
+        return lambda d: ref[g, d]
+
+    f = []
+    for v in range(4):                       # x, y, dx, dy
+        x8 = _chunk8_ker(xg_ref[v], _IN_CHUNKS)
+        b = _apply_ker(mats(mf1_ref), x8, p, pi, get_w, False)
+        b = _smul(b, t1_ref[g, 0], t1_ref[g, 1], p)
+        fv = _apply_ker(mats(mf2t_ref), _chunk8_ker(b), p, pi,
+                        get_w, True)
+        neg = jnp.where(fv == jnp.uint32(0), fv, p - fv)
+        f.append(jnp.where(sgn_ref[v] < 0, neg, fv))
+    fx, fy, fdx, fdy = f
+
+    def mm(a, b):
+        return _mont(a, b, p, pp)
+
+    prods = (_msub(mm(fx, fx), mm(fy, fy), p), mm(fx, fy),
+             _msub(mm(fx, fdx), mm(fy, fdy), p),
+             _madd(mm(fx, fdy), mm(fy, fdx), p))
+    outs = []
+    for prod in prods:
+        u = _apply_ker(mats(mi2t_ref), _chunk8_ker(prod), p, pi,
+                       get_w, True)
+        u = _smul(u, t1_ref[g, 2], t1_ref[g, 3], p)
+        a = _apply_ker(mats(mi1_ref), _chunk8_ker(u), p, pi, get_w,
+                       False)
+        outs.append(_smul(a, sc, scp, p))
+    return outs                              # d, xy, u, v
+
+
+def _nr_kernel(xg_ref, sgn_ref, mf1_ref, mf2t_ref, mi2t_ref, mi1_ref,
+               t1_ref, misc_ref, o_ref):
+    outs = _freq_products_nr(0, xg_ref, sgn_ref, mf1_ref, mf2t_ref,
+                             mi2t_ref, mi1_ref, t1_ref, misc_ref)
+    for i, a in enumerate(outs):
+        o_ref[i, 0] = a
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret",
+                                             "in_digits"))
+def mxu_nr_products(x, y, dx, dy, signs, *, n: int,
+                    interpret: bool = False,
+                    in_digits: int | None = None):
+    """[8, n] u32 rows (d, xy, u, v per prime, row-interleaved):
+    bit-identical to iterate_z_nr's XLA four-step chain (forward 8
+    rows, spectrum-domain sign negation, Montgomery cross products,
+    scaled inverse).  signs: i32[4] (sx, sy, sdx, sdy)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert iter_kernel_supported(n)
+    n1, n2 = N._split_n(n)
+    if in_digits is None:
+        n1h = n1
+    else:
+        n1h = in_digits // n2
+        assert n1h * n2 == in_digits and 0 < n1h <= n1
+    mf1, mf2t, mi2t, mi1, t1s, misc = _iter_tables(n)
+    mf1 = mf1[:, :, :, :n1h]
+    xg = jnp.stack([x, y, dx, dy]).reshape(4, n1h, n2)
+    miscb = jnp.broadcast_to(jnp.asarray(misc), (2, 16, n2))
+    cp = pltpu.CompilerParams(vmem_limit_bytes=110 << 20)
+    out = pl.pallas_call(
+        _nr_kernel,
+        grid=(2,),
+        in_specs=[
+            pl.BlockSpec((4, n1h, n2), lambda g: (_Z0, _Z0, _Z0)),
+            pl.BlockSpec((4,), lambda g: (_Z0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _CHUNKS, n1, n1h),
+                         lambda g: (g, _Z0, _Z0, _Z0)),
+            pl.BlockSpec((1, _CHUNKS, n2, n2),
+                         lambda g: (g, _Z0, _Z0, _Z0)),
+            pl.BlockSpec((1, _CHUNKS, n2, n2),
+                         lambda g: (g, _Z0, _Z0, _Z0)),
+            pl.BlockSpec((1, _CHUNKS, n1, n1),
+                         lambda g: (g, _Z0, _Z0, _Z0)),
+            pl.BlockSpec((1, 4, n1, n2), lambda g: (g, _Z0, _Z0, _Z0)),
+            pl.BlockSpec((1, 16, n2), lambda g: (g, _Z0, _Z0)),
+        ],
+        out_specs=pl.BlockSpec((4, 1, n1, n2),
+                               lambda g: (_Z0, g, _Z0, _Z0)),
+        out_shape=jax.ShapeDtypeStruct((4, 2, n1, n2), jnp.uint32),
+        compiler_params=cp,
+        interpret=interpret,
+    )(xg, jnp.asarray(signs, jnp.int32), jnp.asarray(mf1),
+      jnp.asarray(mf2t), jnp.asarray(mi2t), jnp.asarray(mi1),
+      jnp.asarray(t1s), miscb)
+    return out.reshape(8, n)
+
+
 def _iter_kernel(xg_ref, mf1_ref, mf2t_ref, mi2t_ref, mi1_ref,
                  t1_ref, misc_ref, o_ref):
     d, xy = _freq_products(0, xg_ref, mf1_ref, mf2t_ref, mi2t_ref,

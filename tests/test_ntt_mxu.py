@@ -151,6 +151,51 @@ def test_iter_kernel_bit_identity():
     assert (np.asarray(got) == np.asarray(inv_ref)).all()
 
 
+def test_nr_kernel_bit_identity():
+    """NR frequency kernel (interpret) == the XLA chain: forward 8
+    rows, spectrum sign negation, Montgomery cross products, scaled
+    inverse — bitwise, with mixed signs and unpadded inputs."""
+    nf = 8192
+    rng = np.random.default_rng(11)
+    D = nf // 2
+
+    def vec():
+        return rng.integers(0, 1 << 16, D).astype(np.uint32)
+
+    x, y, dx, dy = vec(), vec(), vec(), vec()
+    signs = np.array([1, -1, -1, 1], np.int32)
+
+    def pad(v):
+        return jnp.asarray(np.concatenate([v, np.zeros(D, np.uint32)]))
+
+    stacked = jnp.stack([pad(x), pad(x), pad(y), pad(y),
+                         pad(dx), pad(dx), pad(dy), pad(dy)])
+    f = N.fourstep_forward(stacked, nf)
+    p8c, _ = N._row_consts(8)
+    sgn8 = jnp.asarray(np.repeat(signs, 2).astype(np.int32))
+    fneg = jnp.where(f == 0, f, p8c - f)
+    f = jnp.where((sgn8 < 0)[:, None], fneg, f)
+    p2c, pp2c = N._row_consts(2)
+
+    def mul2(a2, b2):
+        return N._mont_mul_rows(a2, b2, p2c, pp2c)
+
+    fx, fy, fdx, fdy = f[0:2], f[2:4], f[4:6], f[6:8]
+    d = N._mod_sub_rows(mul2(fx, fx), mul2(fy, fy), p2c)
+    xy = mul2(fx, fy)
+    u = N._mod_sub_rows(mul2(fx, fdx), mul2(fy, fdy), p2c)
+    v = N._mod_add_rows(mul2(fx, fdy), mul2(fy, fdx), p2c)
+    inv_ref = N.fourstep_inverse_scaled(
+        jnp.concatenate([d, xy, u, v]), nf, extra_scale_r=True)
+
+    got = NM.mxu_nr_products(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(dx),
+        jnp.asarray(dy), jnp.asarray(signs), n=nf, interpret=True,
+        in_digits=D)
+    assert got.shape == (8, nf)
+    assert (np.asarray(got) == np.asarray(inv_ref)).all()
+
+
 def test_iter_kernel_routed_multiply():
     """multiply_iter with MXU_ITER forced == default path, bitwise."""
     from fractalshark_tpu.ops.bignum import fixedpoint as FP
