@@ -1115,9 +1115,17 @@ def _tail_split_kernel(n: int, shadow_fd=None):
 def _shadow_rows(mag, n1: int, F_: int, D_: int):
     """[8, LANES] i32 shadow block of a digit plane: the top-digit
     window of the value slice [F, F+D) — (4 window digits, base index)
-    in slice coordinates, exactly orbit._emit_shadow's semantics."""
+    in slice coordinates, exactly orbit._emit_shadow's semantics.
+
+    Window extraction packs two 16-bit digits per i32 and SUM-reduces
+    (exactly one nonzero position per mask, so the sum IS the value):
+    2 full-plane reduces instead of 4."""
     def red2(x):
         return jnp.max(jnp.max(x, axis=-1, keepdims=True),
+                       axis=-2, keepdims=True)
+
+    def sum2(x):
+        return jnp.sum(jnp.sum(x, axis=-1, keepdims=True),
                        axis=-2, keepdims=True)
 
     # digits < 2^16 → value-preserving vector bitcast to i32
@@ -1131,9 +1139,15 @@ def _shadow_rows(mag, n1: int, F_: int, D_: int):
     base11 = jnp.clip(idx11 - 3, jnp.int32(0),
                       jnp.int32(D_ - 4))
     basebc = jnp.broadcast_to(base11, (n1, LANES))
-    rows = [red2(jnp.where(inreg & (flat == basebc + k4),
-                           magi, jnp.int32(0)))
-            for k4 in range(4)] + [base11]
+    off = flat - basebc
+    zero = jnp.int32(0)
+    p01 = sum2(jnp.where(inreg & (off == 0), magi, zero) |
+               jnp.where(inreg & (off == 1), magi << 16, zero))
+    p23 = sum2(jnp.where(inreg & (off == 2), magi, zero) |
+               jnp.where(inreg & (off == 3), magi << 16, zero))
+    mask = jnp.int32(0xFFFF)
+    rows = [p01 & mask, (p01 >> 16) & mask,
+            p23 & mask, (p23 >> 16) & mask, base11]
     sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
     out8 = jnp.zeros((8, LANES), jnp.int32)
     for r, v in enumerate(rows):
