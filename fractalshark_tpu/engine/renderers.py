@@ -232,11 +232,13 @@ def la_rc_render(fractal, results, la, w, h, identity: bool = False):
             results, la, fractal.ptz, w, h, n, sub_dtype=np.float32,
             la_only=True, return_state=True)
         _, _, ref_iter, dzr, dzi, dze, it, _ = state
-        it64 = np.asarray(it).astype(np.int64)
-        init = {"dzr": np.asarray(dzr), "dzi": np.asarray(dzi),
-                "dze": np.asarray(dze), "it": it64,
-                "jwait": np.asarray(ref_iter).astype(np.int64),
-                "done": (it64 >= n).astype(np.int32)}
+        # live device arrays straight into the RC tail — the old numpy
+        # round trip cost ~6 host↔device transfers per frame
+        import jax.numpy as jnp
+        it64 = jnp.asarray(it).astype(jnp.int64)
+        init = {"dzr": dzr, "dzi": dzi, "dze": dze, "it": it64,
+                "jwait": jnp.asarray(ref_iter).astype(jnp.int64),
+                "done": (it64 >= n).astype(jnp.int32)}
     return perturb_render_stream_rc(
         comp, results.center_x, results.center_y, fractal.ptz, w, h,
         n, init_state=init, abort_monitor=fractal.abort_monitor)

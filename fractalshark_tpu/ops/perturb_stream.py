@@ -29,6 +29,7 @@ escape/rebase rules).
 from __future__ import annotations
 
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +55,26 @@ WIN = 1024
 # vector ops per step, data-independent.  Tests shrink REM_LOG to
 # exercise the borrow path without 2^30 steps.
 REM_LOG = 30
+
+
+def _budget_ladder(base: int) -> tuple:
+    """STATIC per-launch window budgets (each rung is its own compile,
+    cached): the default rung bounds one dispatch to a few seconds of
+    WORST-CASE stepping (device watchdog + abort latency), but warm
+    interactive renders measure ~10 ms device per launch — the
+    relaunch round trips through the tunnel (~70 ms each) then
+    dominate the frame.  The loop escalates a rung only after
+    MEASURING a fast launch, so the worst case stays bounded by ~8×
+    an observed sub-second dispatch."""
+    return (base, base * 8, base * 64)
+
+
+def _next_rung(rung: int, wall_s: float, n: int) -> int:
+    if wall_s < 0.8 and rung < n - 1:
+        return rung + 1
+    if wall_s > 4.0 and rung > 0:
+        return rung - 1
+    return rung
 
 
 def _rem_split(v: int) -> tuple[int, int]:
@@ -321,16 +342,21 @@ def perturb_render_stream(results, ptz: PointZoomBBConverter,
     dcr = pad(dc.re)
     dci = pad(dc.im)
     dce = pad(dc.e, fill=int(hdr.MIN_BIG_EXPONENT))
+    ladder = _budget_ladder(int(launch_windows))
+    rung = 0
     with jax.enable_x64(False):
         while True:
+            t0 = time.perf_counter()
             state = _launch(scal, z0, oxj, oyj, dcr, dci, dce,
                             state, tile_h, height, width,
-                            int(launch_windows), interpret)
+                            ladder[rung], interpret)
             flags = np.asarray(state[7])[::8, 1]
+            dt = time.perf_counter() - t0
             if flags.min() >= 1:
                 break
             if abort_monitor is not None and abort_monitor.aborted():
                 break
+            rung = _next_rung(rung, dt, len(ladder))
     return _iters_from_rem(state[3], state[4], max_iter, height, width)
 
 
@@ -626,7 +652,18 @@ def _orbit_value_at(compressed, idx: int) -> tuple[float, float]:
     """Z[idx] reconstructed from the anchor set: last anchor ≤ idx, then
     the f64 low-precision recurrence forward (exact when every entry is
     an anchor — the identity/two-phase path; within compression-span
-    error bounds otherwise, PerturbationResultsHelpers.h:51-161)."""
+    error bounds otherwise, PerturbationResultsHelpers.h:51-161).
+    Cached per (orbit, idx): the RC init path evaluates it every
+    frame (branch-free wrap handling)."""
+    cache = getattr(compressed, "_zat_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            compressed._zat_cache = cache
+        except AttributeError:
+            cache = None
+    if cache is not None and idx in cache:
+        return cache[idx]
     ai = compressed.anchor_index
     k = int(np.searchsorted(ai, idx, side="right")) - 1
     zx = float(compressed.anchors_x[k])
@@ -634,6 +671,8 @@ def _orbit_value_at(compressed, idx: int) -> tuple[float, float]:
     for _ in range(idx - int(ai[k])):
         zx, zy = (zx * zx - zy * zy + compressed.cx_low,
                   2.0 * zx * zy + compressed.cy_low)
+    if cache is not None:
+        cache[idx] = (zx, zy)
     return zx, zy
 
 
@@ -729,51 +768,61 @@ def perturb_render_stream_rc(compressed, center_x, center_y,
               jnp.zeros((ph, pw), jnp.int32),
               jnp.zeros((ph, pw), jnp.int32))
     else:
-        done0[:height, :width] = np.asarray(init_state["done"],
-                                            np.int32)
-        jw = np.asarray(init_state["jwait"], np.int64).copy()
-        dzr0 = np.asarray(init_state["dzr"], np.float32).copy()
-        dzi0 = np.asarray(init_state["dzi"], np.float32).copy()
-        dze0 = np.asarray(init_state["dze"], np.int32).copy()
+        # ALL init-state math runs on device: a warm interactive frame
+        # hands phase-1 outputs over as live device arrays, and the
+        # old numpy round trip cost ~10 host↔device transfers per
+        # frame through the tunnel.  np inputs still work (one upload
+        # each in jnp.asarray).
+        dn = jnp.asarray(init_state["done"]).astype(jnp.int32)
+        jw = jnp.asarray(init_state["jwait"]).astype(jnp.int64)
+        dzr0 = jnp.asarray(init_state["dzr"]).astype(jnp.float32)
+        dzi0 = jnp.asarray(init_state["dzi"]).astype(jnp.float32)
+        dze0 = jnp.asarray(init_state["dze"]).astype(jnp.int32)
         # jwait == max_ref is the machine's WRAP position: the one-kernel
         # loop rebases there (dz ← Z[max_ref] + dz, RefIteration = 0,
         # SURVEY.md A.1) without consuming an iteration.  Apply that
-        # rebase host-side in the kernel's own HDR-f32 arithmetic; the
-        # old clip to max_ref-1 made such pixels step once against
-        # Z[max_ref-1] (ADVICE r2 #3).
-        wrap = (jw >= max_ref) & \
-            (np.asarray(init_state["done"], np.int32) == 0)
-        if wrap.any():
-            zx, zy = _orbit_value_at(compressed, max_ref)
-            zmr = HDRComplex(jnp.full(jw.shape, np.float32(zx)),
-                             jnp.full(jw.shape, np.float32(zy)),
-                             jnp.zeros(jw.shape, jnp.int32))
-            zf = hdr.reduce_complex(hdr.complex_add(
-                zmr, HDRComplex(jnp.asarray(dzr0), jnp.asarray(dzi0),
-                                jnp.asarray(dze0))))
-            dzr0 = np.where(wrap, np.asarray(zf.re), dzr0)
-            dzi0 = np.where(wrap, np.asarray(zf.im), dzi0)
-            dze0 = np.where(wrap, np.asarray(zf.e), dze0)
-        jw = np.where(wrap, 0, np.clip(jw, 0, max(0, max_ref - 1)))
-        it0 = np.asarray(init_state["it"], np.int64)
-        rem0 = np.maximum(np.int64(max_iter) - it0, 0)
-        st = (padi(dzr0, 0.0, np.float32),
-              padi(dzi0, 0.0, np.float32),
-              padi(dze0, int(hdr.MIN_BIG_EXPONENT)),
-              padi((rem0 >> REM_LOG).astype(np.int32), 0),
-              padi((rem0 & ((1 << REM_LOG) - 1)).astype(np.int32), 0),
-              jnp.asarray(done0),
+        # rebase in the kernel's own HDR-f32 arithmetic — branch-free
+        # (computed for every pixel, selected where wrap) so no host
+        # sync; the old clip to max_ref-1 made such pixels step once
+        # against Z[max_ref-1] (ADVICE r2 #3).
+        wrap = (jw >= max_ref) & (dn == 0)
+        zx, zy = _orbit_value_at(compressed, max_ref)
+        zmr = HDRComplex(jnp.full(jw.shape, np.float32(zx)),
+                         jnp.full(jw.shape, np.float32(zy)),
+                         jnp.zeros(jw.shape, jnp.int32))
+        zf = hdr.reduce_complex(hdr.complex_add(
+            zmr, HDRComplex(dzr0, dzi0, dze0)))
+        dzr0 = jnp.where(wrap, zf.re, dzr0)
+        dzi0 = jnp.where(wrap, zf.im, dzi0)
+        dze0 = jnp.where(wrap, zf.e, dze0)
+        jw = jnp.where(wrap, jnp.int64(0),
+                       jnp.clip(jw, 0, max(0, max_ref - 1)))
+        it0 = jnp.asarray(init_state["it"]).astype(jnp.int64)
+        rem0 = jnp.maximum(jnp.int64(max_iter) - it0, 0)
+
+        def padd(a, fill=0):
+            return jnp.pad(a, ((0, ph - height), (0, pw - width)),
+                           constant_values=fill)
+
+        st = (padd(dzr0, 0.0),
+              padd(dzi0, 0.0),
+              padd(dze0, int(hdr.MIN_BIG_EXPONENT)),
+              padd((rem0 >> REM_LOG).astype(jnp.int32), 0),
+              padd((rem0 & ((1 << REM_LOG) - 1)).astype(jnp.int32), 0),
+              padd(dn, 1),
               jnp.zeros((ph, pw), jnp.int32),
-              padi((1 - np.asarray(init_state["done"], np.int32)) *
-                   (jw > 0), 0),
-              padi((jw // WIN).astype(np.int32), 0),
-              padi((jw % WIN).astype(np.int32), 0))
+              padd(((1 - dn) * (jw > 0)).astype(jnp.int32), 0),
+              padd((jw // WIN).astype(jnp.int32), 0),
+              padd((jw % WIN).astype(jnp.int32), 0))
         # pixels with jwait == 0 start active at the sweep head like a
         # fresh render (sweep-start activation covers them)
     state = st + (jnp.zeros((n_tiles * 8, 128), jnp.int32),
                   jnp.zeros((n_tiles * 8, 128), jnp.float32))
+    ladder = _budget_ladder(int(launch_windows))
+    rung = 0
     with jax.enable_x64(False):
         while True:
+            t0 = time.perf_counter()
             state = _rc_launch(scal, cvals, jnp.asarray(awh),
                                jnp.asarray(awl),
                                jnp.asarray(xh), jnp.asarray(xl),
@@ -781,10 +830,12 @@ def perturb_render_stream_rc(compressed, center_x, center_y,
                                padj(dc.re), padj(dc.im),
                                padj(dc.e, fill=int(hdr.MIN_BIG_EXPONENT)),
                                state, tile_h, height, width,
-                               int(launch_windows), interpret)
+                               ladder[rung], interpret)
             flags = np.asarray(state[10])[::8, 3]
+            dt = time.perf_counter() - t0
             if flags.min() >= 1:
                 break
             if abort_monitor is not None and abort_monitor.aborted():
                 break
+            rung = _next_rung(rung, dt, len(ladder))
     return _iters_from_rem(state[3], state[4], max_iter, height, width)
