@@ -20,6 +20,7 @@ the device analogue of GPU_LAReference.
 from __future__ import annotations
 
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -381,8 +382,15 @@ def la_perturb_render(results, la, ptz: PointZoomBBConverter,
         cache[key] = (jnp.asarray(_pack_nodes(arrs, sub_dtype)),
                       jnp.asarray(_pack_orbit(np.asarray(ox),
                                               np.asarray(oy),
-                                              int(max_ref))))
-    packed_dev, orbit_dev = cache[key]
+                                              int(max_ref))),
+                      # small per-table operands: re-uploading them
+                      # every frame cost ~4 tunnel round trips
+                      jnp.asarray(arrs["thrc_m"]),
+                      jnp.asarray(arrs["thrc_e"]),
+                      jnp.asarray(arrs["stage_la_index"]),
+                      jnp.asarray(arrs["stage_macro_it_count"]))
+    (packed_dev, orbit_dev, thrcm_dev, thrce_dev, sli_dev,
+     smic_dev) = cache[key]
     # 64-bit budgets: side int64 step-length array (the packed column
     # wraps at 2^31; ADVICE r2 #2)
     step64_dev = None
@@ -396,18 +404,32 @@ def la_perturb_render(results, la, ptz: PointZoomBBConverter,
         orbit_dev,
         dc.re, dc.im, dc.e,
         packed_dev, step64_dev,
-        jnp.asarray(arrs["thrc_m"]), jnp.asarray(arrs["thrc_e"]),
-        jnp.asarray(arrs["stage_la_index"]),
-        jnp.asarray(arrs["stage_macro_it_count"]),
+        thrcm_dev, thrce_dev, sli_dev, smic_dev,
         at_args,
         jnp.int32(max_ref))
     kw = dict(max_iter=int(max_iter), la_only=bool(la_only),
               stage_count=int(arrs["stage_count"]), at_step=at_step,
               chunk_steps=int(chunk_steps))
+    # STATIC chunk-size ladder (each rung its own cached compile): the
+    # base rung bounds a cold dispatch to ~1-3 s worst case, but warm
+    # interactive frames measure ~100 ms per dispatch — escalate after
+    # MEASURING a fast one so relaunch round trips (~70 ms each
+    # through the tunnel) stop dominating the frame.
+    ladder = ((int(chunk_steps), int(chunk_steps) * 4,
+               int(chunk_steps) * 16) if chunk_steps else (0,))
+    rung = 0
+    t0 = time.perf_counter()
     state, all_done = _lav2_impl(*args, **kw)
     while not bool(all_done):
         if abort_monitor is not None and abort_monitor.aborted():
             break
+        dt = time.perf_counter() - t0
+        if dt < 0.8 and rung < len(ladder) - 1:
+            rung += 1
+        elif dt > 4.0 and rung > 0:
+            rung -= 1
+        kw["chunk_steps"] = int(ladder[rung])
+        t0 = time.perf_counter()
         state, all_done = _lav2_impl(*args, **kw, resume_state=state)
     if return_state:
         return state
