@@ -1125,8 +1125,11 @@ def _shadow_rows(mag, n1: int, F_: int, D_: int):
                        axis=-2, keepdims=True)
 
     def sum2(x):
-        return jnp.sum(jnp.sum(x, axis=-1, keepdims=True),
-                       axis=-2, keepdims=True)
+        # dtype pinned: under jax_enable_x64 jnp.sum widens i32 to
+        # i64, which Mosaic rejects (sums here fit i32 exactly)
+        return jnp.sum(jnp.sum(x, axis=-1, keepdims=True,
+                               dtype=jnp.int32),
+                       axis=-2, keepdims=True, dtype=jnp.int32)
 
     # digits < 2^16 → value-preserving vector bitcast to i32
     # (Mosaic has no unsigned reductions)
@@ -1156,6 +1159,101 @@ def _shadow_rows(mag, n1: int, F_: int, D_: int):
     return out8
 
 
+def _shadow_rows_b(mag, n1: int, F_: int, D_: int):
+    """Batched _shadow_rows: mag [K, n1, LANES] → [K, 8, LANES]."""
+    def red2(x):
+        return jnp.max(jnp.max(x, axis=-1, keepdims=True),
+                       axis=-2, keepdims=True)
+
+    def sum2(x):
+        # dtype pinned: under jax_enable_x64 jnp.sum widens i32 to
+        # i64, which Mosaic rejects (sums here fit i32 exactly)
+        return jnp.sum(jnp.sum(x, axis=-1, keepdims=True,
+                               dtype=jnp.int32),
+                       axis=-2, keepdims=True, dtype=jnp.int32)
+
+    K = mag.shape[0]
+    magi = jax.lax.bitcast_convert_type(mag, jnp.int32)
+    flat = _sub_iota(3, n1) * jnp.int32(LANES) + \
+        _lane_iota(3) - jnp.int32(F_)
+    inreg = (flat >= 0) & (flat < jnp.int32(D_))
+    nz = inreg & (magi != 0)
+    idx11 = red2(jnp.where(nz, jnp.broadcast_to(flat, magi.shape),
+                           jnp.int32(-1)))
+    base11 = jnp.clip(idx11 - 3, jnp.int32(0), jnp.int32(D_ - 4))
+    off = jnp.broadcast_to(flat, magi.shape) - \
+        jnp.broadcast_to(base11, magi.shape)
+    zero = jnp.int32(0)
+    p01 = sum2(jnp.where(inreg & (off == 0), magi, zero) |
+               jnp.where(inreg & (off == 1), magi << 16, zero))
+    p23 = sum2(jnp.where(inreg & (off == 2), magi, zero) |
+               jnp.where(inreg & (off == 3), magi << 16, zero))
+    mask = jnp.int32(0xFFFF)
+    rows = [p01 & mask, (p01 >> 16) & mask,
+            p23 & mask, (p23 >> 16) & mask, base11]
+    sub8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, LANES), 1)
+    out = jnp.zeros((K, 8, LANES), jnp.int32)
+    for r, v in enumerate(rows):
+        out = jnp.where(sub8 == r,
+                        jnp.broadcast_to(v, (K, 8, LANES)), out)
+    return out
+
+
+def _tail_batched_kernel(n: int, shadow_fd):
+    """All K components in ONE kernel invocation, batched on the
+    leading dim: the gridded form pays every VPU pass's fixed cost
+    once per component; batching runs each pass on [K, n1, 128] so the
+    per-op overhead amortizes over K."""
+    n1 = n // LANES
+
+    def kernel(inv_ref, cadd_ref, rnd_ref, cfgv_ref, dig_o, sgn_o,
+               *shw_o):
+        dbl = cfgv_ref[:, 0:1, 0:1]                  # [K, 1, 1] i32
+        gswap = cfgv_ref[:, 1:2, 0:1]
+        csign = cfgv_ref[:, 2:3, 0:1]
+        r1 = inv_ref[:, 0]                           # [K, n1, LANES]
+        r2 = inv_ref[:, 1]
+        acc_p, acc_n = _tail_stream_cfg(r1, r2, n1, dbl, gswap)
+        c = cadd_ref[...]
+        z = jnp.zeros_like(c)
+        acc_p = acc_p + jnp.where(csign > 0, c, z) + rnd_ref[...][None]
+        acc_n = acc_n + jnp.where(csign > 0, z, c)
+        sign, mag = _signed_finish(acc_p, acc_n, n1)
+        dig_o[...] = mag
+        sgn_o[...] = sign[:, 0:8, :]
+        if shadow_fd is not None:
+            F_, D_ = shadow_fd
+            shw_o[0][...] = _shadow_rows_b(mag, n1, F_, D_)
+
+    return kernel
+
+
+# Batched tail default: flipped by A/B on the live backend.
+BATCHED_TAIL: bool = False
+
+
+@functools.partial(jax.jit, static_argnames=("n", "nr", "shadow_fd",
+                                             "interpret"))
+def _fused_tail_batched(inv, cadd, rnd, cfg, *, n: int, nr: bool,
+                        shadow_fd, interpret: bool):
+    n1 = n // LANES
+    K = inv.shape[0]
+    cfg8 = jnp.concatenate([cfg.reshape(K, 4),
+                            jnp.zeros((K, 4), jnp.int32)], axis=1)
+    cfgv = jnp.broadcast_to(cfg8[:, :, None], (K, 8, LANES))
+    out_shape = [jax.ShapeDtypeStruct((K, n1, LANES), jnp.uint32),
+                 jax.ShapeDtypeStruct((K, 8, LANES), jnp.int32)]
+    if shadow_fd is not None:
+        out_shape.append(jax.ShapeDtypeStruct((K, 8, LANES),
+                                              jnp.int32))
+    return pl.pallas_call(
+        _tail_batched_kernel(n, shadow_fd),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(inv.reshape(K, 2, n1, LANES), cadd.reshape(K, n1, LANES),
+      rnd.reshape(n1, LANES), cfgv)
+
+
 @functools.partial(jax.jit, static_argnames=("n", "nr", "shadow_fd",
                                              "interpret"))
 def fused_tail(inv, cadd, rnd, sgs, *, n: int, nr: bool = False,
@@ -1182,6 +1280,15 @@ def fused_tail(inv, cadd, rnd, sgs, *, n: int, nr: bool = False,
         # global sign sx·sy (stream swap) doubled, +cy
         cfg = jnp.stack([zero, one, sgs[0], zero,
                          one, sgs[2], sgs[1], zero])
+    if BATCHED_TAIL:
+        outs = _fused_tail_batched(inv, cadd, rnd, cfg, n=n, nr=nr,
+                                   shadow_fd=shadow_fd,
+                                   interpret=interpret)
+        if shadow_fd is not None:
+            dig, sgn, shw = outs
+            return dig.reshape(K, n), sgn[:, 0, 0], shw[:, 0:5, 0]
+        dig, sgn = outs
+        return dig.reshape(K, n), sgn[:, 0, 0]
     out_specs = [pl.BlockSpec((1, n1, LANES),
                               lambda k: (k, _Z0, _Z0)),
                  pl.BlockSpec((1, 8, LANES),

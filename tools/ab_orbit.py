@@ -45,6 +45,8 @@ elif cfg == "mxufull":
 elif cfg == "bksplit":
     from fractalshark_tpu.ops.bignum import orbit as _O2
     _O2.SPLIT_BOOKKEEPING = True
+elif cfg == "btail":
+    NP.BATCHED_TAIL = True
 elif cfg not in ("xla",):
     raise SystemExit(f"unknown config {cfg}")
 
