@@ -340,7 +340,7 @@ def _orbit_session(extra):
 
     if jax.default_backend() != "tpu":
         return
-    limbs, steps = 16384, 2048
+    limbs, steps = 16384, 4096
     spec = FP.FixedSpec.for_limbs(limbs)
     prec = spec.frac_bits - 20
     v30 = get_view_preset(30).ptz

@@ -41,7 +41,7 @@ MAX_IT = 4_000_000
 t0 = time.perf_counter()
 res = compute_reference_orbit_device(
     ptz.pt_x, ptz.pt_y, MAX_IT, ptz.radius, limbs32=16384,
-    periodicity=True, chunk_steps=2048)
+    periodicity=True, chunk_steps=4096)
 orbit_s = time.perf_counter() - t0
 state.update(phase="orbit_done", orbit_s=round(orbit_s, 1),
              orbit_len=res.count_orbit_entries(), period=res.period,
