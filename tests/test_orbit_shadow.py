@@ -107,3 +107,61 @@ def test_orbit_split_bookkeeping_bit_identity(monkeypatch):
     np.testing.assert_allclose([float(ref_st[4]), float(ref_st[5])],
                                [dzf[0], dzf[1]], rtol=1e-13)
     assert int(ref_st[6]) == dzf[2]
+
+
+def test_host_bookkeeping_chunk_continuity(monkeypatch):
+    """dz carried across two host_bookkeeping chunks == one long
+    chunk, and the packed rows concatenate identically (the session's
+    cross-chunk dz handoff)."""
+    spec = FP.FixedSpec.for_limbs(1024)
+    cx = -0.7436438870371587
+    cy = 0.1318259042053119
+
+    real_ft = NP.fused_tail
+
+    def ft(*a, **k):
+        k["interpret"] = True
+        return real_ft(*a, **k)
+
+    monkeypatch.setattr(NP, "fused_tail", ft)
+    monkeypatch.setattr(
+        FP, "_use_fused_tail",
+        lambda nf, D: 2 * D == nf and nf % 128 == 0 and nf >= 2048)
+    monkeypatch.setattr(O, "SPLIT_BOOKKEEPING", True)
+    O.orbit_chunk.clear_cache()
+    try:
+        cxh = HighPrecision(str(cx), prec=spec.frac_bits)
+        cyh = HighPrecision(str(cy), prec=spec.frac_bits)
+        scx, cxd = FP.hp_to_digits(cxh, spec)
+        scy, cyd = FP.hp_to_digits(cyh, spec)
+        args = (jnp.int32(scx), jnp.asarray(cxd), jnp.int32(scy),
+                jnp.asarray(cyd))
+        dz0 = (jnp.float64(1.0), jnp.float64(0.0), jnp.int32(0))
+        consts = (jnp.float64(1.0), jnp.int32(-40),
+                  jnp.float64(cx), jnp.float64(cy))
+        st1, r1 = O.orbit_chunk(*args, *dz0, *args, *consts,
+                                spec=spec, steps=16)
+        st2, r2 = O.orbit_chunk(*st1, *dz0, *args, *consts,
+                                spec=spec, steps=16)
+        _, rf = O.orbit_chunk(*args, *dz0, *args, *consts,
+                              spec=spec, steps=32)
+    finally:
+        O.orbit_chunk.clear_cache()
+
+    rows1 = np.stack([np.asarray(a) for a in r1])
+    rows2 = np.stack([np.asarray(a) for a in r2])
+    rowsf = np.stack([np.asarray(a) for a in rf])
+    np.testing.assert_array_equal(
+        np.concatenate([rows1, rows2], axis=1), rowsf)
+
+    p1, dz1 = O.host_bookkeeping(rows1, (1.0, 0.0, 0), 1.0, -40,
+                                 cx, cy, spec.frac_bits,
+                                 periodicity=False)
+    p2, dz2 = O.host_bookkeeping(rows2, dz1, 1.0, -40,
+                                 cx, cy, spec.frac_bits,
+                                 periodicity=False)
+    pf, dzf = O.host_bookkeeping(rowsf, (1.0, 0.0, 0), 1.0, -40,
+                                 cx, cy, spec.frac_bits,
+                                 periodicity=False)
+    np.testing.assert_array_equal(np.concatenate([p1, p2], axis=1), pf)
+    assert dz2 == dzf
