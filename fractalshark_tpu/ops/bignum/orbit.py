@@ -601,42 +601,46 @@ class TpuOrbitSession:
                 escaped_at = count
                 done = True
 
-        # Double-buffered chunk loop: chunk k+1 is dispatched BEFORE
-        # chunk k's outputs are read back, so the k+1 device compute
-        # overlaps the k readback + host bookkeeping (the reference
+        # Pipelined chunk loop: up to `depth` chunks are dispatched
+        # BEFORE chunk k's outputs are read back, so device compute
+        # overlaps the readback + host bookkeeping (the reference
         # overlaps its chunked cooperative launches with host-side
-        # output draining the same way, RefOrbitCalc.cpp:2205-2233;
-        # here the overlap also hides the tunnel's transfer latency).
-        # When a flag fires inside chunk k, the in-flight chunk k+1 is
-        # simply discarded — z keeps iterating past the period on
-        # device, which is harmless.
+        # output draining the same way, RefOrbitCalc.cpp:2205-2233).
+        # Chunks are sequentially dependent through the device-side
+        # digit state, so dispatching ahead just queues them on the
+        # device; depth > 2 additionally rides out tunnel-latency
+        # spikes (congested periods showed readbacks slower than a
+        # whole chunk's compute). When a flag fires inside chunk k,
+        # the in-flight chunks are simply discarded — z iterating past
+        # the period on device is harmless.
+        from collections import deque
+        depth = 3
         it = 0          # iterations dispatched
         processed = 0   # iterations processed on host
-        pending = None  # (out, steps) of the chunk in flight
+        pending = deque()   # (out, steps) chunks in flight
         while True:
             if abort_flag is not None and abort_flag.is_set():
-                if pending is not None:
-                    _process(*pending)
-                    processed += pending[1]
-                    pending = None
+                while pending:
+                    out, steps = pending.popleft()
+                    _process(out, steps)
+                    processed += steps
                 break
-            if not done and it < max_iterations:
+            while (not done and it < max_iterations
+                   and len(pending) < depth):
                 steps = min(self.chunk_steps, max_iterations - it)
                 state, out = _dispatch(state, steps)
                 it += steps
-                nxt = (out, steps)
-            else:
-                nxt = None
-            if pending is not None:
-                _process(*pending)
-                processed += pending[1]
+                pending.append((out, steps))
+            if pending:
+                out, steps = pending.popleft()
+                _process(out, steps)
+                processed += steps
                 if progress_cb is not None:
                     progress_cb(processed, max_iterations,
                                 time.perf_counter() - t0)
-            pending = nxt
             if done:
-                pending = None      # past-the-flag chunk: discard
-            if pending is None and (done or it >= max_iterations):
+                pending.clear()     # past-the-flag chunks: discard
+            if not pending and (done or it >= max_iterations):
                 break
 
         xs = gx.finalize()
