@@ -59,6 +59,14 @@ TAIL_SHADOW: bool = False
 # fused tail, i.e. TPU).
 SPLIT_BOOKKEEPING: bool = True
 
+# Within split mode: emit the i32 shadow rows with XLA argmax +
+# dynamic_slice on the digit state (pre-update, no carried rows)
+# instead of the tail kernel's in-kernel reduce passes (~27 µs/iter
+# device for both components).  A/B at the View #30 operand
+# (4096-step chunks, identical row checksums): 0.112 wall / 0.104
+# device → 0.106 / 0.097 ms/iter.  Default ON.
+SPLIT_XLA_SHADOW: bool = True
+
 
 def _emit_shadow(digits):
     """Normalize: (window of WINDOW digits ending at the top nonzero
@@ -147,21 +155,37 @@ def orbit_chunk(sx, x, sy, y, dzdc_x, dzdc_y, dzdc_e,
         # (the recurrence lives on host); state is the 4-digit tuple.
         D = spec.digits
 
-        def body1(state, _):
-            sx_, x_, sy_, y_, rszx, rszy = state
-            row = jnp.concatenate(
-                [rszx, rszy,
-                 jnp.stack([sx_, sy_]).astype(jnp.int32)])     # [12]
-            nsx, nx, nsy, ny, (nrzx, nrzy) = FP.iterate_z(
-                sx_, x_, sy_, y_, scx, cx, scy, cy, spec,
-                return_shadow=True)
-            out = (row,)
-            if reuse_digits > 0:
-                out = out + (x_[D - reuse_digits:],
-                             y_[D - reuse_digits:], sx_, sy_)
-            return (nsx, nx, nsy, ny, nrzx, nrzy), out
+        if SPLIT_XLA_SHADOW:
+            def body1(state, _):
+                sx_, x_, sy_, y_ = state
+                row = jnp.concatenate(
+                    [row0(sx_, x_), row0(sy_, y_),
+                     jnp.stack([sx_, sy_]).astype(jnp.int32)])
+                nsx, nx, nsy, ny = FP.iterate_z(
+                    sx_, x_, sy_, y_, scx, cx, scy, cy, spec)
+                out = (row,)
+                if reuse_digits > 0:
+                    out = out + (x_[D - reuse_digits:],
+                                 y_[D - reuse_digits:], sx_, sy_)
+                return (nsx, nx, nsy, ny), out
 
-        init1 = (sx, x, sy, y, row0(sx, x), row0(sy, y))
+            init1 = (sx, x, sy, y)
+        else:
+            def body1(state, _):
+                sx_, x_, sy_, y_, rszx, rszy = state
+                row = jnp.concatenate(
+                    [rszx, rszy,
+                     jnp.stack([sx_, sy_]).astype(jnp.int32)])  # [12]
+                nsx, nx, nsy, ny, (nrzx, nrzy) = FP.iterate_z(
+                    sx_, x_, sy_, y_, scx, cx, scy, cy, spec,
+                    return_shadow=True)
+                out = (row,)
+                if reuse_digits > 0:
+                    out = out + (x_[D - reuse_digits:],
+                                 y_[D - reuse_digits:], sx_, sy_)
+                return (nsx, nx, nsy, ny, nrzx, nrzy), out
+
+            init1 = (sx, x, sy, y, row0(sx, x), row0(sy, y))
         state1, out1 = jax.lax.scan(body1, init1, None, length=steps)
         rows = out1[0].T                              # [12, steps] i32
         if reuse_digits > 0:

@@ -47,6 +47,9 @@ elif cfg == "bksplit":
     _O2.SPLIT_BOOKKEEPING = True
 elif cfg == "btail":
     NP.BATCHED_TAIL = True
+elif cfg == "xlashadow":
+    from fractalshark_tpu.ops.bignum import orbit as _O3
+    _O3.SPLIT_XLA_SHADOW = True
 elif cfg not in ("xla",):
     raise SystemExit(f"unknown config {cfg}")
 
