@@ -392,3 +392,18 @@ def test_rc_orbit_positions_beyond_2_31():
     assert (small < 1700).all(), "view must escape everywhere"
     np.testing.assert_array_equal(np.asarray(out).astype(np.int64),
                                   small.astype(np.int64))
+
+
+def test_budget_ladder_helpers():
+    """Measured-escalation ladder: static rungs, escalate only after a
+    fast launch, de-escalate after a slow one, clamp at the ends."""
+    from fractalshark_tpu.ops.perturb_stream import (_budget_ladder,
+                                                     _next_rung)
+    lad = _budget_ladder(128)
+    assert lad == (128, 1024, 8192)
+    n = len(lad)
+    assert _next_rung(0, 0.1, n) == 1          # fast → escalate
+    assert _next_rung(2, 0.1, n) == 2          # clamp at top
+    assert _next_rung(1, 2.0, n) == 1          # mid-range → hold
+    assert _next_rung(2, 9.0, n) == 1          # slow → de-escalate
+    assert _next_rung(0, 9.0, n) == 0          # clamp at bottom
