@@ -359,6 +359,9 @@ def _orbit_session(extra):
         best = dt if best is None else min(best, dt)
     extra["orbit_session_ms_per_iter"] = round(best / n_it * 1e3, 3)
     extra["orbit_session_chunk_steps"] = steps
+    # production-loop projection supersedes the _ntt part's small-chunk
+    # (dispatch-bound) estimate
+    extra["view30_orbit_s_per_Mit"] = round(best / n_it * 1e6, 1)
 
 
 def _deep_poster(extra):
