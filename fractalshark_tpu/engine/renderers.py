@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import time
 
+import jax
 import numpy as np
 
 from fractalshark_tpu.core.algorithms import Family, LAMode, RenderAlgorithm
@@ -227,18 +228,65 @@ def la_rc_render(fractal, results, la, w, h, identity: bool = False):
             init = None
         if init is not None:
             fractal.benchmark.extra["la_phase"] = "stream"
-    if init is None:
-        state = la_kernel.la_perturb_render(
-            results, la, fractal.ptz, w, h, n, sub_dtype=np.float32,
-            la_only=True, return_state=True)
-        _, _, ref_iter, dzr, dzi, dze, it, _ = state
-        # live device arrays straight into the RC tail — the old numpy
-        # round trip cost ~6 host↔device transfers per frame
-        import jax.numpy as jnp
-        it64 = jnp.asarray(it).astype(jnp.int64)
-        init = {"dzr": dzr, "dzi": dzi, "dze": dze, "it": it64,
-                "jwait": jnp.asarray(ref_iter).astype(jnp.int64),
-                "done": (it64 >= n).astype(jnp.int32)}
+            return perturb_render_stream_rc(
+                comp, results.center_x, results.center_y, fractal.ptz,
+                w, h, n, init_state=init,
+                abort_monitor=fractal.abort_monitor)
+    pads = {}
+    if fractal.backend == "tpu":
+        from fractalshark_tpu.engine.prewarm import deep_buckets
+        pads = deep_buckets(results, la)
+    return two_phase_render(results, la, fractal.ptz, w, h, n,
+                            comp=comp,
+                            abort_monitor=fractal.abort_monitor,
+                            **pads)
+
+
+@jax.jit
+def _handoff_init(ref_iter, it, n):
+    """Phase-1 state → RC-tail init conversions as one executable."""
+    import jax.numpy as jnp
+    it64 = it.astype(jnp.int64)
+    return (it64, ref_iter.astype(jnp.int64),
+            (it64 >= n).astype(jnp.int32))
+
+
+def two_phase_render(results, la, ptz, w, h, n, *, comp=None,
+                     abort_monitor=None,
+                     pad_orbit_to=None, pad_nodes_to=None,
+                     pad_stages_to=None, pad_anchors_to=None):
+    """Fractal-independent two-phase LAv2 deep render: the XLA LA
+    machine to tail entry, per-pixel jwait handoff, then the RC
+    streaming tail.  The `pad_*` buckets make every compiled
+    executable's identity independent of the live orbit/LA sizes so the
+    whole render can be pre-compiled before the orbit exists
+    (engine/prewarm.py) and reused across same-bucket views."""
+    import jax.numpy as jnp
+
+    from fractalshark_tpu.engine.perturbation_results import \
+        CompressedOrbit
+    from fractalshark_tpu.ops import la_kernel
+    from fractalshark_tpu.ops.perturb_stream import \
+        perturb_render_stream_rc
+
+    if comp is None:
+        comp = results.extra.get("identity_compressed")
+        if comp is None:
+            comp = CompressedOrbit.identity(results)
+            results.extra["identity_compressed"] = comp
+    state = la_kernel.la_perturb_render(
+        results, la, ptz, w, h, n, sub_dtype=np.float32,
+        la_only=True, return_state=True, abort_monitor=abort_monitor,
+        pad_orbit_to=pad_orbit_to, pad_nodes_to=pad_nodes_to,
+        pad_stages_to=pad_stages_to)
+    _, _, ref_iter, dzr, dzi, dze, it, _ = state
+    # live device arrays straight into the RC tail (no numpy round
+    # trip), and the conversions as ONE executable (eager op loads cost
+    # ~0.5 s each per cold process)
+    it64, jwait, done = _handoff_init(ref_iter, it, np.int64(n))
+    init = {"dzr": dzr, "dzi": dzi, "dze": dze, "it": it64,
+            "jwait": jwait, "done": done}
     return perturb_render_stream_rc(
-        comp, results.center_x, results.center_y, fractal.ptz, w, h,
-        n, init_state=init, abort_monitor=fractal.abort_monitor)
+        comp, results.center_x, results.center_y, ptz, w, h,
+        n, init_state=init, abort_monitor=abort_monitor,
+        pad_anchors_to=pad_anchors_to)

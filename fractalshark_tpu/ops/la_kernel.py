@@ -95,16 +95,25 @@ def _pack_orbit(ox, oy, max_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "la_only",
-                                             "stage_count", "at_step",
                                              "chunk_steps"))
 def _lav2_impl(orbit_packed, dc_re, dc_im, dc_e,
                packed, step64, thrc_m, thrc_e,
                stage_la_index, stage_macro,
-               at_args, max_ref, max_iter, la_only, stage_count,
-               at_step=0, chunk_steps=0, resume_state=None):
+               at_args, max_ref, stage_count, at_step,
+               max_iter, la_only, chunk_steps=0, resume_state=None):
+    """`stage_count` and `at_step` are TRACED i32 scalars and the node /
+    orbit / stage tables may be padded past their live lengths: the
+    compiled executable's identity depends only on the (bucketed) table
+    shapes + (max_iter, la_only, chunk_steps, at_args presence), so a
+    render can be pre-compiled before the reference orbit exists (the
+    prewarm path) and reused across same-bucket views.  `stage_cap` =
+    len(stage_la_index) bounds the stage walk; live stages occupy
+    [0, stage_count) and `s` starts at stage_count-1, so padded entries
+    are never active."""
     shape = dc_re.shape
     dtype = dc_re.dtype
     n_nodes = packed.shape[0]
+    stage_cap = int(stage_la_index.shape[0])
 
     if dtype == jnp.float32:
         def ibits(col):
@@ -124,12 +133,12 @@ def _lav2_impl(orbit_packed, dc_re, dc_im, dc_e,
     # invalid iff |dc| >= LAThresholdC of the stage's first node
     # (GPU_LAReference.h:243-255)
     stage_valid = []
-    for s in range(stage_count):
+    for s in range(stage_cap):
         idx0 = stage_la_index[s]
         thrc0 = HDR(jnp.broadcast_to(thrc_m[idx0], shape),
                     jnp.broadcast_to(thrc_e[idx0], shape))
         stage_valid.append(hdr.lt_reduced(dc_cheb, thrc0))
-    if stage_count:
+    if stage_cap:
         stage_valid_arr = jnp.stack(stage_valid)  # [S, H, W]
     else:
         stage_valid_arr = jnp.zeros((1,) + shape, bool)
@@ -137,7 +146,7 @@ def _lav2_impl(orbit_packed, dc_re, dc_im, dc_e,
     # ---------------- AT head skip (ATInfo.h:157-188) ------------------
     it0 = jnp.zeros(shape, it_t)
     dz0 = hdr.complex_zero(shape, dtype)
-    if at_args is not None and at_step > 0 and resume_state is None:
+    if at_args is not None and resume_state is None:
         (at_thrc, at_sqr_esc, at_refc, at_cc, at_invzc) = at_args
 
         def bc_c(v):
@@ -152,7 +161,11 @@ def _lav2_impl(orbit_packed, dc_re, dc_im, dc_e,
         at_ok = hdr.lte_reduced(dc_cheb, bc_s(at_thrc))
         c_at = hdr.reduce_complex(hdr.complex_add(
             hdr.complex_mul(dc, bc_c(at_cc)), bc_c(at_refc)))
-        at_max_it = max_iter // at_step
+        # traced at_step: guard the degenerate 0 (AT absent but the
+        # executable compiled with the AT path) — no macro-steps run
+        at_step_t = jnp.maximum(at_step, 1).astype(it_t)
+        at_max_it = jnp.where(at_step > 0,
+                              it_t(max_iter) // at_step_t, it_t(0))
         sqr_esc = bc_s(at_sqr_esc)
 
         def at_cond(s):
@@ -187,17 +200,17 @@ def _lav2_impl(orbit_packed, dc_re, dc_im, dc_e,
 
         _, zr, zi, ze, _, cnt = jax.lax.while_loop(
             at_cond_counting, at_body_counting,
-            (jnp.int32(0), z0.re, z0.im, z0.e, at_ok, steps_taken))
+            (it_t(0), z0.re, z0.im, z0.e, at_ok, steps_taken))
         zend = HDRComplex(zr, zi, ze)
         dz_at = hdr.reduce_complex(hdr.complex_mul(zend, bc_c(at_invzc)))
-        it0 = jnp.where(at_ok, cnt.astype(it_t) * at_step, it0)
+        it0 = jnp.where(at_ok, cnt.astype(it_t) * at_step_t, it0)
         dz0 = HDRComplex(jnp.where(at_ok, dz_at.re, dz0.re),
                          jnp.where(at_ok, dz_at.im, dz0.im),
                          jnp.where(at_ok, dz_at.e, dz0.e))
 
     # ---------------- main state machine --------------------------------
     if resume_state is None:
-        s0 = jnp.full(shape, stage_count - 1, jnp.int32)
+        s0 = jnp.broadcast_to((stage_count - 1).astype(jnp.int32), shape)
         j0 = jnp.full(shape, 0, jnp.int32)   # top stage entered with j=0
         ref0 = jnp.zeros(shape, jnp.int32)
         done0 = it0 >= n
@@ -220,11 +233,11 @@ def _lav2_impl(orbit_packed, dc_re, dc_im, dc_e,
         in_tail = live & (s < 0)
 
         # ---------------- LA branch -----------------------------------
-        s_idx = jnp.clip(s, 0, max(stage_count - 1, 0))
+        s_idx = jnp.clip(s, 0, max(stage_cap - 1, 0))
         la_index = stage_la_index[s_idx]
         macro = stage_macro[s_idx]
         valid = jnp.take_along_axis(
-            stage_valid_arr, s_idx[None, ...], axis=0)[0] if stage_count \
+            stage_valid_arr, s_idx[None, ...], axis=0)[0] if stage_cap \
             else jnp.zeros(shape, bool)
         entering = j < 0
         j_eff = jnp.where(entering, ref_iter, j)
@@ -326,11 +339,28 @@ def _lav2_impl(orbit_packed, dc_re, dc_im, dc_e,
     return out, all_done
 
 
+def default_chunk_steps(width: int, height: int) -> int:
+    """Default body steps per dispatch: keeps a single dispatch to
+    ~1-3 s worst case (per-body-step cost scales with pixel count;
+    gather-bound, ~0.6 ms/step at 128² with packed gathers on v5e).
+    The prewarm path replicates the relaunch ladder from this."""
+    return max(64, (1 << 25) // max(1, width * height))
+
+
+def chunk_ladder(chunk_steps: int) -> tuple:
+    """STATIC chunk-size ladder (each rung its own cached compile)."""
+    return (int(chunk_steps), int(chunk_steps) * 4,
+            int(chunk_steps) * 16) if chunk_steps else (0,)
+
+
 def la_perturb_render(results, la, ptz: PointZoomBBConverter,
                       width: int, height: int, max_iter: int,
                       sub_dtype=np.float32, la_only: bool = False,
                       chunk_steps: int | None = None,
-                      abort_monitor=None, return_state: bool = False):
+                      abort_monitor=None, return_state: bool = False,
+                      pad_orbit_to: int | None = None,
+                      pad_nodes_to: int | None = None,
+                      pad_stages_to: int | None = None):
     """Full LAv2 render: AT skip → LA stages → perturbation tail.
 
     On accelerators the state machine runs in bounded *chunks* of body
@@ -363,42 +393,51 @@ def la_perturb_render(results, la, ptz: PointZoomBBConverter,
         at_step = 0
 
     if chunk_steps is None:
-        # keep a single dispatch to ~1-3 s: per-body-step cost scales
-        # with pixel count (gather-bound; ~0.6 ms/step at 128² with
-        # packed gathers on v5e)
         if jax.default_backend() == "tpu":
-            chunk_steps = max(64, (1 << 25) // max(1, width * height))
+            chunk_steps = default_chunk_steps(width, height)
         else:
             chunk_steps = 0
     max_ref = results.max_ref_iteration()
+
+    def padr(a, rows):
+        """Pad a table's leading axis up to `rows` (shape bucketing:
+        padded entries are never addressed — live indices stay within
+        the real table — so the pad value is irrelevant)."""
+        if rows is None or rows <= a.shape[0]:
+            return a
+        return np.concatenate(
+            [a, np.zeros((rows - a.shape[0],) + a.shape[1:], a.dtype)])
+
     # generation-keyed device cache: the packed node/orbit tables are
     # uploaded once per (la, dtype) and live as long as the LA table
     # (PerturbResultsCollection analogue)
     cache = getattr(la, "_packed_cache", None)
     if cache is None:
         cache = la._packed_cache = {}
-    key = np.dtype(sub_dtype).name
+    key = (np.dtype(sub_dtype).name, pad_orbit_to, pad_nodes_to,
+           pad_stages_to)
     if key not in cache:
-        cache[key] = (jnp.asarray(_pack_nodes(arrs, sub_dtype)),
-                      jnp.asarray(_pack_orbit(np.asarray(ox),
-                                              np.asarray(oy),
-                                              int(max_ref))),
-                      # small per-table operands: re-uploading them
-                      # every frame cost ~4 tunnel round trips
-                      jnp.asarray(arrs["thrc_m"]),
-                      jnp.asarray(arrs["thrc_e"]),
-                      jnp.asarray(arrs["stage_la_index"]),
-                      jnp.asarray(arrs["stage_macro_it_count"]))
+        cache[key] = (
+            jnp.asarray(padr(_pack_nodes(arrs, sub_dtype), pad_nodes_to)),
+            jnp.asarray(padr(_pack_orbit(np.asarray(ox), np.asarray(oy),
+                                         int(max_ref)), pad_orbit_to)),
+            # small per-table operands: re-uploading them
+            # every frame cost ~4 tunnel round trips
+            jnp.asarray(padr(arrs["thrc_m"], pad_nodes_to)),
+            jnp.asarray(padr(arrs["thrc_e"], pad_nodes_to)),
+            jnp.asarray(padr(arrs["stage_la_index"], pad_stages_to)),
+            jnp.asarray(padr(arrs["stage_macro_it_count"],
+                             pad_stages_to)))
     (packed_dev, orbit_dev, thrcm_dev, thrce_dev, sli_dev,
      smic_dev) = cache[key]
     # 64-bit budgets: side int64 step-length array (the packed column
     # wraps at 2^31; ADVICE r2 #2)
     step64_dev = None
     if int(max_iter) >= (1 << 31):
-        k64 = "step64"
+        k64 = ("step64", pad_nodes_to)
         if k64 not in cache:
             cache[k64] = jnp.asarray(
-                arrs["step_length"].astype(np.int64))
+                padr(arrs["step_length"].astype(np.int64), pad_nodes_to))
         step64_dev = cache[k64]
     args = (
         orbit_dev,
@@ -406,17 +445,16 @@ def la_perturb_render(results, la, ptz: PointZoomBBConverter,
         packed_dev, step64_dev,
         thrcm_dev, thrce_dev, sli_dev, smic_dev,
         at_args,
-        jnp.int32(max_ref))
+        jnp.int32(max_ref), jnp.int32(int(arrs["stage_count"])),
+        jnp.int32(at_step))
     kw = dict(max_iter=int(max_iter), la_only=bool(la_only),
-              stage_count=int(arrs["stage_count"]), at_step=at_step,
               chunk_steps=int(chunk_steps))
     # STATIC chunk-size ladder (each rung its own cached compile): the
     # base rung bounds a cold dispatch to ~1-3 s worst case, but warm
     # interactive frames measure ~100 ms per dispatch — escalate after
     # MEASURING a fast one so relaunch round trips (~70 ms each
     # through the tunnel) stop dominating the frame.
-    ladder = ((int(chunk_steps), int(chunk_steps) * 4,
-               int(chunk_steps) * 16) if chunk_steps else (0,))
+    ladder = chunk_ladder(chunk_steps)
     rung = 0
     t0 = time.perf_counter()
     state, all_done = _lav2_impl(*args, **kw)

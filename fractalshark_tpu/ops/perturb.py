@@ -67,17 +67,14 @@ def _dc_grids_float(dx, dy, cx_off, cy_off, width, height, dtype):
             jnp.broadcast_to(jnp.asarray(dcy), (height, width)))
 
 
-def _dc_grids_hdr(dx, dy, cx_off, cy_off, width, height, dtype):
-    """dc grids as an HDRComplex (shared exponent), exact at any zoom."""
-    def hp_to_hdr_arrays(hp):
-        m, e = hp.mantissa_exp2()
-        return dtype(m), np.int32(e)
-
-    dxm, dxe = hp_to_hdr_arrays(dx)
-    dym, dye = hp_to_hdr_arrays(dy)
-    cxm, cxe = hp_to_hdr_arrays(cx_off)
-    cym, cye = hp_to_hdr_arrays(cy_off)
-    jdt = jnp.dtype(np.dtype(dtype).name)
+@functools.partial(jax.jit, static_argnames=("width", "height", "dtn"))
+def _dc_grids_hdr_impl(dxm, dxe, dym, dye, cxm, cxe, cym, cye,
+                       width, height, dtn):
+    # ONE executable for the whole grid build: op-by-op eager dispatch
+    # costs ~0.4-1.3 s PER DISTINCT OP on first use in a process
+    # (remote executable loading), so ~10 eager ops here were ~5-10 s
+    # of every cold render
+    jdt = jnp.dtype(dtn)
     shape = (height, width)
     xs = jnp.arange(width, dtype=jdt)
     ys = jnp.arange(height, dtype=jdt)
@@ -90,6 +87,20 @@ def _dc_grids_hdr(dx, dy, cx_off, cy_off, width, height, dtype):
     dcx = hdr.reduce(hdr.sub(hdr.reduce(x_dx), cx_h))
     dcy = hdr.reduce(hdr.sub(hdr.negate(hdr.reduce(y_dy)), cy_h))
     return hdr.complex_from_hdr(dcx, dcy)
+
+
+def _dc_grids_hdr(dx, dy, cx_off, cy_off, width, height, dtype):
+    """dc grids as an HDRComplex (shared exponent), exact at any zoom."""
+    def hp_to_hdr_arrays(hp):
+        m, e = hp.mantissa_exp2()
+        return dtype(m), np.int32(e)
+
+    dxm, dxe = hp_to_hdr_arrays(dx)
+    dym, dye = hp_to_hdr_arrays(dy)
+    cxm, cxe = hp_to_hdr_arrays(cx_off)
+    cym, cye = hp_to_hdr_arrays(cy_off)
+    return _dc_grids_hdr_impl(dxm, dxe, dym, dye, cxm, cxe, cym, cye,
+                              width, height, np.dtype(dtype).name)
 
 
 # --------------------------------------------------------------------------

@@ -77,6 +77,13 @@ def _next_rung(rung: int, wall_s: float, n: int) -> int:
     return rung
 
 
+def default_launch_windows(n_tiles: int) -> int:
+    """Default windows per tile per dispatch (bounds one cold dispatch
+    to a few seconds of worst-case stepping); the prewarm path
+    replicates the relaunch budget ladder from this."""
+    return max(4, (4 << 20) // (WIN * max(1, n_tiles)))
+
+
 def _rem_split(v: int) -> tuple[int, int]:
     return int(v) >> REM_LOG, int(v) & ((1 << REM_LOG) - 1)
 
@@ -316,8 +323,7 @@ def perturb_render_stream(results, ptz: PointZoomBBConverter,
     pw = grid[1] * LANE
     n_tiles = grid[0] * grid[1]
     if launch_windows is None:
-        # keep one dispatch to a few seconds of worst-case stepping
-        launch_windows = max(4, (4 << 20) // (WIN * max(1, n_tiles)))
+        launch_windows = default_launch_windows(n_tiles)
 
     def pad(a, fill=0):
         return jnp.pad(a, ((0, ph - height), (0, pw - width)),
@@ -648,6 +654,68 @@ def _rc_launch(scal, cvals, awh, awl, axh, axl, ayh, ayl, dcr, dci, dce,
     return outs
 
 
+@functools.partial(jax.jit, static_argnames=("ph", "pw"))
+def _pad_dc(dcr, dci, dce, ph, pw):
+    """Pad the dc grids to the tile-aligned render grid (one
+    executable)."""
+    h, w = dcr.shape
+
+    def p(a, fill):
+        return jnp.pad(a, ((0, ph - h), (0, pw - w)),
+                       constant_values=fill)
+
+    return (p(dcr, 0.0), p(dci, 0.0), p(dce, int(hdr.MIN_BIG_EXPONENT)))
+
+
+@functools.partial(jax.jit, static_argnames=("ph", "pw"))
+def _rc_init_from_handoff(dzr0, dzi0, dze0, it0, jw, dn, zx, zy,
+                          max_iter, max_ref, ph, pw):
+    """LA-phase → RC-tail handoff state as ONE executable (the op-by-op
+    eager form cost ~15 distinct executable loads ≈ 10+ s per cold
+    process).  `max_iter`/`max_ref`/`zx`/`zy` are traced scalars so the
+    executable is orbit-independent (prewarm-compatible).
+
+    jwait == max_ref is the one-kernel machine's WRAP position: the
+    loop rebases there (dz ← Z[max_ref] + dz, RefIteration = 0,
+    SURVEY.md A.1) without consuming an iteration.  Applied here in the
+    kernel's own HDR-f32 arithmetic — branch-free (computed for every
+    pixel, selected where wrap); a clip to max_ref-1 would make such
+    pixels step once against Z[max_ref-1] (ADVICE r2 #3)."""
+    height, width = dn.shape
+    dn = dn.astype(jnp.int32)
+    jw = jw.astype(jnp.int64)
+    dzr0 = dzr0.astype(jnp.float32)
+    dzi0 = dzi0.astype(jnp.float32)
+    dze0 = dze0.astype(jnp.int32)
+    wrap = (jw >= max_ref) & (dn == 0)
+    zmr = HDRComplex(jnp.full(jw.shape, zx, jnp.float32),
+                     jnp.full(jw.shape, zy, jnp.float32),
+                     jnp.zeros(jw.shape, jnp.int32))
+    zf = hdr.reduce_complex(hdr.complex_add(
+        zmr, HDRComplex(dzr0, dzi0, dze0)))
+    dzr0 = jnp.where(wrap, zf.re, dzr0)
+    dzi0 = jnp.where(wrap, zf.im, dzi0)
+    dze0 = jnp.where(wrap, zf.e, dze0)
+    jw = jnp.where(wrap, jnp.int64(0),
+                   jnp.clip(jw, 0, jnp.maximum(max_ref - 1, 0)))
+    rem0 = jnp.maximum(max_iter - it0.astype(jnp.int64), 0)
+
+    def padd(a, fill=0):
+        return jnp.pad(a, ((0, ph - height), (0, pw - width)),
+                       constant_values=fill)
+
+    return (padd(dzr0, 0.0),
+            padd(dzi0, 0.0),
+            padd(dze0, int(hdr.MIN_BIG_EXPONENT)),
+            padd((rem0 >> REM_LOG).astype(jnp.int32), 0),
+            padd((rem0 & ((1 << REM_LOG) - 1)).astype(jnp.int32), 0),
+            padd(dn, 1),
+            jnp.zeros((ph, pw), jnp.int32),
+            padd(((1 - dn) * (jw > 0)).astype(jnp.int32), 0),
+            padd((jw // WIN).astype(jnp.int32), 0),
+            padd((jw % WIN).astype(jnp.int32), 0))
+
+
 def _orbit_value_at(compressed, idx: int) -> tuple[float, float]:
     """Z[idx] reconstructed from the anchor set: last anchor ≤ idx, then
     the f64 low-precision recurrence forward (exact when every entry is
@@ -676,12 +744,16 @@ def _orbit_value_at(compressed, idx: int) -> tuple[float, float]:
     return zx, zy
 
 
-def _prep_anchors(compressed):
+def _prep_anchors(compressed, pad_to: int | None = None):
     """Anchor streams for the RC kernel; indices ship as
     (window, local) i32 pairs so >2^31-entry orbits address exactly
-    (sentinel pads never match a real position)."""
+    (sentinel pads never match a real position).  `pad_to` bucket-pads
+    the arrays past the live anchors (shape bucketing for prewarmed
+    executables); the streamed block count stays the live one."""
     M = len(compressed.anchors_x)
     mpad = -(-M // ANC_BLK) * ANC_BLK
+    if pad_to is not None:
+        mpad = max(mpad, -(-int(pad_to) // ANC_BLK) * ANC_BLK)
     idx = compressed.anchor_index.astype(np.int64)
     aw = np.full(mpad, np.int32(0x7FFFFFFF), np.int32)
     al = np.full(mpad, np.int32(0x7FFFFFFF), np.int32)
@@ -704,7 +776,8 @@ def perturb_render_stream_rc(compressed, center_x, center_y,
                              tile_h: int = 64, interpret: bool = False,
                              launch_windows: int | None = None,
                              abort_monitor=None,
-                             init_state=None):
+                             init_state=None,
+                             pad_anchors_to: int | None = None):
     """Perturbation render directly from a CompressedOrbit: the kernel
     reconstructs reference-orbit values on device from anchors + the
     low-precision recurrence; the uncompressed orbit never exists.
@@ -720,7 +793,8 @@ def perturb_render_stream_rc(compressed, center_x, center_y,
     M = len(compressed.anchors_x)
     if M == 0:
         return None
-    awh, awl, xh, xl, yh, yl, mpad = _prep_anchors(compressed)
+    awh, awl, xh, xl, yh, yl, mpad = _prep_anchors(compressed,
+                                                   pad_anchors_to)
 
     max_ref = int(compressed.total_count) - 1
     n_win = -(-max_ref // WIN)
@@ -741,94 +815,56 @@ def perturb_render_stream_rc(compressed, center_x, center_y,
     pw = grid[1] * LANE
     n_tiles = grid[0] * grid[1]
     if launch_windows is None:
-        launch_windows = max(4, (4 << 20) // (WIN * max(1, n_tiles)))
+        launch_windows = default_launch_windows(n_tiles)
 
-    def padi(a, fill=0, dtype=np.int32):
-        out = np.full((ph, pw), fill, dtype)
-        out[:height, :width] = a
-        return jnp.asarray(out)
-
-    def padj(a, fill=0):
-        return jnp.pad(a, ((0, ph - height), (0, pw - width)),
-                       constant_values=fill)
-
-    done0 = np.ones((ph, pw), np.int32)
     rhi0, rlo0 = _rem_split(max_iter)
     if init_state is None:
+        # fresh render: build on the host, ONE upload per array
+        # (transfers are cheap; distinct eager device ops are not)
+        done0 = np.ones((ph, pw), np.int32)
         done0[:height, :width] = 0
-        st = (jnp.zeros((ph, pw), jnp.float32),
-              jnp.zeros((ph, pw), jnp.float32),
-              jnp.asarray(np.full((ph, pw), int(hdr.MIN_BIG_EXPONENT),
-                                  np.int32)),
-              jnp.full((ph, pw), rhi0, jnp.int32),
-              jnp.full((ph, pw), rlo0, jnp.int32),
-              jnp.asarray(done0),
-              jnp.zeros((ph, pw), jnp.int32),
-              jnp.zeros((ph, pw), jnp.int32),
-              jnp.zeros((ph, pw), jnp.int32),
-              jnp.zeros((ph, pw), jnp.int32))
+        st = tuple(jnp.asarray(a) for a in (
+            np.zeros((ph, pw), np.float32),
+            np.zeros((ph, pw), np.float32),
+            np.full((ph, pw), int(hdr.MIN_BIG_EXPONENT), np.int32),
+            np.full((ph, pw), rhi0, np.int32),
+            np.full((ph, pw), rlo0, np.int32),
+            done0,
+            np.zeros((ph, pw), np.int32),
+            np.zeros((ph, pw), np.int32),
+            np.zeros((ph, pw), np.int32),
+            np.zeros((ph, pw), np.int32)))
     else:
-        # ALL init-state math runs on device: a warm interactive frame
-        # hands phase-1 outputs over as live device arrays, and the
-        # old numpy round trip cost ~10 host↔device transfers per
-        # frame through the tunnel.  np inputs still work (one upload
-        # each in jnp.asarray).
-        dn = jnp.asarray(init_state["done"]).astype(jnp.int32)
-        jw = jnp.asarray(init_state["jwait"]).astype(jnp.int64)
-        dzr0 = jnp.asarray(init_state["dzr"]).astype(jnp.float32)
-        dzi0 = jnp.asarray(init_state["dzi"]).astype(jnp.float32)
-        dze0 = jnp.asarray(init_state["dze"]).astype(jnp.int32)
-        # jwait == max_ref is the machine's WRAP position: the one-kernel
-        # loop rebases there (dz ← Z[max_ref] + dz, RefIteration = 0,
-        # SURVEY.md A.1) without consuming an iteration.  Apply that
-        # rebase in the kernel's own HDR-f32 arithmetic — branch-free
-        # (computed for every pixel, selected where wrap) so no host
-        # sync; the old clip to max_ref-1 made such pixels step once
-        # against Z[max_ref-1] (ADVICE r2 #3).
-        wrap = (jw >= max_ref) & (dn == 0)
+        # LA-phase handoff: ALL init-state math runs on device in ONE
+        # jitted executable (_rc_init_from_handoff) — a warm
+        # interactive frame hands phase-1 outputs over as live device
+        # arrays with no host round trip, and a cold process loads one
+        # executable instead of ~15.  Pixels with jwait == 0 start
+        # active at the sweep head like a fresh render (sweep-start
+        # activation covers them).
         zx, zy = _orbit_value_at(compressed, max_ref)
-        zmr = HDRComplex(jnp.full(jw.shape, np.float32(zx)),
-                         jnp.full(jw.shape, np.float32(zy)),
-                         jnp.zeros(jw.shape, jnp.int32))
-        zf = hdr.reduce_complex(hdr.complex_add(
-            zmr, HDRComplex(dzr0, dzi0, dze0)))
-        dzr0 = jnp.where(wrap, zf.re, dzr0)
-        dzi0 = jnp.where(wrap, zf.im, dzi0)
-        dze0 = jnp.where(wrap, zf.e, dze0)
-        jw = jnp.where(wrap, jnp.int64(0),
-                       jnp.clip(jw, 0, max(0, max_ref - 1)))
-        it0 = jnp.asarray(init_state["it"]).astype(jnp.int64)
-        rem0 = jnp.maximum(jnp.int64(max_iter) - it0, 0)
-
-        def padd(a, fill=0):
-            return jnp.pad(a, ((0, ph - height), (0, pw - width)),
-                           constant_values=fill)
-
-        st = (padd(dzr0, 0.0),
-              padd(dzi0, 0.0),
-              padd(dze0, int(hdr.MIN_BIG_EXPONENT)),
-              padd((rem0 >> REM_LOG).astype(jnp.int32), 0),
-              padd((rem0 & ((1 << REM_LOG) - 1)).astype(jnp.int32), 0),
-              padd(dn, 1),
-              jnp.zeros((ph, pw), jnp.int32),
-              padd(((1 - dn) * (jw > 0)).astype(jnp.int32), 0),
-              padd((jw // WIN).astype(jnp.int32), 0),
-              padd((jw % WIN).astype(jnp.int32), 0))
-        # pixels with jwait == 0 start active at the sweep head like a
-        # fresh render (sweep-start activation covers them)
-    state = st + (jnp.zeros((n_tiles * 8, 128), jnp.int32),
-                  jnp.zeros((n_tiles * 8, 128), jnp.float32))
+        st = _rc_init_from_handoff(
+            init_state["dzr"], init_state["dzi"], init_state["dze"],
+            init_state["it"], init_state["jwait"], init_state["done"],
+            np.float32(zx), np.float32(zy),
+            np.int64(max_iter), np.int64(max_ref), ph=ph, pw=pw)
+    state = st + (jnp.asarray(np.zeros((n_tiles * 8, 128), np.int32)),
+                  jnp.asarray(np.zeros((n_tiles * 8, 128), np.float32)))
+    # upload the anchor streams and dc grids ONCE: a relaunch loop that
+    # re-converts numpy each pass pays one tunnel transfer per array per
+    # launch (~16 MB of anchors at View-#30 scale)
+    awh_d, awl_d = jnp.asarray(awh), jnp.asarray(awl)
+    xh_d, xl_d = jnp.asarray(xh), jnp.asarray(xl)
+    yh_d, yl_d = jnp.asarray(yh), jnp.asarray(yl)
+    dcr_d, dci_d, dce_d = _pad_dc(dc.re, dc.im, dc.e, ph=ph, pw=pw)
     ladder = _budget_ladder(int(launch_windows))
     rung = 0
     with jax.enable_x64(False):
         while True:
             t0 = time.perf_counter()
-            state = _rc_launch(scal, cvals, jnp.asarray(awh),
-                               jnp.asarray(awl),
-                               jnp.asarray(xh), jnp.asarray(xl),
-                               jnp.asarray(yh), jnp.asarray(yl),
-                               padj(dc.re), padj(dc.im),
-                               padj(dc.e, fill=int(hdr.MIN_BIG_EXPONENT)),
+            state = _rc_launch(scal, cvals, awh_d, awl_d,
+                               xh_d, xl_d, yh_d, yl_d,
+                               dcr_d, dci_d, dce_d,
                                state, tile_h, height, width,
                                ladder[rung], interpret)
             flags = np.asarray(state[10])[::8, 3]

@@ -2,8 +2,13 @@
 
 Computes the View #30 reference orbit on device (16384 limbs, NTT
 pipeline, periodicity ON), then builds the LA table and renders the
-view through the LAv2 kernel.  Writes progress + results to
-/tmp/view30_progress.json so it can run detached.
+view through the two-phase LAv2 pipeline.  The render's executables are
+PRE-COMPILED on a background thread while the orbit computes
+(engine/prewarm.py — shape-bucketed kernels), so the render phase runs
+warm in a cold process.
+
+Writes progress + results to /tmp/view30_progress.json so it can run
+detached.
 
 Run from the repo root:
     python -c "exec(open('tools/run_view30.py').read())"
@@ -24,9 +29,17 @@ def save():
         json.dump(state, f)
 
 
+def log(msg):
+    state.setdefault("log", []).append(
+        f"{time.time() - state['t0']:.1f}s {msg}")
+    save()
+
+
 save()
 
 from fractalshark_tpu.core.views import get_view_preset  # noqa: E402
+from fractalshark_tpu.engine.prewarm import (  # noqa: E402
+    deep_buckets, start_prewarm_thread)
 from fractalshark_tpu.ops.bignum.orbit import (  # noqa: E402
     compute_reference_orbit_device)
 
@@ -36,6 +49,9 @@ ptz = v.ptz.square_aspect_ratio(size, size)
 state["phase"] = "orbit"
 state["zoom"] = str(ptz.zoom_factor)[:24]
 save()
+
+# render pre-compilation overlapped with the orbit phase
+pre = start_prewarm_thread(ptz, size, size, v.num_iterations, log=log)
 
 MAX_IT = 4_000_000
 t0 = time.perf_counter()
@@ -70,27 +86,17 @@ if res.period > 0 or res.count_orbit_entries() > 1000:
     save()
 
     if la.is_valid:
-        from fractalshark_tpu.engine.perturbation_results import \
-            CompressedOrbit
-        from fractalshark_tpu.ops import la_kernel
-        from fractalshark_tpu.ops.perturb_stream import \
-            perturb_render_stream_rc
+        from fractalshark_tpu.engine.renderers import two_phase_render
         state["phase"] = "render"
         save()
         t0 = time.perf_counter()
+        pre.join(timeout=120)
+        state["prewarm_join_s"] = round(time.perf_counter() - t0, 1)
+        save()
         n = v.num_iterations
-        st = la_kernel.la_perturb_render(
-            res, la, ptz, size, size, n, sub_dtype=np.float32,
-            la_only=True, return_state=True)
-        _, _, ref_iter, dzr, dzi, dze, it, _ = st
-        it32 = np.asarray(it).astype(np.int32)
-        init = {"dzr": np.asarray(dzr), "dzi": np.asarray(dzi),
-                "dze": np.asarray(dze), "it": it32,
-                "jwait": np.asarray(ref_iter).astype(np.int32),
-                "done": (it32 >= n).astype(np.int32)}
-        out = perturb_render_stream_rc(
-            CompressedOrbit.identity(res), res.center_x, res.center_y,
-            ptz, size, size, n, init_state=init)
+        pads = deep_buckets(res, la)
+        state["buckets"] = bool(pads)
+        out = two_phase_render(res, la, ptz, size, size, n, **pads)
         o = np.asarray(out)
         render_s = time.perf_counter() - t0
         state.update(phase="done", render_s=round(render_s, 1),
