@@ -947,7 +947,45 @@ def _flat_ks(g, p, n1: int):
     return g | (p & Gin)
 
 
+def _flat_prefix_and(p, n1: int):
+    """Inclusive prefix-AND of p ∈ {0,1} i32 along the flat digit order
+    of [..., n1, 128] — the _flat_ks hierarchy with the g-stream
+    dropped (3 ops per doubling pass instead of 7)."""
+    lane = _lane_iota(p.ndim)
+    k = 1
+    while k < LANES:
+        ps = _roll(p, k)
+        ps = jnp.where(lane >= k, ps, jnp.int32(1))
+        p = p & ps
+        k <<= 1
+    Pr = _last_lane_bcast(p)
+    sub = _sub_iota(p.ndim, n1)
+    ss = 1
+    while ss < n1:
+        ps = _sub_roll(Pr, ss)
+        ps = jnp.where(sub >= ss, ps, jnp.int32(1))
+        Pr = Pr & ps
+        ss <<= 1
+    Pin = _sub_roll(Pr, 1)
+    Pin = jnp.where(sub > 0, Pin, jnp.int32(1))
+    return p & Pin
+
+
 _DMASK = 0xFFFF
+
+
+def _twos_complement(u, n1: int):
+    """(2^(16·N) − u) mod 2^(16·N) of a canonical 16-bit digit plane:
+    per-digit complement plus increment.  The increment's carry into
+    digit i is AND_{j<i}(u_j == 0), a p-only prefix — replacing the
+    generic second _flat_carry pass of the signed finish (same value by
+    construction: ~u + 1)."""
+    pz = jnp.where(u == jnp.uint32(0), jnp.int32(1), jnp.int32(0))
+    cin = _flat_shift(_flat_prefix_and(pz, n1), 1, n1)
+    at0 = (_sub_iota(u.ndim, n1) == 0) & (_lane_iota(u.ndim) == 0)
+    cin = jnp.where(at0, jnp.int32(1), cin)
+    cu = jnp.where(cin > 0, jnp.uint32(1), jnp.uint32(0))
+    return (jnp.uint32(_DMASK) - u + cu) & jnp.uint32(_DMASK)
 
 
 def _flat_carry(acc, n1: int):
@@ -992,9 +1030,10 @@ def _signed_finish(acc_p, acc_n, n1: int):
     D = acc_p + _FIN_BIAS - acc_n - \
         jnp.where(not0, jnp.uint32(16), jnp.uint32(0))
     u, cout = _flat_carry(D, n1)
-    one0 = jnp.where(not0, jnp.uint32(0), jnp.uint32(1))
-    # recomplement for the negative branch: M - u = ~u + 1
-    v, _ = _flat_carry((jnp.uint32(_DMASK) - u) + one0, n1)
+    # recomplement for the negative branch: M - u = ~u + 1 (p-only
+    # prefix; the generic _flat_carry form it replaces measured
+    # ~6 µs/iter slower at the View #30 operand)
+    v = _twos_complement(u, n1)
     pos = cout >= 16
     mag = jnp.where(pos, u, v)
     nzi = jnp.where(mag != jnp.uint32(0), jnp.int32(1), jnp.int32(0))
