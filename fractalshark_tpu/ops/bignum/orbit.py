@@ -571,11 +571,16 @@ class TpuOrbitSession:
                                spec=spec, steps=steps, mesh=self.mesh,
                                reuse_digits=reuse_digits)
 
+        timers = {"dispatch_s": 0.0, "readback_s": 0.0, "bookkeep_s": 0.0}
+
         def _process(out, steps):
             """Read one chunk back (a single packed D2H transfer) and
             run the host bookkeeping; sets period/escape/done."""
             nonlocal count, period, escaped_at, done, dz
+            tr = time.perf_counter()
             arr = np.asarray(out[0] if reuse_digits > 0 else out)
+            timers["readback_s"] += time.perf_counter() - tr
+            tr = time.perf_counter()
             if host_bk:
                 arr, dz = host_bookkeeping(
                     arr, dz, float(radius.m), int(radius.e),
@@ -624,6 +629,7 @@ class TpuOrbitSession:
             elif eidx < steps:
                 escaped_at = count
                 done = True
+            timers["bookkeep_s"] += time.perf_counter() - tr
 
         # Pipelined chunk loop: up to `depth` chunks are dispatched
         # BEFORE chunk k's outputs are read back, so device compute
@@ -652,7 +658,9 @@ class TpuOrbitSession:
             while (not done and it < max_iterations
                    and len(pending) < depth):
                 steps = min(self.chunk_steps, max_iterations - it)
+                td = time.perf_counter()
                 state, out = _dispatch(state, steps)
+                timers["dispatch_s"] += time.perf_counter() - td
                 it += steps
                 pending.append((out, steps))
             if pending:
@@ -681,6 +689,9 @@ class TpuOrbitSession:
             max_iterations=max_iterations,
             precision_bits=spec.frac_bits,
             orbit_e=orbit_e)
+        timers["wall_s"] = round(time.perf_counter() - t0, 3)
+        res.extra["session_timers"] = {
+            k: round(v, 3) for k, v in timers.items()}
         if reuse_digits > 0:
             from fractalshark_tpu.engine.reuse import ReuseOrbit
             res.extra["reuse_orbit"] = ReuseOrbit(
