@@ -710,7 +710,8 @@ def compute_reference_orbit_device(center_x: HighPrecision,
                                    chunk_steps: int = 256,
                                    abort_flag=None,
                                    mesh=None,
-                                   reuse_frac_bits: int | None = None
+                                   reuse_frac_bits: int | None = None,
+                                   progress_cb=None
                                    ) -> PerturbationResults:
     """Device-orbit entry point (the analogue of
     RefOrbitCalc::AddPerturbationReferencePointGPU,
@@ -725,4 +726,5 @@ def compute_reference_orbit_device(center_x: HighPrecision,
                               chunk_steps=chunk_steps, mesh=mesh)
     return session.run(max_iterations, periodicity=periodicity,
                        abort_flag=abort_flag,
-                       reuse_frac_bits=reuse_frac_bits)
+                       reuse_frac_bits=reuse_frac_bits,
+                       progress_cb=progress_cb)

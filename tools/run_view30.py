@@ -50,14 +50,26 @@ state["phase"] = "orbit"
 state["zoom"] = str(ptz.zoom_factor)[:24]
 save()
 
-# render pre-compilation overlapped with the orbit phase
-pre = start_prewarm_thread(ptz, size, size, v.num_iterations, log=log)
+# render pre-compilation overlapped with the orbit phase — but only
+# AFTER the orbit's own (GIL-heavy) trace + executable load completes:
+# the first progress callback fires once the first chunk is processed,
+# leaving ~55 s of orbit for the ~24 s prewarm
+pre = None
+
+
+def _maybe_start_prewarm(done_it, max_it, elapsed):
+    global pre
+    if pre is None:
+        pre = start_prewarm_thread(ptz, size, size, v.num_iterations,
+                                   log=log)
+
 
 MAX_IT = 4_000_000
 t0 = time.perf_counter()
 res = compute_reference_orbit_device(
     ptz.pt_x, ptz.pt_y, MAX_IT, ptz.radius, limbs32=16384,
-    periodicity=True, chunk_steps=4096)
+    periodicity=True, chunk_steps=4096,
+    progress_cb=_maybe_start_prewarm)
 orbit_s = time.perf_counter() - t0
 state.update(phase="orbit_done", orbit_s=round(orbit_s, 1),
              orbit_len=res.count_orbit_entries(), period=res.period,
@@ -90,6 +102,9 @@ if res.period > 0 or res.count_orbit_entries() > 1000:
         state["phase"] = "render"
         save()
         t0 = time.perf_counter()
+        if pre is None:
+            pre = start_prewarm_thread(ptz, size, size,
+                                       v.num_iterations, log=log)
         pre.join(timeout=120)
         state["prewarm_join_s"] = round(time.perf_counter() - t0, 1)
         save()
