@@ -890,6 +890,27 @@ def _flat_shift(a, k: int, n1: int):
     return jnp.where(lane < k, up, r)
 
 
+def _red2_full(v, op):
+    """Full-plane reduction broadcast back to v's shape WITHOUT ever
+    materializing a [..., 1, 1] tensor: reduce lanes → broadcast lanes
+    → reduce sublanes → broadcast sublanes.  Every broadcast is
+    single-axis — Mosaic's two-axis vector.broadcast is unimplemented
+    on batched [K, n1, 128] planes, and MLIR canonicalization re-fuses
+    naively staged broadcast pairs.  Exact for max/min; exact for sum
+    too (the sublane reduction runs on lane-broadcast rows, every lane
+    column holding the full set of row values)."""
+    m = op(v, axis=-1, keepdims=True)
+    m = jnp.broadcast_to(m, v.shape)
+    m = op(m, axis=-2, keepdims=True)
+    return jnp.broadcast_to(m, v.shape)
+
+
+def _bc_full(m, shape):
+    """Broadcast [K, 1, LANES] (lane-complete) → [K, n1, LANES]:
+    single-axis, Mosaic-safe at any rank."""
+    return jnp.broadcast_to(m, shape)
+
+
 def _masked_corner(x, n1: int):
     """x[-1, -1] (i32, small non-negative) broadcast to x's shape via
     masked max-reduce — reduce+broadcast is the one replication
@@ -897,9 +918,7 @@ def _masked_corner(x, n1: int):
     offset layouts it refuses to re-broadcast)."""
     mask = (_sub_iota(x.ndim, n1) == n1 - 1) &         (_lane_iota(x.ndim) == LANES - 1)
     v = jnp.where(mask, x, jnp.int32(0))
-    m = jnp.max(jnp.max(v, axis=-1, keepdims=True), axis=-2,
-                keepdims=True)
-    return jnp.broadcast_to(m, x.shape)
+    return _red2_full(v, jnp.max)
 
 
 def _last_lane_bcast(x):
@@ -1037,9 +1056,7 @@ def _signed_finish(acc_p, acc_n, n1: int):
     pos = cout >= 16
     mag = jnp.where(pos, u, v)
     nzi = jnp.where(mag != jnp.uint32(0), jnp.int32(1), jnp.int32(0))
-    nz11 = jnp.max(jnp.max(nzi, axis=-1, keepdims=True), axis=-2,
-                   keepdims=True)
-    nonzero = jnp.broadcast_to(nz11, mag.shape) > 0
+    nonzero = _red2_full(nzi, jnp.max) > 0
     sign = jnp.where(pos | ~nonzero, jnp.int32(1), jnp.int32(-1))
     return sign, mag
 
@@ -1092,6 +1109,13 @@ def _tail_stream_cfg(r1, r2, n1: int, dbl, gswap):
     nlo = jnp.uint32(_C_P1P2_LO) - lo
     bb = jnp.where(_C_P1P2_LO < lo, jnp.uint32(1), jnp.uint32(0))
     nhi = jnp.uint32(_C_P1P2_HI) - hi - bb
+    # batched form: per-component flags arrive as [K, 1, LANES]
+    # lane-complete planes — the remaining broadcast is sublane-only
+    # (Mosaic's two-axis broadcast is unimplemented with a leading
+    # batch dim)
+    if getattr(dbl, "ndim", 0) == hi.ndim and dbl.ndim >= 3:
+        dbl = _bc_full(dbl, hi.shape)
+        gswap = _bc_full(gswap, hi.shape)
     d = dbl > 0
     hi2 = jnp.where(d, (hi << 1) | (lo >> 31), hi)
     lo2 = jnp.where(d, lo << 1, lo)
@@ -1199,17 +1223,17 @@ def _shadow_rows(mag, n1: int, F_: int, D_: int):
 
 
 def _shadow_rows_b(mag, n1: int, F_: int, D_: int):
-    """Batched _shadow_rows: mag [K, n1, LANES] → [K, 8, LANES]."""
-    def red2(x):
-        return jnp.max(jnp.max(x, axis=-1, keepdims=True),
-                       axis=-2, keepdims=True)
+    """Batched _shadow_rows: mag [K, n1, LANES] → [K, 8, LANES].
 
-    def sum2(x):
+    All reductions stay FULL-SHAPE via _red2_full (no [K, 1, 1]
+    tensors — Mosaic's two-axis broadcast is unimplemented with a
+    leading batch dim); the [K, 8, LANES] result slices the first 8
+    sublanes of the broadcast planes."""
+    def sum_i32(x, axis, keepdims):
         # dtype pinned: under jax_enable_x64 jnp.sum widens i32 to
         # i64, which Mosaic rejects (sums here fit i32 exactly)
-        return jnp.sum(jnp.sum(x, axis=-1, keepdims=True,
-                               dtype=jnp.int32),
-                       axis=-2, keepdims=True, dtype=jnp.int32)
+        return jnp.sum(x, axis=axis, keepdims=keepdims,
+                       dtype=jnp.int32)
 
     K = mag.shape[0]
     magi = jax.lax.bitcast_convert_type(mag, jnp.int32)
@@ -1217,24 +1241,24 @@ def _shadow_rows_b(mag, n1: int, F_: int, D_: int):
         _lane_iota(3) - jnp.int32(F_)
     inreg = (flat >= 0) & (flat < jnp.int32(D_))
     nz = inreg & (magi != 0)
-    idx11 = red2(jnp.where(nz, jnp.broadcast_to(flat, magi.shape),
-                           jnp.int32(-1)))
-    base11 = jnp.clip(idx11 - 3, jnp.int32(0), jnp.int32(D_ - 4))
-    off = jnp.broadcast_to(flat, magi.shape) - \
-        jnp.broadcast_to(base11, magi.shape)
+    idxf = _red2_full(jnp.where(nz, jnp.broadcast_to(flat, magi.shape),
+                                jnp.int32(-1)), jnp.max)
+    basef = jnp.clip(idxf - 3, jnp.int32(0), jnp.int32(D_ - 4))
+    off = jnp.broadcast_to(flat, magi.shape) - basef
     zero = jnp.int32(0)
-    p01 = sum2(jnp.where(inreg & (off == 0), magi, zero) |
-               jnp.where(inreg & (off == 1), magi << 16, zero))
-    p23 = sum2(jnp.where(inreg & (off == 2), magi, zero) |
-               jnp.where(inreg & (off == 3), magi << 16, zero))
+    p01 = _red2_full(jnp.where(inreg & (off == 0), magi, zero) |
+                     jnp.where(inreg & (off == 1), magi << 16, zero),
+                     sum_i32)
+    p23 = _red2_full(jnp.where(inreg & (off == 2), magi, zero) |
+                     jnp.where(inreg & (off == 3), magi << 16, zero),
+                     sum_i32)
     mask = jnp.int32(0xFFFF)
     rows = [p01 & mask, (p01 >> 16) & mask,
-            p23 & mask, (p23 >> 16) & mask, base11]
+            p23 & mask, (p23 >> 16) & mask, basef]
     sub8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, LANES), 1)
     out = jnp.zeros((K, 8, LANES), jnp.int32)
     for r, v in enumerate(rows):
-        out = jnp.where(sub8 == r,
-                        jnp.broadcast_to(v, (K, 8, LANES)), out)
+        out = jnp.where(sub8 == r, v[:, 0:8, :], out)
     return out
 
 
@@ -1247,16 +1271,20 @@ def _tail_batched_kernel(n: int, shadow_fd):
 
     def kernel(inv_ref, cadd_ref, rnd_ref, cfgv_ref, dig_o, sgn_o,
                *shw_o):
-        dbl = cfgv_ref[:, 0:1, 0:1]                  # [K, 1, 1] i32
-        gswap = cfgv_ref[:, 1:2, 0:1]
-        csign = cfgv_ref[:, 2:3, 0:1]
+        # [K, 1, LANES] lane-complete flag planes (cfgv broadcasts the
+        # per-component value across lanes host-side): the only
+        # in-kernel broadcast left is sublane-only
+        dbl = cfgv_ref[:, 0:1, :]
+        gswap = cfgv_ref[:, 1:2, :]
+        csign = cfgv_ref[:, 2:3, :]
         r1 = inv_ref[:, 0]                           # [K, n1, LANES]
         r2 = inv_ref[:, 1]
         acc_p, acc_n = _tail_stream_cfg(r1, r2, n1, dbl, gswap)
         c = cadd_ref[...]
         z = jnp.zeros_like(c)
-        acc_p = acc_p + jnp.where(csign > 0, c, z) + rnd_ref[...][None]
-        acc_n = acc_n + jnp.where(csign > 0, z, c)
+        cs = _bc_full(csign, c.shape) > 0
+        acc_p = acc_p + jnp.where(cs, c, z) + rnd_ref[...][None]
+        acc_n = acc_n + jnp.where(cs, z, c)
         sign, mag = _signed_finish(acc_p, acc_n, n1)
         dig_o[...] = mag
         sgn_o[...] = sign[:, 0:8, :]
