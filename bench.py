@@ -430,6 +430,17 @@ def _ntt32768(extra):
         if i > 0:
             best = dt if best is None else min(best, dt)
     extra["ntt32768_ms_per_iter"] = round(best / steps * 1e3, 3)
+    # device time: the only trustworthy signal at 32-step chunks (the
+    # wall number is dominated by dispatch amortization + tunnel state;
+    # measured 0.237 ms/iter device vs 1.24 ms wall on a noisy window)
+    try:
+        from fractalshark_tpu.utils.profiling import device_time_ms
+        r = device_time_ms(run_once)
+        if r["total_ms"] > 0:
+            extra["ntt32768_device_ms_per_iter"] = round(
+                r["total_ms"] / steps, 3)
+    except Exception as e:  # noqa: BLE001
+        extra["ntt32768_profile_error"] = repr(e)[:80]
 
 
 def _ntt_sharded(extra):
