@@ -199,6 +199,30 @@ class _DummyLA:
         }
 
 
+_PREWARMED: set = set()
+_PREWARM_LOCK = threading.Lock()
+
+
+def prewarm_once(ptz, width: int, height: int, max_iter: int,
+                 log=None) -> threading.Thread | None:
+    """Idempotent background prewarm for a render geometry: the engine
+    calls this right before computing a reference orbit on TPU
+    (engine/renderers.calc_perturbed), so the orbit's device time hides
+    the render compilation for interactive/CLI sessions exactly as the
+    record runner does.  Returns the thread on first call per
+    (width, height, max_iter) in this process, None after."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None
+    key = (int(width), int(height), int(max_iter))
+    with _PREWARM_LOCK:
+        if key in _PREWARMED:
+            return None
+        _PREWARMED.add(key)
+    return start_prewarm_thread(ptz, width, height, max_iter, log=log)
+
+
 def start_prewarm_thread(ptz, width: int, height: int, max_iter: int,
                          log=None) -> threading.Thread:
     """Fire-and-forget prewarm on a daemon thread (call before starting

@@ -31,6 +31,12 @@ def calc_perturbed(fractal, alg: RenderAlgorithm):
     w, h = fractal._render_dims()
     calc = get_orbit_calc(fractal)
 
+    if fractal.backend == "tpu" and alg.family is Family.PERTURB_LAV2:
+        # hide the deep render's compilation under the orbit phase
+        # (idempotent; no-op when this geometry is already warm)
+        from fractalshark_tpu.engine.prewarm import prewarm_once
+        prewarm_once(fractal.ptz, w, h, fractal.num_iterations)
+
     t0 = time.perf_counter()
     results = calc.get_and_create_useful_results(
         fractal.ptz, fractal.num_iterations)
