@@ -78,6 +78,20 @@ def _load():
             _I, _I,                                      # stage arrays
             _D, _I, _I,                                  # AT + flags
         ]
+        lib.fs_la_generate_rc.restype = ctypes.c_int64
+        lib.fs_la_generate_rc.argtypes = [
+            _D, _D, _I, ctypes.c_int64, ctypes.c_int64,  # anchors, n_orbit
+            ctypes.c_double, ctypes.c_double,            # cx/cy low
+            ctypes.c_double, ctypes.c_int64,             # radius
+            ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int64,                              # cap
+            _D, _I, _D, _I, _D, _I, _D, _I, _D, _I,
+            _I, _I,
+            _I, _I,
+            _D, _I, _I,
+        ]
         _lib = lib
         return _lib
 
@@ -148,6 +162,73 @@ class _NodeView:
             next_stage_la_index=int(a["next_stage_la_index"][k]))
 
 
+def _dp(a):
+    return a.ctypes.data_as(_D)
+
+
+def _ip(a):
+    return a.ctypes.data_as(_I)
+
+
+def _out_bufs(cap: int) -> dict:
+    return dict(
+        ref_m=np.empty((cap, 2), np.float64), ref_e=np.empty(cap, np.int64),
+        zc_m=np.empty((cap, 2), np.float64), zc_e=np.empty(cap, np.int64),
+        cc_m=np.empty((cap, 2), np.float64), cc_e=np.empty(cap, np.int64),
+        thr_m=np.empty(cap, np.float64), thr_e=np.empty(cap, np.int64),
+        thrc_m=np.empty(cap, np.float64), thrc_e=np.empty(cap, np.int64),
+        step_length=np.empty(cap, np.int64),
+        next_idx=np.empty(cap, np.int64),
+        stage_idx=np.zeros(1025, np.int64),
+        stage_macro=np.zeros(1025, np.int64),
+        at_m=np.zeros(10, np.float64), at_e=np.zeros(6, np.int64),
+        flags=np.zeros(4, np.int64))
+
+
+def _out_ptrs(b: dict) -> tuple:
+    return (_dp(b["ref_m"]), _ip(b["ref_e"]), _dp(b["zc_m"]),
+            _ip(b["zc_e"]), _dp(b["cc_m"]), _ip(b["cc_e"]),
+            _dp(b["thr_m"]), _ip(b["thr_e"]), _dp(b["thrc_m"]),
+            _ip(b["thrc_e"]), _ip(b["step_length"]), _ip(b["next_idx"]),
+            _ip(b["stage_idx"]), _ip(b["stage_macro"]),
+            _dp(b["at_m"]), _ip(b["at_e"]), _ip(b["flags"]))
+
+
+def _collect(cnt: int, b: dict, p: LAParameters):
+    flags = b["flags"]
+    if cnt <= 0 or flags[0] == 0:
+        return None
+    at_m, at_e = b["at_m"], b["at_e"]
+    stage_count = int(flags[3])
+    at = None
+    if flags[1]:
+        at = ATInfo(
+            step_length=int(flags[2]),
+            threshold_c=HD(float(at_m[0]), int(at_e[0])),
+            sqr_escape_radius=HD(float(at_m[1]), int(at_e[1])),
+            ref_c=HDC(complex(at_m[2], at_m[3]), int(at_e[2])),
+            zcoeff=HDC(complex(at_m[4], at_m[5]), int(at_e[3])),
+            ccoeff=HDC(complex(at_m[6], at_m[7]), int(at_e[4])),
+            inv_zcoeff=HDC(complex(at_m[8], at_m[9]), int(at_e[5])))
+    arrays = {
+        "ref_m": b["ref_m"][:cnt].copy(),
+        "ref_e": b["ref_e"][:cnt].astype(np.int32),
+        "zc_m": b["zc_m"][:cnt].copy(),
+        "zc_e": b["zc_e"][:cnt].astype(np.int32),
+        "cc_m": b["cc_m"][:cnt].copy(),
+        "cc_e": b["cc_e"][:cnt].astype(np.int32),
+        "thr_m": b["thr_m"][:cnt].copy(),
+        "thr_e": b["thr_e"][:cnt].astype(np.int32),
+        "thrc_m": b["thrc_m"][:cnt].copy(),
+        "thrc_e": b["thrc_e"][:cnt].astype(np.int32),
+        "step_length": b["step_length"][:cnt].copy(),
+        "next_stage_la_index": b["next_idx"][:cnt].copy(),
+    }
+    return LAReferenceArrays(arrays, b["stage_idx"][:stage_count],
+                             b["stage_macro"][:stage_count], stage_count,
+                             at, p)
+
+
 def generate_native(orbit_x: np.ndarray, orbit_y: np.ndarray,
                     radius_hd: HD, params: LAParameters | None = None,
                     sub_is_f32: bool = True,
@@ -163,30 +244,7 @@ def generate_native(orbit_x: np.ndarray, orbit_y: np.ndarray,
     oy = np.ascontiguousarray(orbit_y, np.float64)
     n = len(ox)
     cap = 2 * n + 64
-    ref_m = np.empty((cap, 2), np.float64)
-    ref_e = np.empty(cap, np.int64)
-    zc_m = np.empty((cap, 2), np.float64)
-    zc_e = np.empty(cap, np.int64)
-    cc_m = np.empty((cap, 2), np.float64)
-    cc_e = np.empty(cap, np.int64)
-    thr_m = np.empty(cap, np.float64)
-    thr_e = np.empty(cap, np.int64)
-    thrc_m = np.empty(cap, np.float64)
-    thrc_e = np.empty(cap, np.int64)
-    step_length = np.empty(cap, np.int64)
-    next_idx = np.empty(cap, np.int64)
-    stage_idx = np.zeros(1025, np.int64)
-    stage_macro = np.zeros(1025, np.int64)
-    at_m = np.zeros(10, np.float64)
-    at_e = np.zeros(6, np.int64)
-    flags = np.zeros(4, np.int64)
-
-    def dp(a):
-        return a.ctypes.data_as(_D)
-
-    def ip(a):
-        return a.ctypes.data_as(_I)
-
+    b = _out_bufs(cap)
     rad = radius_hd.reduce()
     if orbit_e is not None:
         oe = np.ascontiguousarray(orbit_e, np.int32)
@@ -194,40 +252,54 @@ def generate_native(orbit_x: np.ndarray, orbit_y: np.ndarray,
     else:
         oe_ptr = None
     cnt = lib.fs_la_generate(
-        dp(ox), dp(oy), n, oe_ptr, float(rad.m), int(rad.e),
+        _dp(ox), _dp(oy), n, oe_ptr, float(rad.m), int(rad.e),
         p.detection_method, p.la_threshold_scale, p.la_threshold_c_scale,
         p.stage0_period_detection_threshold2,
         p.period_detection_threshold2,
         p.stage0_period_detection_threshold, p.period_detection_threshold,
         p.period_divisor, 1 if sub_is_f32 else 0,
-        cap,
-        dp(ref_m), ip(ref_e), dp(zc_m), ip(zc_e), dp(cc_m), ip(cc_e),
-        dp(thr_m), ip(thr_e), dp(thrc_m), ip(thrc_e),
-        ip(step_length), ip(next_idx), ip(stage_idx), ip(stage_macro),
-        dp(at_m), ip(at_e), ip(flags))
-    if cnt <= 0 or flags[0] == 0:
+        cap, *_out_ptrs(b))
+    return _collect(cnt, b, p)
+
+
+def generate_native_rc(compressed, radius_hd: HD,
+                       params: LAParameters | None = None,
+                       sub_is_f32: bool = True,
+                       cap: int | None = None):
+    """LA table straight from a ``CompressedOrbit``: the native builder
+    reads the orbit through a streaming reconstructing accessor
+    (anchors + the f64 recurrence, resetting at every anchor), so the
+    uncompressed orbit never materializes anywhere — the LA-build path
+    for orbits that only exist compressed (period-billions View #27
+    class, ``Notes/FractalShark-06-RefOrbit.tex:740-747``).  Values
+    reconstruct exactly as ``CompressedOrbit.decompress``; reference
+    analogue: LA building through the decompressing orbit helpers
+    (``PerturbationResultsHelpers.h:51-161``).
+
+    ``cap`` bounds the node-table allocation (default: orbit length
+    + 64, the empirical ceiling for period-driven stage-0 tables);
+    returns None when the library is unavailable, the orbit yields no
+    valid table, or the cap is exceeded."""
+    lib = _load()
+    if lib is None:
         return None
-    stage_count = int(flags[3])
-    at = None
-    if flags[1]:
-        at = ATInfo(
-            step_length=int(flags[2]),
-            threshold_c=HD(float(at_m[0]), int(at_e[0])),
-            sqr_escape_radius=HD(float(at_m[1]), int(at_e[1])),
-            ref_c=HDC(complex(at_m[2], at_m[3]), int(at_e[2])),
-            zcoeff=HDC(complex(at_m[4], at_m[5]), int(at_e[3])),
-            ccoeff=HDC(complex(at_m[6], at_m[7]), int(at_e[4])),
-            inv_zcoeff=HDC(complex(at_m[8], at_m[9]), int(at_e[5])))
-    arrays = {
-        "ref_m": ref_m[:cnt].copy(), "ref_e": ref_e[:cnt].astype(np.int32),
-        "zc_m": zc_m[:cnt].copy(), "zc_e": zc_e[:cnt].astype(np.int32),
-        "cc_m": cc_m[:cnt].copy(), "cc_e": cc_e[:cnt].astype(np.int32),
-        "thr_m": thr_m[:cnt].copy(), "thr_e": thr_e[:cnt].astype(np.int32),
-        "thrc_m": thrc_m[:cnt].copy(),
-        "thrc_e": thrc_e[:cnt].astype(np.int32),
-        "step_length": step_length[:cnt].copy(),
-        "next_stage_la_index": next_idx[:cnt].copy(),
-    }
-    return LAReferenceArrays(arrays, stage_idx[:stage_count],
-                             stage_macro[:stage_count], stage_count,
-                             at, p)
+    p = params or LAParameters()
+    ax = np.ascontiguousarray(compressed.anchors_x, np.float64)
+    ay = np.ascontiguousarray(compressed.anchors_y, np.float64)
+    ai = np.ascontiguousarray(compressed.anchor_index, np.int64)
+    n = int(compressed.total_count)
+    if cap is None:
+        cap = n + 64
+    b = _out_bufs(cap)
+    rad = radius_hd.reduce()
+    cnt = lib.fs_la_generate_rc(
+        _dp(ax), _dp(ay), _ip(ai), len(ax), n,
+        float(compressed.cx_low), float(compressed.cy_low),
+        float(rad.m), int(rad.e),
+        p.detection_method, p.la_threshold_scale, p.la_threshold_c_scale,
+        p.stage0_period_detection_threshold2,
+        p.period_detection_threshold2,
+        p.stage0_period_detection_threshold, p.period_detection_threshold,
+        p.period_divisor, 1 if sub_is_f32 else 0,
+        cap, *_out_ptrs(b))
+    return _collect(cnt, b, p)

@@ -245,8 +245,21 @@ static LANode composite(const Params &p, const LANode &node,
 
 struct Builder {
     Params p;
-    const double *ox, *oy;
+    const double *ox = nullptr, *oy = nullptr;
     const int32_t *oe = nullptr;
+    // RC (compressed-orbit) source: anchors + the f64 recurrence.
+    // gc(i) reconstructs z_i from the last stored anchor <= i,
+    // RESETTING at every anchor on the way — exactly the semantics of
+    // CompressedOrbit.decompress and of the reference's decompressing
+    // orbit accessor the LA build reads through
+    // (PerturbationResultsHelpers.h:51-161).  This is what lets LA
+    // tables build for orbits that only exist compressed
+    // (period-billions View #27 class: the uncompressed orbit would be
+    // hundreds of GB).
+    const double *ax = nullptr, *ay = nullptr;
+    const int64_t *ai = nullptr;
+    int64_t n_anchors = 0;
+    double rc_cx = 0.0, rc_cy = 0.0;
     int64_t max_ref;
     std::vector<LANode> las;
     std::vector<int64_t> stage_la_index;
@@ -254,9 +267,49 @@ struct Builder {
     int64_t stage_count = 0;
 
     HDC gc(int64_t i) const {
-        HDC c = hdc_from_complex(ox[i], oy[i]);
-        if (oe && (c.re != 0.0 || c.im != 0.0)) c.e += oe[i];
-        return c;
+        if (ox) {
+            HDC c = hdc_from_complex(ox[i], oy[i]);
+            if (oe && (c.re != 0.0 || c.im != 0.0)) c.e += oe[i];
+            return c;
+        }
+        return rc_get(i);
+    }
+
+    // per-thread cursor (the MT stage-0 walkers each stream their own
+    // segment; the reference keeps a per-thread decompression cache the
+    // same way) — sequential access is O(1) amortized, seeks are a
+    // binary search + at most one compression span of recurrence steps
+    HDC rc_get(int64_t i) const {
+        thread_local const void *owner = nullptr;
+        thread_local int64_t ci, next_k;
+        thread_local double zx, zy;
+        auto seek = [&](int64_t target) {
+            int64_t lo = 0, hi = n_anchors - 1, k = 0;
+            while (lo <= hi) {
+                int64_t mid = lo + (hi - lo) / 2;
+                if (ai[mid] <= target) { k = mid; lo = mid + 1; }
+                else hi = mid - 1;
+            }
+            ci = ai[k];
+            zx = ax[k];
+            zy = ay[k];
+            next_k = k + 1;
+        };
+        bool behind = (owner != this) || ci > i;
+        if (behind) {
+            owner = (const void *)this;
+            seek(i);
+        } else if (i > ci && next_k < n_anchors && ai[next_k] <= i) {
+            // an anchor lies in (ci, i]: jump straight to the last one
+            seek(i);
+        }
+        while (ci < i) {
+            double nx = zx * zx - zy * zy + rc_cx;
+            zy = 2.0 * zx * zy + rc_cy;
+            zx = nx;
+            ci++;
+        }
+        return hdc_from_complex(zx, zy);
     }
 
     // mirrors _create_la_from_orbit (la_reference.py)
@@ -786,19 +839,13 @@ struct Builder {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Returns number of LA nodes written (>=0), -1 if capacity too small,
-// 0 with flags[0]=0 when the orbit yields no valid LA table.
-// flags: [0]=is_valid, [1]=use_at, [2]=at_step_length, [3]=stage_count
-int64_t fs_la_generate(
-    const double *orbit_x, const double *orbit_y, int64_t n_orbit,
-    const int32_t *orbit_exp,  // nullable: per-entry 2^e scale (HDR orbit)
-    double radius_m, int64_t radius_e,
-    int detection_method, double la_threshold_scale,
-    double la_threshold_c_scale, double stage0_pdt2, double pdt2,
-    double stage0_pdt, double pdt, int period_divisor, int sub_is_f32,
-    int64_t cap,
+// Shared tail of both entry points: stage-0 build (MT), stage
+// composition, AT creation, output marshalling.
+int64_t la_generate_common(
+    Builder &b, int64_t n_orbit,
+    double radius_m, int64_t radius_e, int sub_is_f32, int64_t cap,
     double *ref_m, int64_t *ref_e, double *zc_m, int64_t *zc_e,
     double *cc_m, int64_t *cc_e, double *thr_m, int64_t *thr_e,
     double *thrc_m, int64_t *thrc_e,
@@ -806,13 +853,6 @@ int64_t fs_la_generate(
     int64_t *stage_la_index_out, int64_t *stage_macro_out,
     double *at_m, int64_t *at_e, int64_t *flags)
 {
-    Builder b;
-    b.p = {detection_method, la_threshold_scale, la_threshold_c_scale,
-           stage0_pdt2, pdt2, stage0_pdt, pdt, period_divisor};
-    b.ox = orbit_x;
-    b.oy = orbit_y;
-    b.oe = orbit_exp;
-    b.max_ref = n_orbit - 1;
     flags[0] = 0;
     flags[1] = 0;
     flags[2] = 0;
@@ -925,6 +965,87 @@ int64_t fs_la_generate(
     at_m[9] = at_izc.im;
     at_e[5] = at_izc.e;
     return n;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns number of LA nodes written (>=0), -1 if capacity too small,
+// 0 with flags[0]=0 when the orbit yields no valid LA table.
+// flags: [0]=is_valid, [1]=use_at, [2]=at_step_length, [3]=stage_count
+int64_t fs_la_generate(
+    const double *orbit_x, const double *orbit_y, int64_t n_orbit,
+    const int32_t *orbit_exp,  // nullable: per-entry 2^e scale (HDR orbit)
+    double radius_m, int64_t radius_e,
+    int detection_method, double la_threshold_scale,
+    double la_threshold_c_scale, double stage0_pdt2, double pdt2,
+    double stage0_pdt, double pdt, int period_divisor, int sub_is_f32,
+    int64_t cap,
+    double *ref_m, int64_t *ref_e, double *zc_m, int64_t *zc_e,
+    double *cc_m, int64_t *cc_e, double *thr_m, int64_t *thr_e,
+    double *thrc_m, int64_t *thrc_e,
+    int64_t *step_length, int64_t *next_stage_la_index,
+    int64_t *stage_la_index_out, int64_t *stage_macro_out,
+    double *at_m, int64_t *at_e, int64_t *flags)
+{
+    Builder b;
+    b.p = {detection_method, la_threshold_scale, la_threshold_c_scale,
+           stage0_pdt2, pdt2, stage0_pdt, pdt, period_divisor};
+    b.ox = orbit_x;
+    b.oy = orbit_y;
+    b.oe = orbit_exp;
+    b.max_ref = n_orbit - 1;
+    return la_generate_common(
+        b, n_orbit, radius_m, radius_e, sub_is_f32, cap,
+        ref_m, ref_e, zc_m, zc_e, cc_m, cc_e, thr_m, thr_e,
+        thrc_m, thrc_e, step_length, next_stage_la_index,
+        stage_la_index_out, stage_macro_out, at_m, at_e, flags);
+}
+
+// LA build straight from a COMPRESSED orbit (SimpleCompression anchors
+// + uncompressed indices): the builder reads the orbit through the
+// reconstructing accessor, so the uncompressed orbit never exists —
+// the route to LA tables at period-billions scale (View #27 class,
+// Notes/FractalShark-06-RefOrbit.tex:740-747).  Matches the reference,
+// whose LA build reads PerturbationResults through the decompressing
+// helpers (PerturbationResultsHelpers.h:51-161).  n_orbit =
+// total_count (uncompressed length); cx/cy = the low-precision center
+// (recurrence constants).  Values reconstruct exactly as
+// CompressedOrbit.decompress does (plain f64; sub-f64 dips flushed —
+// HDR-dip orbits need the uncompressed path).
+int64_t fs_la_generate_rc(
+    const double *anchors_x, const double *anchors_y,
+    const int64_t *anchor_index, int64_t n_anchors, int64_t n_orbit,
+    double cx_low, double cy_low,
+    double radius_m, int64_t radius_e,
+    int detection_method, double la_threshold_scale,
+    double la_threshold_c_scale, double stage0_pdt2, double pdt2,
+    double stage0_pdt, double pdt, int period_divisor, int sub_is_f32,
+    int64_t cap,
+    double *ref_m, int64_t *ref_e, double *zc_m, int64_t *zc_e,
+    double *cc_m, int64_t *cc_e, double *thr_m, int64_t *thr_e,
+    double *thrc_m, int64_t *thrc_e,
+    int64_t *step_length, int64_t *next_stage_la_index,
+    int64_t *stage_la_index_out, int64_t *stage_macro_out,
+    double *at_m, int64_t *at_e, int64_t *flags)
+{
+    Builder b;
+    b.p = {detection_method, la_threshold_scale, la_threshold_c_scale,
+           stage0_pdt2, pdt2, stage0_pdt, pdt, period_divisor};
+    b.ax = anchors_x;
+    b.ay = anchors_y;
+    b.ai = anchor_index;
+    b.n_anchors = n_anchors;
+    b.rc_cx = cx_low;
+    b.rc_cy = cy_low;
+    b.max_ref = n_orbit - 1;
+    if (n_anchors <= 0) return 0;
+    return la_generate_common(
+        b, n_orbit, radius_m, radius_e, sub_is_f32, cap,
+        ref_m, ref_e, zc_m, zc_e, cc_m, cc_e, thr_m, thr_e,
+        thrc_m, thrc_e, step_length, next_stage_la_index,
+        stage_la_index_out, stage_macro_out, at_m, at_e, flags);
 }
 
 }  // extern "C"
