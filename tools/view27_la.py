@@ -1,0 +1,81 @@
+"""Build the FULL View #27 LA table from the compressed orbit store.
+
+Runs after tools/run_view27.py completes (phase == done in
+/tmp/view27_progress.json): opens the anchor store, then builds the LA
+table THROUGH the native streaming reconstructing accessor
+(fs_la_generate_rc) — the ~453 GB uncompressed orbit never exists.
+The reference's hardest-render class needs exactly this step for
+full-frame LAv2 (Notes/FractalShark-06-RefOrbit.tex:740-747).
+
+Writes /tmp/view27_la.json; node arrays land in /tmp/view27_la_*.npy.
+"""
+
+import json
+import time
+
+import numpy as np
+
+OUT = "/tmp/view27_la.json"
+CK = "/tmp/view27_orbit"
+
+from fractalshark_tpu.core.hdr_host import HD                  # noqa: E402
+from fractalshark_tpu.core.precision import precision_from_view  # noqa: E402
+from fractalshark_tpu.core.views import get_view_preset        # noqa: E402
+from fractalshark_tpu.engine import native_la as NL            # noqa: E402
+from fractalshark_tpu.engine import native_orbit as NO         # noqa: E402
+
+state = {"phase": "init", "t0": time.time()}
+
+
+def save():
+    state["elapsed_s"] = round(time.time() - state["t0"], 1)
+    with open(OUT, "w") as f:
+        json.dump(state, f)
+
+
+with open("/tmp/view27_progress.json") as f:
+    prog = json.load(f)
+assert prog.get("phase") == "done" and prog.get("period", 0) > 0, prog
+
+v = get_view_preset(27)
+ptz = v.ptz.square_aspect_ratio(128, 128)
+prec = precision_from_view(ptz) + 32
+cx = ptz.pt_x.with_precision(prec)
+cy = ptz.pt_y.with_precision(prec)
+sess = NO.NativeOrbitSession(
+    cx, cy, ptz.radius, precision_bits=prec,
+    compression_error_exp=int(v.compression_error_exp_low or 20),
+    checkpoint_path=CK)
+assert sess._resumed, "orbit store missing"
+comp = sess.compressed()
+state.update(phase="la_build", n_anchors=len(comp.anchors_x),
+             total_count=int(comp.total_count),
+             ratio=round(comp.compression_ratio(), 1),
+             had_dip=bool(prog.get("had_dip", False)))
+save()
+
+rad = HD.from_hp(ptz.radius)
+cap = 1 << 26
+la = None
+while la is None and cap <= (1 << 29):
+    t0 = time.perf_counter()
+    la = NL.generate_native_rc(comp, rad, cap=cap)
+    state[f"attempt_cap_{cap}"] = round(time.perf_counter() - t0, 1)
+    save()
+    if la is None:
+        cap <<= 2
+
+if la is None:
+    state["phase"] = "failed_cap"
+    save()
+    raise SystemExit(json.dumps(state))
+
+state.update(phase="done", la_valid=bool(la.is_valid),
+             n_nodes=len(la.las), stages=int(la.stage_count),
+             stage_la_index=[int(x) for x in la.stage_la_index],
+             use_at=bool(la.use_at),
+             build_s=state[f"attempt_cap_{cap}"])
+save()
+a = la._arrays
+np.save("/tmp/view27_la_step.npy", a["step_length"][:64])
+print(json.dumps(state))
