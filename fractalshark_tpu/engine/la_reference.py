@@ -45,6 +45,15 @@ class LAParameters:
     stage0_period_detection_threshold: float = 2.0 ** -10
     period_detection_threshold: float = 2.0 ** -10
     period_divisor: int = DEFAULT_PERIOD_DIVISOR
+    # How small a stage may get before composition stops (the
+    # reference's fixed lowBound = 64, LAReference.h:56).  Deep renders
+    # wrap the whole orbit inside the LA machine — one wrap costs one
+    # pass over the TOP stage's nodes — so composing further (down to a
+    # single whole-orbit node via the period==0 terminal branch) divides
+    # per-wrap macro-step counts by up to 64.  The View #27 class
+    # (10^15-iteration budgets = tens of thousands of wraps/pixel) needs
+    # low_bound=1; see tools/view27_la.py and docs/DESIGN.md.
+    low_bound: int = LOW_BOUND
 
     @staticmethod
     def max_accuracy() -> "LAParameters":
@@ -488,8 +497,11 @@ class LAReferenceHost:
         self.stage_macro_it_count[cur_stage] = (
             len(self.las) - self.stage_la_index[cur_stage])
         self.las.append(_new_node(p, gc(max_ref)))
-        # another stage is worthwhile while this one is still big
-        return self.stage_macro_it_count[cur_stage] > LOW_BOUND
+        # another stage is worthwhile while this one is still big;
+        # p.low_bound < 64 composes deeper (>= 2: composition needs a
+        # real node pair, and the period==0 terminal branch emits the
+        # final 1-node whole-orbit stage itself)
+        return self.stage_macro_it_count[cur_stage] > max(p.low_bound, 1)
 
     def _create_at_from_la(self, radius_hd: HD, sub_is_f32: bool,
                            max_ref: int = 0) -> None:

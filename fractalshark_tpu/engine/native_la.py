@@ -41,7 +41,11 @@ _I = ctypes.POINTER(ctypes.c_int64)
 
 def _build() -> bool:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
-    cmd = ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC]
+    # -ffp-contract=off: no FMA contraction — outputs stay bit-exact vs
+    # the Python oracle (the baseline -O2 build relied on x86-64 having
+    # no FMA instruction; make it explicit); C++20 for std::bit_cast
+    cmd = ["g++", "-O3", "-std=c++20", "-ffp-contract=off",
+           "-shared", "-fPIC", "-o", _SO, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
@@ -71,7 +75,9 @@ def _load():
             ctypes.c_double, ctypes.c_int64,             # radius
             ctypes.c_int, ctypes.c_double, ctypes.c_double,
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
-            ctypes.c_double, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_int,
+            ctypes.c_int64,                              # low_bound
+            ctypes.c_int,                                # sub_is_f32
             ctypes.c_int64,                              # cap
             _D, _I, _D, _I, _D, _I, _D, _I, _D, _I,      # node arrays
             _I, _I,                                      # step/next
@@ -85,7 +91,9 @@ def _load():
             ctypes.c_double, ctypes.c_int64,             # radius
             ctypes.c_int, ctypes.c_double, ctypes.c_double,
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
-            ctypes.c_double, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_int,
+            ctypes.c_int64,                              # low_bound
+            ctypes.c_int,                                # sub_is_f32
             ctypes.c_int64,                              # cap
             _D, _I, _D, _I, _D, _I, _D, _I, _D, _I,
             _I, _I,
@@ -257,7 +265,7 @@ def generate_native(orbit_x: np.ndarray, orbit_y: np.ndarray,
         p.stage0_period_detection_threshold2,
         p.period_detection_threshold2,
         p.stage0_period_detection_threshold, p.period_detection_threshold,
-        p.period_divisor, 1 if sub_is_f32 else 0,
+        p.period_divisor, p.low_bound, 1 if sub_is_f32 else 0,
         cap, *_out_ptrs(b))
     return _collect(cnt, b, p)
 
@@ -279,11 +287,16 @@ def generate_native_rc(compressed, radius_hd: HD,
     ``cap`` bounds the node-table allocation (default: orbit length
     + 64, the empirical ceiling for period-driven stage-0 tables);
     returns None when the library is unavailable, the orbit yields no
-    valid table, or the cap is exceeded."""
+    valid table, or the cap is exceeded.
+
+    Default params use period_divisor=8: the reference widens stage-0
+    node spacing for compressed orbits to bound table memory
+    (LAReference.cpp:12-19, periodDivisor = SimpleCompression ? 8 : 2)
+    — at View #27 scale the divisor-2 table would be ~9e9 nodes."""
     lib = _load()
     if lib is None:
         return None
-    p = params or LAParameters()
+    p = params or LAParameters(period_divisor=8)
     ax = np.ascontiguousarray(compressed.anchors_x, np.float64)
     ay = np.ascontiguousarray(compressed.anchors_y, np.float64)
     ai = np.ascontiguousarray(compressed.anchor_index, np.int64)
@@ -300,6 +313,6 @@ def generate_native_rc(compressed, radius_hd: HD,
         p.stage0_period_detection_threshold2,
         p.period_detection_threshold2,
         p.stage0_period_detection_threshold, p.period_detection_threshold,
-        p.period_divisor, 1 if sub_is_f32 else 0,
+        p.period_divisor, p.low_bound, 1 if sub_is_f32 else 0,
         cap, *_out_ptrs(b))
     return _collect(cnt, b, p)

@@ -17,6 +17,7 @@
 //
 // Build: g++ -O2 -shared -fPIC -o libfs_la.so la_build.cpp
 
+#include <bit>
 #include <cmath>
 #include <cstdint>
 #include <cstdlib>
@@ -25,6 +26,39 @@
 #include <vector>
 
 namespace {
+
+// ------------------------------------------------------------------
+// Bit-level frexp/ldexp: the stage-0 walk reduces ~6 HD/HDC values per
+// orbit point, and at View #27 scale (period 28.3e9,
+// Notes/FractalShark-06-RefOrbit.tex:740-747) the libm calls dominate
+// the whole LA build.  Both are BIT-EXACT replacements: the exponent
+// split just rewrites the exponent field (normals), and scaling by an
+// exactly-representable power of two is correctly rounded exactly as
+// ldexp is.  Non-normal edges (subnormal/inf/nan inputs, scales
+// outside the normal range) fall back to libm.
+// ------------------------------------------------------------------
+
+static constexpr uint64_t kExpMask = 0x7FFULL << 52;
+
+// value*2^e of a normal double split as (mantissa in [1,2), e); the
+// caller handles zero.  Returns false on subnormal/inf/nan input.
+static inline bool split_norm(double x, double *m, int64_t *e) {
+    uint64_t b = std::bit_cast<uint64_t>(x);
+    uint64_t ef = (b >> 52) & 0x7FF;
+    if (ef == 0 || ef == 0x7FF) return false;
+    *e = (int64_t)ef - 1023;
+    *m = std::bit_cast<double>((b & ~kExpMask) | (1023ULL << 52));
+    return true;
+}
+
+// x * 2^k for |k| within the normal scale range (|k| <= 1022: every
+// call site's shift is bounded by EXPONENT_DIFF_IGNORED=128 or by a
+// normal double's exponent).  Exact: 2^k is representable, and
+// multiplying by an exact power of two rounds identically to ldexp.
+static inline double mul_pow2(double x, int64_t k) {
+    if (k < -1022 || k > 1023) return std::ldexp(x, (int)k);
+    return x * std::bit_cast<double>((uint64_t)(k + 1023) << 52);
+}
 
 struct HD {
     double m;
@@ -35,9 +69,12 @@ static inline HD hd_zero() { return {0.0, 0}; }
 
 static inline HD hd_reduce(HD a) {
     if (a.m == 0.0) return {0.0, 0};
-    int ex;
-    double m = std::frexp(a.m, &ex);
-    return {m * 2.0, a.e + ex - 1};
+    double m;
+    int64_t ex;
+    if (split_norm(a.m, &m, &ex)) return {m, a.e + ex};
+    int ei;
+    m = std::frexp(a.m, &ei);
+    return {m * 2.0, a.e + ei - 1};
 }
 
 static inline HD hd_from_double(double x) {
@@ -74,10 +111,16 @@ static inline HDC hdc_zero() { return {0.0, 0.0, 0}; }
 static inline HDC hdc_reduce(HDC a) {
     double big = std::max(std::fabs(a.re), std::fabs(a.im));
     if (big == 0.0) return {0.0, 0.0, 0};
-    int ex;
-    std::frexp(big, &ex);
-    int64_t k = (int64_t)ex - 1;
-    return {std::ldexp(a.re, (int)-k), std::ldexp(a.im, (int)-k), a.e + k};
+    double m;
+    int64_t k;
+    if (!split_norm(big, &m, &k)) {
+        int ex;
+        std::frexp(big, &ex);
+        k = (int64_t)ex - 1;
+        return {std::ldexp(a.re, (int)-k), std::ldexp(a.im, (int)-k),
+                a.e + k};
+    }
+    return {mul_pow2(a.re, -k), mul_pow2(a.im, -k), a.e + k};
 }
 
 static inline HDC hdc_from_complex(double re, double im) {
@@ -101,8 +144,8 @@ static inline HDC hdc_add(HDC a, HDC b) {
     if (a.e < b.e) { big = b; small = a; }
     int64_t d = big.e - small.e;
     if (d > 128) return big;
-    return hdc_reduce({big.re + std::ldexp(small.re, (int)-d),
-                       big.im + std::ldexp(small.im, (int)-d), big.e});
+    return hdc_reduce({big.re + mul_pow2(small.re, -d),
+                       big.im + mul_pow2(small.im, -d), big.e});
 }
 
 static inline HD hdc_cheb(HDC a) {
@@ -143,6 +186,12 @@ struct Params {
     double stage0_pdt;
     double pdt;
     int period_divisor;
+    // stage-composition stop bound (reference lowBound=64,
+    // LAReference.h:56); < 64 composes deeper — down to the terminal
+    // 1-node whole-orbit stage — dividing per-orbit-wrap macro-step
+    // counts for deep renders (View #27 class).  Clamped to >= 2 at
+    // the use site (composition needs a real node pair).
+    int64_t low_bound;
 };
 
 struct LANode {
@@ -833,7 +882,8 @@ struct Builder {
         stage_macro_it_count[cur_stage] =
             (int64_t)las.size() - stage_la_index[cur_stage];
         las.push_back(new_node(p, gc(max_ref)));
-        return stage_macro_it_count[cur_stage] > LOW_BOUND;
+        return stage_macro_it_count[cur_stage] >
+               (p.low_bound > 1 ? p.low_bound : 1);
     }
 };
 
@@ -980,8 +1030,8 @@ int64_t fs_la_generate(
     double radius_m, int64_t radius_e,
     int detection_method, double la_threshold_scale,
     double la_threshold_c_scale, double stage0_pdt2, double pdt2,
-    double stage0_pdt, double pdt, int period_divisor, int sub_is_f32,
-    int64_t cap,
+    double stage0_pdt, double pdt, int period_divisor, int64_t low_bound,
+    int sub_is_f32, int64_t cap,
     double *ref_m, int64_t *ref_e, double *zc_m, int64_t *zc_e,
     double *cc_m, int64_t *cc_e, double *thr_m, int64_t *thr_e,
     double *thrc_m, int64_t *thrc_e,
@@ -991,7 +1041,7 @@ int64_t fs_la_generate(
 {
     Builder b;
     b.p = {detection_method, la_threshold_scale, la_threshold_c_scale,
-           stage0_pdt2, pdt2, stage0_pdt, pdt, period_divisor};
+           stage0_pdt2, pdt2, stage0_pdt, pdt, period_divisor, low_bound};
     b.ox = orbit_x;
     b.oy = orbit_y;
     b.oe = orbit_exp;
@@ -1021,8 +1071,8 @@ int64_t fs_la_generate_rc(
     double radius_m, int64_t radius_e,
     int detection_method, double la_threshold_scale,
     double la_threshold_c_scale, double stage0_pdt2, double pdt2,
-    double stage0_pdt, double pdt, int period_divisor, int sub_is_f32,
-    int64_t cap,
+    double stage0_pdt, double pdt, int period_divisor, int64_t low_bound,
+    int sub_is_f32, int64_t cap,
     double *ref_m, int64_t *ref_e, double *zc_m, int64_t *zc_e,
     double *cc_m, int64_t *cc_e, double *thr_m, int64_t *thr_e,
     double *thrc_m, int64_t *thrc_e,
@@ -1032,7 +1082,7 @@ int64_t fs_la_generate_rc(
 {
     Builder b;
     b.p = {detection_method, la_threshold_scale, la_threshold_c_scale,
-           stage0_pdt2, pdt2, stage0_pdt, pdt, period_divisor};
+           stage0_pdt2, pdt2, stage0_pdt, pdt, period_divisor, low_bound};
     b.ax = anchors_x;
     b.ay = anchors_y;
     b.ai = anchor_index;

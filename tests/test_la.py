@@ -293,3 +293,56 @@ def test_native_mt_la_builder_bit_identical():
             np.testing.assert_array_equal(np.asarray(a[key]),
                                           np.asarray(b[key]),
                                           err_msg=f"{key} @T={t}")
+
+
+def test_low_bound_composes_deeper_stages():
+    """p.low_bound < 64 keeps composing stages past the reference's
+    fixed lowBound (LAReference.h:56) down to the terminal whole-orbit
+    stage.  Deep budgets wrap the orbit inside the LA machine — one
+    wrap walks the TOP stage's nodes — so the terminal 1-node stage
+    divides per-wrap macro-step counts by the top stage's size (the
+    View #27 enabler: 10^15-iteration budgets = tens of thousands of
+    wraps/pixel).  Native and Python builders must agree bit-exactly
+    at the non-default bound."""
+    from fractalshark_tpu.engine import native_la
+    # synthetic non-escaping, non-periodic orbit: the period==0
+    # NthRoot branch gives a large stage 0, so intermediate stages
+    # exist between the default bound and the terminal stage
+    rng = np.random.default_rng(7)
+    n = 50001
+    mag = rng.uniform(0.3, 1.8, n)
+    ang = rng.uniform(0, 2 * np.pi, n)
+    ox = mag * np.cos(ang)
+    oy = mag * np.sin(ang)
+    ox[0] = 0.0
+    oy[0] = 0.0
+    rad = HD.from_float(1e-30)
+    p1 = LAParameters(low_bound=1)
+    la64 = LAReferenceHost.generate(ox, oy, rad)
+    la1 = LAReferenceHost.generate(ox, oy, rad, params=p1)
+    assert la1.is_valid and la64.is_valid
+    assert la1.stage_count > la64.stage_count
+    assert la64.stage_macro_it_count[la64.stage_count - 1] > 1
+    # terminal whole-orbit stage reached
+    assert la1.stage_macro_it_count[la1.stage_count - 1] == 1
+    top = la1.las[la1.stage_la_index[la1.stage_count - 1]]
+    assert top.step_length == n - 1
+    # the deep table is a strict extension: the la64 stages are shared
+    n64 = la64.stage_la_index[la64.stage_count - 1]
+    a64 = la64.device_arrays(np.float64)
+    a1 = la1.device_arrays(np.float64)
+    for k in ("ref_m", "ref_e", "zc_m", "zc_e", "step_length"):
+        np.testing.assert_array_equal(np.asarray(a1[k])[:n64],
+                                      np.asarray(a64[k])[:n64],
+                                      err_msg=k)
+    if native_la.available():
+        lan = native_la.generate_native(ox, oy, rad, params=p1)
+        assert lan is not None
+        assert lan.stage_count == la1.stage_count
+        an = lan.device_arrays(np.float64)
+        for k in ("ref_m", "ref_e", "zc_m", "zc_e", "cc_m", "cc_e",
+                  "thr_m", "thr_e", "thrc_m", "thrc_e", "step_length",
+                  "next_stage_la_index", "stage_la_index",
+                  "stage_macro_it_count"):
+            np.testing.assert_array_equal(np.asarray(an[k]),
+                                          np.asarray(a1[k]), err_msg=k)
