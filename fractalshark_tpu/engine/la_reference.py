@@ -566,8 +566,10 @@ class LAReferenceHost:
             "thrc_m": thrc_m, "thrc_e": thrc_e,
             "step_length": np.asarray(
                 [x.step_length for x in self.las], np.int64),
+            # int64: stage-0 next indices are ORBIT POSITIONS — up to
+            # the period (~28e9 at View #27 class, beyond int32)
             "next_stage_la_index": np.asarray(
-                [x.next_stage_la_index for x in self.las], np.int32),
+                [x.next_stage_la_index for x in self.las], np.int64),
             "stage_la_index": np.asarray(self.stage_la_index, np.int32),
             "stage_macro_it_count": np.asarray(
                 self.stage_macro_it_count, np.int32),

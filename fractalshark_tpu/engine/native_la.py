@@ -134,8 +134,9 @@ class LAReferenceArrays(LAReferenceHost):
             "thr_m": a["thr_m"].astype(dtype), "thr_e": a["thr_e"],
             "thrc_m": a["thrc_m"].astype(dtype), "thrc_e": a["thrc_e"],
             "step_length": a["step_length"],
-            "next_stage_la_index": a["next_stage_la_index"].astype(
-                np.int32),
+            # int64: stage-0 next indices are orbit positions (up to
+            # the period — beyond int32 at View #27 class)
+            "next_stage_la_index": a["next_stage_la_index"],
             "stage_la_index": np.asarray(self.stage_la_index, np.int32),
             "stage_macro_it_count": np.asarray(
                 self.stage_macro_it_count, np.int32),

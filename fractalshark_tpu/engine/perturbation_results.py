@@ -343,6 +343,40 @@ class CompressedOrbit:
             cx_low=float(z["c"][0]), cy_low=float(z["c"][1]))
 
 
+class VirtualResults:
+    """LA-phase stand-in for :class:`PerturbationResults` when only a
+    :class:`CompressedOrbit` exists (the View #27 class — period ~28e9,
+    Notes/FractalShark-06-RefOrbit.tex:740-747 — where the ~453 GB
+    uncompressed orbit never exists anywhere).
+
+    ``device_orbit`` returns a 1-row dummy: valid ONLY for
+    ``la_only=True`` LA machines, whose perturbation-tail branch is
+    provably dead (a pixel dropping below stage 0 is marked done in the
+    same body step, so ``in_tail`` live pixels never exist) — the real
+    tail runs in the RC streaming kernel via the jwait handoff
+    (engine/renderers.py two_phase_render)."""
+
+    def __init__(self, center_x, center_y, total_count: int):
+        self.center_x = center_x
+        self.center_y = center_y
+        self._total = int(total_count)
+        self.extra: dict = {}
+
+    @staticmethod
+    def from_compressed(comp: "CompressedOrbit", center_x,
+                        center_y) -> "VirtualResults":
+        """``center_x/center_y`` are the HIGH-PRECISION center (the
+        compressed orbit stores only the f64 shadow center)."""
+        return VirtualResults(center_x, center_y, comp.total_count)
+
+    def max_ref_iteration(self) -> int:
+        return self._total - 1
+
+    def device_orbit(self, dtype=np.float64):
+        z = np.zeros(1, dtype)
+        return z, z
+
+
 @dataclass
 class MaxCompressedOrbit:
     """MaxCompression: waypoints + Zhuoran rebases.

@@ -95,12 +95,13 @@ def _pack_orbit(ox, oy, max_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "la_only",
-                                             "chunk_steps"))
+                                             "chunk_steps", "force_wide"))
 def _lav2_impl(orbit_packed, dc_re, dc_im, dc_e,
-               packed, step64, thrc_m, thrc_e,
+               packed, side64, thrc_m, thrc_e,
                stage_la_index, stage_macro,
                at_args, max_ref, stage_count, at_step,
-               max_iter, la_only, chunk_steps=0, resume_state=None):
+               max_iter, la_only, chunk_steps=0, resume_state=None,
+               force_wide=False):
     """`stage_count` and `at_step` are TRACED i32 scalars and the node /
     orbit / stage tables may be padded past their live lengths: the
     compiled executable's identity depends only on the (bucketed) table
@@ -121,9 +122,15 @@ def _lav2_impl(orbit_packed, dc_re, dc_im, dc_e,
     else:
         def ibits(col):
             return col.astype(jnp.int32)
-    # iteration counters: i32 when the budget allows (i64 is emulated
-    # and slow on TPU; budgets >= 2^31 use the 64-bit path)
-    it_t = jnp.int64 if max_iter >= (1 << 31) else jnp.int32
+    # iteration counters AND orbit positions: i32 when the budget
+    # allows (i64 is emulated and slow on TPU); budgets >= 2^31 use the
+    # 64-bit path.  ref_iter shares it_t: LA skips keep it <= the
+    # budget (within_budget gates every step, rebases reset to 0), so
+    # positions can only exceed 2^31 when the budget does — the
+    # View #27 class (period ~28e9, 10^15-iteration budgets) runs
+    # everything through the i64 variant.
+    it_t = (jnp.int64 if max_iter >= (1 << 31) or force_wide
+            else jnp.int32)
     n = it_t(max_iter)
     dc = HDRComplex(dc_re, dc_im, dc_e)
     dc_cheb = hdr.reduce(hdr.chebychev_norm(dc))
@@ -212,7 +219,7 @@ def _lav2_impl(orbit_packed, dc_re, dc_im, dc_e,
     if resume_state is None:
         s0 = jnp.broadcast_to((stage_count - 1).astype(jnp.int32), shape)
         j0 = jnp.full(shape, 0, jnp.int32)   # top stage entered with j=0
-        ref0 = jnp.zeros(shape, jnp.int32)
+        ref0 = jnp.zeros(shape, it_t)
         done0 = it0 >= n
         init_state = (s0, j0, ref0, dz0.re, dz0.im, dz0.e, it0, done0)
     else:
@@ -240,21 +247,27 @@ def _lav2_impl(orbit_packed, dc_re, dc_im, dc_e,
             stage_valid_arr, s_idx[None, ...], axis=0)[0] if stage_cap \
             else jnp.zeros(shape, bool)
         entering = j < 0
-        j_eff = jnp.where(entering, ref_iter, j)
+        # ref_iter while in LA is a node index (< n_nodes, i32-safe);
+        # only the FINAL stage-0 exit writes an orbit position into it
+        j_eff = jnp.where(entering, ref_iter.astype(jnp.int32), j)
         node = jnp.clip(la_index + j_eff, 0, n_nodes - 1)
 
         g = packed[node]                       # ONE gather: (H, W, 16)
         ref = HDRComplex(g[..., 0], g[..., 1], ibits(g[..., 2]))
         thr = HDR(g[..., 9], ibits(g[..., 10]))
-        if step64 is not None:
-            # 64-bit budgets: step lengths can exceed 2^31 (top stages
-            # of period-billions tables, View #27 class) — the packed
-            # column's 32-bit bitcast would wrap negative (ADVICE r2
-            # #2), so they ride a separate int64 side array (one extra
-            # gather, 64-bit path only)
-            l = step64[node]
+        if side64 is not None:
+            # 64-bit budgets: step lengths AND next-stage indices can
+            # exceed 2^31 (top stages of period-billions tables; stage-0
+            # next indices are orbit positions up to the period itself —
+            # View #27 class) — the packed columns' 32-bit bitcasts
+            # would wrap negative (ADVICE r2 #2), so both ride one
+            # int64 side table (one extra gather, 64-bit path only)
+            sg = side64[node]
+            l = sg[..., 0]
+            nsi_w = sg[..., 1]
         else:
             l = ibits(g[..., 11]).astype(it_t)
+            nsi_w = ibits(g[..., 12])
         # newdz = dz*(2*Ref + dz)   (LAInfoDeep::Prepare)
         t = hdr.complex_add(hdr.complex_mul_pow2(ref, 1), dz)
         newdz = hdr.reduce_complex(hdr.complex_mul(t, dz))
@@ -269,8 +282,7 @@ def _lav2_impl(orbit_packed, dc_re, dc_im, dc_e,
         do_step = in_la & valid & usable
 
         # on unusable: ref_iter = node's NextStageLAIndex
-        nsi = ibits(g[..., 12])
-        ref_iter = jnp.where(drop_unusable, nsi, ref_iter)
+        ref_iter = jnp.where(drop_unusable, nsi_w.astype(it_t), ref_iter)
         s = jnp.where(drop_invalid | drop_unusable, s - 1, s)
         j = jnp.where(drop_invalid | drop_unusable, -1, j)
 
@@ -360,7 +372,8 @@ def la_perturb_render(results, la, ptz: PointZoomBBConverter,
                       abort_monitor=None, return_state: bool = False,
                       pad_orbit_to: int | None = None,
                       pad_nodes_to: int | None = None,
-                      pad_stages_to: int | None = None):
+                      pad_stages_to: int | None = None,
+                      force_wide: bool = False):
     """Full LAv2 render: AT skip → LA stages → perturbation tail.
 
     On accelerators the state machine runs in bounded *chunks* of body
@@ -430,25 +443,30 @@ def la_perturb_render(results, la, ptz: PointZoomBBConverter,
                              pad_stages_to)))
     (packed_dev, orbit_dev, thrcm_dev, thrce_dev, sli_dev,
      smic_dev) = cache[key]
-    # 64-bit budgets: side int64 step-length array (the packed column
-    # wraps at 2^31; ADVICE r2 #2)
-    step64_dev = None
-    if int(max_iter) >= (1 << 31):
-        k64 = ("step64", pad_nodes_to)
+    # 64-bit budgets: side int64 [step_length, next_stage_la_index]
+    # table (the packed columns wrap at 2^31; ADVICE r2 #2 — and
+    # stage-0 next indices are orbit positions up to the period)
+    side64_dev = None
+    wide = int(max_iter) >= (1 << 31) or force_wide
+    if wide:
+        k64 = ("side64", pad_nodes_to)
         if k64 not in cache:
-            cache[k64] = jnp.asarray(
-                padr(arrs["step_length"].astype(np.int64), pad_nodes_to))
-        step64_dev = cache[k64]
+            cache[k64] = jnp.asarray(padr(np.stack(
+                [arrs["step_length"].astype(np.int64),
+                 arrs["next_stage_la_index"].astype(np.int64)],
+                axis=1), pad_nodes_to))
+        side64_dev = cache[k64]
     args = (
         orbit_dev,
         dc.re, dc.im, dc.e,
-        packed_dev, step64_dev,
+        packed_dev, side64_dev,
         thrcm_dev, thrce_dev, sli_dev, smic_dev,
         at_args,
-        jnp.int32(max_ref), jnp.int32(int(arrs["stage_count"])),
+        (jnp.int64 if wide else jnp.int32)(max_ref),
+        jnp.int32(int(arrs["stage_count"])),
         jnp.int32(at_step))
     kw = dict(max_iter=int(max_iter), la_only=bool(la_only),
-              chunk_steps=int(chunk_steps))
+              chunk_steps=int(chunk_steps), force_wide=bool(wide))
     # STATIC chunk-size ladder (each rung its own cached compile): the
     # base rung bounds a cold dispatch to ~1-3 s worst case, but warm
     # interactive frames measure ~100 ms per dispatch — escalate after

@@ -346,3 +346,18 @@ def test_low_bound_composes_deeper_stages():
                   "stage_macro_it_count"):
             np.testing.assert_array_equal(np.asarray(an[k]),
                                           np.asarray(a1[k]), err_msg=k)
+
+
+def test_la_wide_path_bit_identical(deep_view):
+    """The 64-bit LA machine variant (int64 budgets, int64 ref
+    positions, [step_length, next_stage_la_index] side table — the
+    View #27 class: period ~28e9, 10^15 budgets) must render bit-
+    identically to the int32 path on a small view (force_wide compiles
+    the wide executable without a >2^31 budget)."""
+    ptz, res, la = deep_view
+    a = np.asarray(la_kernel.la_perturb_render(
+        res, la, ptz, 32, 32, 3000, sub_dtype=np.float32))
+    b = np.asarray(la_kernel.la_perturb_render(
+        res, la, ptz, 32, 32, 3000, sub_dtype=np.float32,
+        force_wide=True))
+    np.testing.assert_array_equal(a.astype(np.int64), b.astype(np.int64))

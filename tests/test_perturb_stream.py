@@ -407,3 +407,47 @@ def test_budget_ladder_helpers():
     assert _next_rung(1, 2.0, n) == 1          # mid-range → hold
     assert _next_rung(2, 9.0, n) == 1          # slow → de-escalate
     assert _next_rung(0, 9.0, n) == 0          # clamp at bottom
+
+
+def test_virtual_results_two_phase_matches_real(deep):
+    """VirtualResults (CompressedOrbit-only input — the View #27 class
+    where the uncompressed orbit never exists): the la_only LA phase
+    never touches the orbit arrays, so phase-1 state from a 1-row dummy
+    orbit must equal the real-results state, and the RC tail from that
+    handoff must equal the one-kernel FULL LAv2 render."""
+    from fractalshark_tpu.core.hdr_host import HD
+    from fractalshark_tpu.engine.la_reference import LAReferenceHost
+    from fractalshark_tpu.engine.perturbation_results import (
+        CompressedOrbit, VirtualResults)
+    from fractalshark_tpu.ops import la_kernel
+    from fractalshark_tpu.ops.perturb_stream import \
+        perturb_render_stream_rc
+
+    ptz, res = deep
+    la = LAReferenceHost.generate(res.orbit_x, res.orbit_y,
+                                  HD.from_hp(res.max_radius))
+    assert la.is_valid
+    n = 1800
+    ident = CompressedOrbit.identity(res)
+    virt = VirtualResults.from_compressed(ident, res.center_x,
+                                          res.center_y)
+    kw = dict(sub_dtype=np.float32, la_only=True, return_state=True)
+    sr = la_kernel.la_perturb_render(res, la, ptz, 24, 24, n, **kw)
+    la2 = LAReferenceHost.generate(res.orbit_x, res.orbit_y,
+                                   HD.from_hp(res.max_radius))
+    sv = la_kernel.la_perturb_render(virt, la2, ptz, 24, 24, n, **kw)
+    for i, (a, b) in enumerate(zip(sr, sv)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"state[{i}]")
+    full = np.asarray(la_kernel.la_perturb_render(
+        res, la, ptz, 24, 24, n, sub_dtype=np.float32))
+    _, _, ref_iter, dzr, dzi, dze, it, _ = sv
+    it32 = np.asarray(it).astype(np.int32)
+    init = {"dzr": np.asarray(dzr), "dzi": np.asarray(dzi),
+            "dze": np.asarray(dze), "it": it32,
+            "jwait": np.asarray(ref_iter).astype(np.int32),
+            "done": (it32 >= n).astype(np.int32)}
+    two = np.asarray(perturb_render_stream_rc(
+        ident, virt.center_x, virt.center_y,
+        ptz, 24, 24, n, tile_h=8, interpret=True, init_state=init))
+    np.testing.assert_array_equal(two, full)
