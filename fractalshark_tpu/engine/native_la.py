@@ -144,6 +144,61 @@ class LAReferenceArrays(LAReferenceHost):
         }
 
 
+    # ------------------------------------------------------ persistence
+
+    def save_npz(self, path: str) -> None:
+        """Persist the full node table + stages + AT (the View #27
+        class builds take ~20 min over 28e9 reconstructed orbit points
+        — the render driver must not pay that twice)."""
+        at = self.at
+        at_m = np.zeros(10, np.float64)
+        at_e = np.zeros(6, np.int64)
+        at_step = 0
+        if at is not None:
+            at_step = int(at.step_length)
+            at_m[:] = [at.threshold_c.m, at.sqr_escape_radius.m,
+                       at.ref_c.m.real, at.ref_c.m.imag,
+                       at.zcoeff.m.real, at.zcoeff.m.imag,
+                       at.ccoeff.m.real, at.ccoeff.m.imag,
+                       at.inv_zcoeff.m.real, at.inv_zcoeff.m.imag]
+            at_e[:] = [at.threshold_c.e, at.sqr_escape_radius.e,
+                       at.ref_c.e, at.zcoeff.e, at.ccoeff.e,
+                       at.inv_zcoeff.e]
+        np.savez(path, **self._arrays,
+                 stage_la_index=np.asarray(self.stage_la_index, np.int64),
+                 stage_macro=np.asarray(self.stage_macro_it_count,
+                                        np.int64),
+                 meta=np.asarray([self.stage_count,
+                                  1 if at is not None else 0, at_step,
+                                  self.params.period_divisor,
+                                  self.params.low_bound], np.int64),
+                 at_m=at_m, at_e=at_e)
+
+    @staticmethod
+    def load_npz(path: str) -> "LAReferenceArrays":
+        z = np.load(path)
+        meta = z["meta"]
+        at = None
+        if int(meta[1]):
+            at_m, at_e = z["at_m"], z["at_e"]
+            at = ATInfo(
+                step_length=int(meta[2]),
+                threshold_c=HD(float(at_m[0]), int(at_e[0])),
+                sqr_escape_radius=HD(float(at_m[1]), int(at_e[1])),
+                ref_c=HDC(complex(at_m[2], at_m[3]), int(at_e[2])),
+                zcoeff=HDC(complex(at_m[4], at_m[5]), int(at_e[3])),
+                ccoeff=HDC(complex(at_m[6], at_m[7]), int(at_e[4])),
+                inv_zcoeff=HDC(complex(at_m[8], at_m[9]), int(at_e[5])))
+        arrays = {k: z[k] for k in (
+            "ref_m", "ref_e", "zc_m", "zc_e", "cc_m", "cc_e",
+            "thr_m", "thr_e", "thrc_m", "thrc_e",
+            "step_length", "next_stage_la_index")}
+        p = LAParameters(period_divisor=int(meta[3]),
+                         low_bound=int(meta[4]))
+        return LAReferenceArrays(arrays, z["stage_la_index"],
+                                 z["stage_macro"], int(meta[0]), at, p)
+
+
 class _NodeView:
     """len()/indexing facade over the flattened node arrays (a few
     callers ask for len(la.las) or individual node fields)."""

@@ -55,11 +55,17 @@ state.update(phase="la_build", n_anchors=len(comp.anchors_x),
 save()
 
 rad = HD.from_hp(ptz.radius)
+# deep-budget params: divisor 8 bounds the stage-0 table for the
+# compressed orbit (reference LAReference.cpp:12-19), low_bound=1
+# composes down to the terminal whole-orbit node so each of the
+# ~35,700 per-pixel orbit wraps of a 10^15 budget costs ONE macro step
+from fractalshark_tpu.engine.la_reference import LAParameters  # noqa: E402
+params = LAParameters(period_divisor=8, low_bound=1)
 cap = 1 << 26
 la = None
 while la is None and cap <= (1 << 29):
     t0 = time.perf_counter()
-    la = NL.generate_native_rc(comp, rad, cap=cap)
+    la = NL.generate_native_rc(comp, rad, params=params, cap=cap)
     state[f"attempt_cap_{cap}"] = round(time.perf_counter() - t0, 1)
     save()
     if la is None:
@@ -70,12 +76,14 @@ if la is None:
     save()
     raise SystemExit(json.dumps(state))
 
-state.update(phase="done", la_valid=bool(la.is_valid),
+state.update(phase="save", la_valid=bool(la.is_valid),
              n_nodes=len(la.las), stages=int(la.stage_count),
              stage_la_index=[int(x) for x in la.stage_la_index],
+             stage_macro=[int(x) for x in la.stage_macro_it_count],
              use_at=bool(la.use_at),
              build_s=state[f"attempt_cap_{cap}"])
 save()
-a = la._arrays
-np.save("/tmp/view27_la_step.npy", a["step_length"][:64])
+la.save_npz("/tmp/view27_la.npz")
+state["phase"] = "done"
+save()
 print(json.dumps(state))
