@@ -258,7 +258,7 @@ def _handoff_init(ref_iter, it, n):
 
 
 def two_phase_render(results, la, ptz, w, h, n, *, comp=None,
-                     abort_monitor=None,
+                     abort_monitor=None, interpret=False,
                      pad_orbit_to=None, pad_nodes_to=None,
                      pad_stages_to=None, pad_anchors_to=None):
     """Fractal-independent two-phase LAv2 deep render: the XLA LA
@@ -295,4 +295,4 @@ def two_phase_render(results, la, ptz, w, h, n, *, comp=None,
     return perturb_render_stream_rc(
         comp, results.center_x, results.center_y, ptz, w, h,
         n, init_state=init, abort_monitor=abort_monitor,
-        pad_anchors_to=pad_anchors_to)
+        interpret=interpret, pad_anchors_to=pad_anchors_to)

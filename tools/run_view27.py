@@ -16,8 +16,11 @@ import json
 import os
 import time
 
-OUT = "/tmp/view27_progress.json"
-CK = "/tmp/view27_orbit"
+# /tmp does not survive machine re-provisioning; point V27_CK at a
+# persistent location (e.g. <repo>/.v27cache/view27_orbit) to let the
+# multi-hour run resume across sessions
+OUT = os.environ.get("V27_OUT", "/tmp/view27_progress.json")
+CK = os.environ.get("V27_CK", "/tmp/view27_orbit")
 MAX_IT = 40_000_000_000   # guard; period detection stops at ~28e9
 
 from fractalshark_tpu.core.precision import precision_from_view  # noqa: E402

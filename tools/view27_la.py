@@ -15,8 +15,12 @@ import time
 
 import numpy as np
 
-OUT = "/tmp/view27_la.json"
-CK = "/tmp/view27_orbit"
+import os
+
+OUT = os.environ.get("V27_LA_OUT", "/tmp/view27_la.json")
+CK = os.environ.get("V27_CK", "/tmp/view27_orbit")
+PROG = os.environ.get("V27_OUT", "/tmp/view27_progress.json")
+NPZ = os.environ.get("V27_LA_NPZ", "/tmp/view27_la.npz")
 
 from fractalshark_tpu.core.hdr_host import HD                  # noqa: E402
 from fractalshark_tpu.core.precision import precision_from_view  # noqa: E402
@@ -33,7 +37,7 @@ def save():
         json.dump(state, f)
 
 
-with open("/tmp/view27_progress.json") as f:
+with open(PROG) as f:
     prog = json.load(f)
 assert prog.get("phase") == "done" and prog.get("period", 0) > 0, prog
 
@@ -83,7 +87,7 @@ state.update(phase="save", la_valid=bool(la.is_valid),
              use_at=bool(la.use_at),
              build_s=state[f"attempt_cap_{cap}"])
 save()
-la.save_npz("/tmp/view27_la.npz")
+la.save_npz(NPZ)
 state["phase"] = "done"
 save()
 print(json.dumps(state))

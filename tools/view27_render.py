@@ -24,9 +24,10 @@ import time
 
 import numpy as np
 
-CK = "/tmp/view27_orbit"
-LA_NPZ = "/tmp/view27_la.npz"
-OUT = os.environ.get("V27_OUT", "/tmp/view27_render.json")
+CK = os.environ.get("V27_CK", "/tmp/view27_orbit")
+LA_NPZ = os.environ.get("V27_LA_NPZ", "/tmp/view27_la.npz")
+OUT = os.environ.get("V27_RENDER_OUT", "/tmp/view27_render.json")
+PROG = os.environ.get("V27_OUT", "/tmp/view27_progress.json")
 SIZE = int(os.environ.get("V27_SIZE", "64"))
 
 from fractalshark_tpu.core.precision import precision_from_view  # noqa: E402
@@ -48,7 +49,7 @@ def save():
 
 save()
 
-with open("/tmp/view27_progress.json") as f:
+with open(PROG) as f:
     prog = json.load(f)
 assert prog.get("phase") == "done" and prog.get("period", 0) > 0, prog
 period = int(prog["period"])
