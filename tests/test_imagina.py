@@ -153,6 +153,55 @@ def test_orbit_parameter_pack_recommendation(tmp_path):
     assert f3.algorithm_name == "GpuHDRx32PerturbedLAv2PO"
 
 
+def test_im_writer_golden_crc(tmp_path):
+    """Byte-level golden of save_orbit_im output (VERDICT r3 #9): the
+    reference's sample .im artifacts are git-LFS stubs here, so format
+    drift in the writer (header layout, mpf streams, HRReal packing,
+    LAReferenceTrivialContent, entry framing) can't be caught against
+    them — pin a CRC of the writer's own bytes instead.  The orbit is
+    fully synthetic (exact-IEEE f64 z<-z^2+c at an interior point), so
+    the golden is independent of the orbit-computation code."""
+    import zlib
+    from dataclasses import replace
+
+    n = 64
+    cx, cy = -0.12, 0.74    # period-3 bulb interior: orbit stays bounded
+    ox = np.zeros(n)
+    oy = np.zeros(n)
+    zx = zy = 0.0
+    for k in range(n):
+        ox[k], oy[k] = zx, zy
+        zx, zy = zx * zx - zy * zy + cx, 2.0 * zx * zy + cy
+    from fractalshark_tpu.engine.perturbation_results import \
+        PerturbationResults
+    res = PerturbationResults(
+        center_x=HighPrecision("-0.12", prec=256),
+        center_y=HighPrecision("0.74", prec=256),
+        orbit_x=ox, orbit_y=oy,
+        max_radius=HighPrecision("1e-6", prec=64),
+        period=0, escaped_at=0, max_iterations=1000,
+        precision_bits=256, compression_error_exp=20)
+    p1 = str(tmp_path / "golden_plain.im")
+    save_orbit_im(p1, res)
+    with open(p1, "rb") as f:
+        b1 = f.read()
+    assert (len(b1), zlib.crc32(b1)) == (433, 0x13C5742E)
+
+    # ExtendedRange payload (HRReal (m, e) entries incl. a sub-f64 dip)
+    oe = np.zeros(n, np.int32)
+    ox2 = ox.copy()
+    oy2 = oy.copy()
+    ox2[40] = 0.71875
+    oy2[40] = -0.40625
+    oe[40] = -5000
+    deep = replace(res, orbit_x=ox2, orbit_y=oy2, orbit_e=oe)
+    p2 = str(tmp_path / "golden_ext.im")
+    save_orbit_im(p2, deep)
+    with open(p2, "rb") as f:
+        b2 = f.read()
+    assert (len(b2), zlib.crc32(b2)) == (529, 0xF84C765D)
+
+
 def test_extended_range_round_trip(tmp_path, orbit):
     """ExtendedRange payload: an orbit with sub-f64 HDR dips exports
     as HRReal (m, e) entry pairs, and a reload preserves the dip's

@@ -7,15 +7,21 @@ table THROUGH the native streaming reconstructing accessor
 The reference's hardest-render class needs exactly this step for
 full-frame LAv2 (Notes/FractalShark-06-RefOrbit.tex:740-747).
 
-Writes /tmp/view27_la.json; node arrays land in /tmp/view27_la_*.npy.
+Env overrides (all four should point under a persistent dir, e.g.
+<repo>/.v27cache/ — /tmp does not survive machine re-provisioning):
+  V27_CK      orbit checkpoint store prefix (default /tmp/view27_orbit)
+  V27_OUT     progress json INPUT from run_view27.py
+              (default /tmp/view27_progress.json)
+  V27_LA_OUT  this tool's status-json output (default /tmp/view27_la.json)
+  V27_LA_NPZ  the LA table, persisted as ONE npz via save_npz
+              (default /tmp/view27_la.npz)
 """
 
 import json
+import os
 import time
 
 import numpy as np
-
-import os
 
 OUT = os.environ.get("V27_LA_OUT", "/tmp/view27_la.json")
 CK = os.environ.get("V27_CK", "/tmp/view27_orbit")

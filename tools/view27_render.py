@@ -14,8 +14,15 @@ Phase 2 streams the RC tail from the anchors.
 
 Run from the repo root:
     python -c "exec(open('tools/view27_render.py').read())"
-Optional env: V27_SIZE (default 64), V27_BUDGET (default: the view
-preset's 5e13), V27_OUT (progress json, default /tmp/view27_render.json).
+Env overrides (defaults in parens; point them under a persistent dir):
+  V27_CK          orbit store prefix        (/tmp/view27_orbit)
+  V27_OUT         progress json INPUT from run_view27.py
+                  (/tmp/view27_progress.json)
+  V27_LA_NPZ      LA table npz INPUT        (/tmp/view27_la.npz)
+  V27_RENDER_OUT  this tool's status-json OUTPUT (/tmp/view27_render.json)
+  V27_ITERS_NPY   the rendered iteration grid (/tmp/view27_iters.npy)
+  V27_SIZE        frame side in pixels      (64)
+  V27_BUDGET      per-pixel iteration budget (the view preset's 5e13)
 """
 
 import json
@@ -91,5 +98,6 @@ state.update(phase="done", render_s=round(dt, 1),
              capped_px=int((o.astype(np.int64) >= BUDGET).sum()),
              total_s=round(time.time() - state["t0"], 1))
 save()
-np.save("/tmp/view27_iters.npy", o.astype(np.int64))
+np.save(os.environ.get("V27_ITERS_NPY", "/tmp/view27_iters.npy"),
+        o.astype(np.int64))
 print(json.dumps(state))
