@@ -72,6 +72,25 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Phase-A evaluator policy for --feature-scan "
                         "(FeatureFinderMode Direct/PT/LA)")
     p.add_argument("--feature-max-period", type=int, default=None)
+    p.add_argument("--serve", action="store_true",
+                   help="run as a persistent render service on a unix "
+                        "socket: one process keeps the jax executable "
+                        "cache + reference-orbit cache warm across "
+                        "renders (reference analogue: the GUI's warm "
+                        "renderer pool, RenderThreadPool.h:144-165)")
+    p.add_argument("--client", action="store_true",
+                   help="forward this render to a running --serve "
+                        "process instead of rendering in-process")
+    p.add_argument("--socket", default=None,
+                   help="unix socket path for --serve/--client "
+                        "(default $FRACTALSHARK_SOCK or "
+                        "/tmp/fractalshark_tpu.sock)")
+    p.add_argument("--warm", default=None, metavar="V1,V2",
+                   help="with --serve: render these view presets once "
+                        "at startup so later requests hit warm "
+                        "executables")
+    p.add_argument("--shutdown-server", action="store_true",
+                   help="ask the --serve process to exit")
     return p
 
 
@@ -112,8 +131,54 @@ def interactive_loop(f) -> int:
                   f"alg {f.resolve_algorithm().name}")
 
 
-def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+def _strip_transport_flags(argv: list[str]) -> list[str]:
+    """Remove --client/--socket/--serve tokens so the forwarded argv is a
+    plain render request."""
+    out, skip = [], False
+    for tok in argv:
+        if skip:
+            skip = False
+            continue
+        if tok in ("--client", "--serve", "--shutdown-server"):
+            continue
+        if tok == "--socket":
+            skip = True
+            continue
+        if tok.startswith("--socket="):
+            continue
+        out.append(tok)
+    return out
+
+
+def main(argv=None, orbit_calc=None) -> int:
+    import sys as _sys
+    raw_argv = list(_sys.argv[1:] if argv is None else argv)
+    args = build_parser().parse_args(raw_argv)
+
+    if args.serve or args.client or args.shutdown_server:
+        from fractalshark_tpu import server as srv
+        sock = args.socket or srv.DEFAULT_SOCKET
+        if args.shutdown_server:
+            resp = srv.request({"op": "shutdown"}, sock, timeout=30.0)
+            print(json.dumps(resp))
+            return 0 if resp.get("ok") else 1
+        if args.client:
+            return srv.run_client(_strip_transport_flags(raw_argv), sock)
+        s = srv.RenderServer(sock)
+
+        def _ready(rs):
+            import os
+            print(json.dumps({"serving": rs.socket_path,
+                              "pid": os.getpid()}), flush=True)
+            for tok in (args.warm or "").split(","):
+                if not tok.strip():
+                    continue
+                r = rs.handle({"argv": ["--view", tok.strip(),
+                                        "--width", "256",
+                                        "--height", "256", "--stats"]})
+                print(json.dumps({"warmed": tok.strip(),
+                                  "wall_s": r.get("wall_s")}), flush=True)
+        return s.serve_forever(ready_cb=_ready)
 
     from fractalshark_tpu.engine.fractal import Fractal
     from fractalshark_tpu.core.algorithms import get_algorithm
@@ -131,6 +196,10 @@ def main(argv=None) -> int:
                 compression_error_exp=(
                     args.compression_error_exp_low
                     if args.compression_error_exp_low is not None else 20))
+    if orbit_calc is not None:
+        # server mode: all requests share one RefOrbitCalc so a repeat
+        # view is an orbit-cache hit, not a recompute
+        f._orbit_cache = orbit_calc
 
     if args.locations_file:
         from fractalshark_tpu.io.saved_location import load_locations
