@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 import threading
 import time
 from dataclasses import dataclass
@@ -499,7 +500,9 @@ class TpuOrbitSession:
             abort_flag: threading.Event | None = None,
             progress_cb=None,
             store_path: str | None = None,
-            reuse_frac_bits: int | None = None) -> PerturbationResults:
+            reuse_frac_bits: int | None = None,
+            checkpoint_path: str | None = None,
+            checkpoint_every_s: float = 300.0) -> PerturbationResults:
         """store_path: when given, the orbit accumulates in
         memory-mapped file-backed GrowableArrays (<path>.x / <path>.y)
         — appends land directly in the on-disk store, so saving is
@@ -508,7 +511,20 @@ class TpuOrbitSession:
         reuse_frac_bits: record the intermediate-precision reuse copy
         of every z during the run (per-iteration digit slices emitted
         by the scan; attached as ``extra["reuse_orbit"]``).  Effective
-        precision rounds up to a 16-bit digit multiple."""
+        precision rounds up to a 16-bit digit multiple.
+
+        checkpoint_path: atomic resume-exactly checkpoints for
+        multi-hour device runs (the device analogue of
+        NativeOrbitSession's checkpoint store; the reference keeps its
+        long orbits restartable through saved PerturbationResults,
+        RefOrbitCalc.cpp:529-560).  The orbit accumulates in file-backed
+        stores at ``<path>.x/.y/.e`` and the exact device digit state +
+        host dzdc lands in ``<path>.state.npz`` every
+        ``checkpoint_every_s`` seconds (pipeline drained first so the
+        saved state matches the processed count).  A later run() with
+        the same path resumes bit-exactly; ``max_iterations`` is the
+        TOTAL cap across all runs.  Mutually exclusive with store_path
+        and reuse_frac_bits."""
         spec = self.spec
         scx_i, cx_d = FP.hp_to_digits(self.center_x, spec)
         scy_i, cy_d = FP.hp_to_digits(self.center_y, spec)
@@ -539,17 +555,45 @@ class TpuOrbitSession:
 
         from fractalshark_tpu.utils.growable import (AddPointOptions,
                                                      GrowableArray)
+        ck_file = None
+        count = 1
+        if checkpoint_path is not None:
+            if store_path is not None or reuse_frac_bits is not None:
+                raise ValueError("checkpoint_path is mutually exclusive "
+                                 "with store_path/reuse_frac_bits")
+            store_path = checkpoint_path
+            ck_file = checkpoint_path + ".state.npz"
         if store_path is not None:
             opt = AddPointOptions.ENABLE_WITH_SAVE
-            gx = GrowableArray(np.float64, store_path + ".x", opt)
-            gy = GrowableArray(np.float64, store_path + ".y", opt)
+            if ck_file is not None and os.path.exists(ck_file) and \
+                    os.path.exists(store_path + ".x.meta"):
+                # resume: npz is the authoritative count (meta may be
+                # one checkpoint ahead if the writer died between the
+                # growable flush and the npz rename)
+                with np.load(ck_file) as ck:
+                    count = int(ck["count"])
+                    state = tuple(
+                        jnp.asarray(ck[f"st{i}"])
+                        for i in range(int(ck["n_state"])))
+                    dzv = ck["dz"]
+                    dz = (float(dzv[0]), float(dzv[1]), int(dzv[2]))
+                gx = GrowableArray.open_existing(store_path + ".x")
+                gy = GrowableArray.open_existing(store_path + ".y")
+                ge = GrowableArray.open_existing(store_path + ".e")
+                gx._n = gy._n = ge._n = count
+            else:
+                gx = GrowableArray(np.float64, store_path + ".x", opt)
+                gy = GrowableArray(np.float64, store_path + ".y", opt)
+                ge = GrowableArray(np.int32, store_path + ".e", opt) \
+                    if ck_file is not None else GrowableArray(np.int32)
         else:
             gx = GrowableArray(np.float64)
             gy = GrowableArray(np.float64)
-        gx.append(0.0)  # zero seed entry (PerturbationResults.cpp:866)
-        gy.append(0.0)
-        ge = GrowableArray(np.int32)
-        ge.append(0)
+            ge = GrowableArray(np.int32)
+        if count == 1:
+            gx.append(0.0)  # zero seed entry (PerturbationResults.cpp:866)
+            gy.append(0.0)
+            ge.append(0)
         reuse_digits = 0
         rzx: list = []
         rzy: list = []
@@ -558,7 +602,6 @@ class TpuOrbitSession:
             reuse_digits = min(fr16 + FP.INT_DIGITS, spec.digits)
             rzx.append(0)     # zero seed
             rzy.append(0)
-        count = 1
         period = 0
         escaped_at = 0
         t0 = time.perf_counter()
@@ -645,8 +688,29 @@ class TpuOrbitSession:
         # the period on device is harmless.
         from collections import deque
         depth = 3
-        it = 0          # iterations dispatched
-        processed = 0   # iterations processed on host
+        it = count - 1          # iterations dispatched (resume-aware)
+        processed = count - 1   # iterations processed on host
+        last_ck = time.perf_counter()
+        ck_mark = processed     # progress floor: never two checkpoints
+        #                         without work in between
+
+        def _checkpoint():
+            """Atomic resume point: growables flushed first, then the
+            exact device digit state + host dzdc + count land in one
+            npz renamed into place (a crash between the two leaves the
+            npz authoritative — resume truncates the growables back)."""
+            for g in (gx, gy, ge):
+                g.finalize()
+            payload = {f"st{i}": np.asarray(c) for i, c in enumerate(state)}
+            payload["n_state"] = np.int64(len(state))
+            payload["dz"] = np.asarray([dz[0], dz[1], float(dz[2])],
+                                       np.float64)
+            payload["count"] = np.int64(count)
+            tmp = ck_file + ".tmp"
+            with open(tmp, "wb") as f:
+                np.savez(f, **payload)
+            os.replace(tmp, ck_file)
+
         pending = deque()   # (out, steps) chunks in flight
         while True:
             if abort_flag is not None and abort_flag.is_set():
@@ -655,8 +719,10 @@ class TpuOrbitSession:
                     _process(out, steps)
                     processed += steps
                 break
+            ck_due = (ck_file is not None and processed > ck_mark and
+                      time.perf_counter() - last_ck >= checkpoint_every_s)
             while (not done and it < max_iterations
-                   and len(pending) < depth):
+                   and len(pending) < depth and not ck_due):
                 steps = min(self.chunk_steps, max_iterations - it)
                 td = time.perf_counter()
                 state, out = _dispatch(state, steps)
@@ -672,8 +738,16 @@ class TpuOrbitSession:
                                 time.perf_counter() - t0)
             if done:
                 pending.clear()     # past-the-flag chunks: discard
+            elif ck_due and not pending:
+                # pipeline drained: the device state now matches the
+                # processed count exactly — safe to snapshot
+                _checkpoint()
+                last_ck = time.perf_counter()
+                ck_mark = processed
             if not pending and (done or it >= max_iterations):
                 break
+        if ck_file is not None and not done:
+            _checkpoint()   # budget-capped/aborted runs resume exactly
 
         xs = gx.finalize()
         ys = gy.finalize()
@@ -711,7 +785,9 @@ def compute_reference_orbit_device(center_x: HighPrecision,
                                    abort_flag=None,
                                    mesh=None,
                                    reuse_frac_bits: int | None = None,
-                                   progress_cb=None
+                                   progress_cb=None,
+                                   checkpoint_path: str | None = None,
+                                   checkpoint_every_s: float = 300.0
                                    ) -> PerturbationResults:
     """Device-orbit entry point (the analogue of
     RefOrbitCalc::AddPerturbationReferencePointGPU,
@@ -727,4 +803,6 @@ def compute_reference_orbit_device(center_x: HighPrecision,
     return session.run(max_iterations, periodicity=periodicity,
                        abort_flag=abort_flag,
                        reuse_frac_bits=reuse_frac_bits,
-                       progress_cb=progress_cb)
+                       progress_cb=progress_cb,
+                       checkpoint_path=checkpoint_path,
+                       checkpoint_every_s=checkpoint_every_s)

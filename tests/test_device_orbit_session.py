@@ -99,3 +99,38 @@ def test_session_file_backed_store(tmp_path):
     res = sess.run(100, periodicity=False, store_path=store)
     rx = GrowableArray.open_existing(store + ".x")
     np.testing.assert_array_equal(res.orbit_x, rx.view())
+
+
+def test_session_checkpoint_resume_bit_identical(tmp_path):
+    """Checkpoint/resume on the device session (the multi-hour View #32
+    endurance path): a run capped mid-orbit + a resumed run must
+    reproduce the straight-through orbit and period BIT-exactly,
+    including the dzdc periodicity state carried across the boundary."""
+    from fractalshark_tpu.ops.bignum.orbit import (
+        compute_reference_orbit_device)
+
+    cx = HighPrecision(CX, prec=200)
+    cy = HighPrecision(CY, prec=200)
+    rad = HighPrecision("1e-9", prec=64)
+    oracle = compute_reference_orbit_device(
+        cx, cy, 1200, rad, periodicity=True, chunk_steps=100)
+    assert oracle.period > 400  # the resume boundary sits inside it
+
+    ck = str(tmp_path / "v")
+    part = compute_reference_orbit_device(
+        cx, cy, 400, rad, periodicity=True, chunk_steps=100,
+        checkpoint_path=ck, checkpoint_every_s=0.0)
+    assert part.period == 0 and part.count_orbit_entries() == 401
+
+    full = compute_reference_orbit_device(
+        cx, cy, 1200, rad, periodicity=True, chunk_steps=100,
+        checkpoint_path=ck, checkpoint_every_s=0.0)
+    assert full.period == oracle.period
+    n = oracle.count_orbit_entries()
+    assert full.count_orbit_entries() == n
+    np.testing.assert_array_equal(full.orbit_x[:n], oracle.orbit_x[:n])
+    np.testing.assert_array_equal(full.orbit_y[:n], oracle.orbit_y[:n])
+    if oracle.orbit_e is None:
+        assert full.orbit_e is None or not np.asarray(full.orbit_e).any()
+    else:
+        np.testing.assert_array_equal(full.orbit_e[:n], oracle.orbit_e[:n])

@@ -19,6 +19,12 @@ Env overrides (defaults in parens; artifacts live under the persistent
   V32_CHUNK   device scan chunk steps       (1024)
   V32_SIZE    render frame side in pixels   (256)
   V32_BUDGET  per-pixel budget              (preset's 5,806,285,824)
+  V32_CK_EVERY  checkpoint cadence, seconds (600)
+
+The orbit session checkpoints its exact device digit state under
+V32_DIR/view32_orbit.* — re-running resumes bit-exactly, and raising
+V32_MAX_IT on a cap_hit run continues from the cap instead of
+recomputing (the probe is multi-hour through the tunnel).
 """
 
 import json
@@ -65,22 +71,31 @@ state.update(phase="orbit", zoom=str(ptz.zoom_factor)[:24],
 save()
 
 pre = None
+_base = [None]   # first done_it seen: it/s over THIS run's new work
 
 
 def _progress(done_it, max_it, elapsed):
     global pre
+    if _base[0] is None:
+        _base[0] = done_it
     state.update(orbit_done_it=done_it,
-                 orbit_it_per_s=int(done_it / max(1e-9, elapsed)))
+                 orbit_it_per_s=int((done_it - _base[0])
+                                    / max(1e-9, elapsed)))
     save()
-    if pre is None and done_it >= 4 * CHUNK:
+    if pre is None and done_it - _base[0] >= 4 * CHUNK:
         from fractalshark_tpu.engine.prewarm import start_prewarm_thread
         pre = start_prewarm_thread(ptz, SIZE, SIZE, BUDGET, log=log)
 
 
+CK = os.path.join(DIR, "view32_orbit")
+state["resumed"] = os.path.exists(CK + ".state.npz")
+save()
 t0 = time.perf_counter()
 res = compute_reference_orbit_device(
     ptz.pt_x, ptz.pt_y, MAX_IT, ptz.radius, limbs32=32768,
-    periodicity=True, chunk_steps=CHUNK, progress_cb=_progress)
+    periodicity=True, chunk_steps=CHUNK, progress_cb=_progress,
+    checkpoint_path=CK,
+    checkpoint_every_s=float(os.environ.get("V32_CK_EVERY", "600")))
 orbit_s = time.perf_counter() - t0
 state.update(phase="orbit_done", orbit_s=round(orbit_s, 1),
              orbit_len=res.count_orbit_entries(), period=res.period,
