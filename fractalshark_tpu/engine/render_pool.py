@@ -38,6 +38,11 @@ class RenderFrame:
     final: bool = field(compare=False)
     rgba: np.ndarray = field(compare=False, repr=False)
     wall_s: float = field(compare=False, default=0.0)
+    # presentation group (BeginPacedAnimation, RenderThreadPool.h:184):
+    # 0 = immediate; >0 = frames of one paced animation
+    group: int = field(compare=False, default=0)
+    # view snapshot of the rendered frame, for GetLastPresentedView
+    view: dict = field(compare=False, default=None, repr=False)
 
 
 @dataclass
@@ -46,6 +51,10 @@ class RenderWorkItem:
     supersedable: bool
     snapshot: dict              # view + params captured at enqueue time
     mutation: Callable | None = None
+    group: int = 0
+    # paced-animation frames skip the progressive low-res passes: each
+    # enqueued step is exactly one presented frame
+    final_only: bool = False
 
 
 class RenderThreadPool:
@@ -60,6 +69,11 @@ class RenderThreadPool:
         self._latest_supersedable = 0
         self._delivered_final = -1
         self._lock = threading.Lock()
+        self._done_cv = threading.Condition(self._lock)
+        self._completed: set[int] = set()
+        self._next_group = 1
+        self._cancelled_groups: set[int] = set()
+        self.last_presented_view: dict | None = None
         self.abort_flag = threading.Event()
         self._shutdown = False
         self._workers = [
@@ -88,15 +102,54 @@ class RenderThreadPool:
         self._queue.put(RenderWorkItem(gen, supersedable, snap))
         return gen
 
-    def enqueue_mutation(self, fn: Callable) -> int:
+    def enqueue_mutation(self, fn: Callable, supersedable: bool = True,
+                         group: int = 0, final_only: bool = False) -> int:
         """Run a state mutation on the pool (EnqueueMutation,
-        Fractal.h:185-196), then trigger a render."""
+        Fractal.h:185-196), then trigger a render.  With
+        ``supersedable=False`` the job can't be cancelled by newer work
+        — the paced-animation mode (AutoZoomer.cpp:623-688 enqueues
+        every zoom step this way)."""
         with self._lock:
             self._gen += 1
             gen = self._gen
-            self._latest_supersedable = gen
-        self._queue.put(RenderWorkItem(gen, True, {}, mutation=fn))
+            if supersedable:
+                self._latest_supersedable = gen
+        self._queue.put(RenderWorkItem(gen, supersedable, {}, mutation=fn,
+                                       group=group, final_only=final_only))
         return gen
+
+    # ------------------------------------------------- paced animation
+    def begin_paced_animation(self) -> int:
+        """Open a presentation group (Fractal::BeginPacedAnimation):
+        frames tagged with it belong to one animation and can be
+        cancelled as a unit."""
+        with self._lock:
+            g = self._next_group
+            self._next_group += 1
+        return g
+
+    def cancel_paced_animation(self, group: int) -> None:
+        """Drop the group's not-yet-presented frames
+        (RenderPool::CancelPacedAnimation)."""
+        with self._lock:
+            self._cancelled_groups.add(group)
+
+    def wait(self, generation: int, timeout: float = 120.0) -> bool:
+        """Block until the job's render work finished (or was skipped
+        as stale) — RenderJobHandle::Wait."""
+        deadline = time.monotonic() + timeout
+        with self._done_cv:
+            while generation not in self._completed:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return False
+                self._done_cv.wait(remaining)
+        return True
+
+    def _mark_done(self, generation: int) -> None:
+        with self._done_cv:
+            self._completed.add(generation)
+            self._done_cv.notify_all()
 
     # -------------------------------------------------------------- worker
 
@@ -112,6 +165,7 @@ class RenderThreadPool:
             if item is None:
                 return
             if self._stale(item):
+                self._mark_done(item.generation)
                 continue
             if item.mutation is not None:
                 item.mutation(self.fractal)
@@ -124,10 +178,12 @@ class RenderThreadPool:
                     "height": self.fractal.height,
                 }
                 item = RenderWorkItem(item.generation, item.supersedable,
-                                      snap)
+                                      snap, group=item.group,
+                                      final_only=item.final_only)
             snap = item.snapshot
             t0 = time.perf_counter()
-            scales = self.progressive_scales
+            scales = (self.progressive_scales[-1:] if item.final_only
+                      else self.progressive_scales)
             for pi, scale in enumerate(scales):
                 if self.abort_flag.is_set() or self._stale(item):
                     break
@@ -143,7 +199,11 @@ class RenderThreadPool:
                 self._frames.put(RenderFrame(
                     generation=item.generation, pass_index=pi,
                     final=final, rgba=rgba,
-                    wall_s=time.perf_counter() - t0))
+                    wall_s=time.perf_counter() - t0,
+                    group=item.group,
+                    view={"ptz": snap["ptz"],
+                          "num_iterations": snap["num_iterations"]}))
+            self._mark_done(item.generation)
 
     # ------------------------------------------------------------ consumer
 
@@ -158,6 +218,8 @@ class RenderThreadPool:
                 frame = self._frames.get(timeout=remaining)
             except queue.Empty:
                 return None
+            if frame.group and frame.group in self._cancelled_groups:
+                continue  # cancelled paced animation: drop its frames
             if (frame.generation < self._latest_supersedable and
                     not frame.final):
                 continue  # superseded progressive frame: drop
@@ -165,6 +227,8 @@ class RenderThreadPool:
                 continue  # stale duplicate
             if frame.final:
                 self._delivered_final = frame.generation
+                if frame.view is not None:
+                    self.last_presented_view = frame.view
             return frame
 
     def wait_idle(self, timeout: float = 60.0) -> bool:
@@ -181,3 +245,45 @@ class RenderThreadPool:
             self._queue.put(None)
         for w in self._workers:
             w.join(timeout=10)
+
+
+class PacedPresenter:
+    """Fixed-cadence consumer for one paced-animation group
+    (RenderPresentationMode::PacedAnimation): final frames of the group
+    are presented no faster than ``interval_s`` apart, in generation
+    order, none dropped — the animation analogue of the GL consumer
+    thread the reference's frame queue feeds."""
+
+    def __init__(self, pool: RenderThreadPool, group: int,
+                 interval_s: float = 0.0, on_frame: Callable | None = None):
+        self.pool = pool
+        self.group = group
+        self.interval_s = interval_s
+        self.on_frame = on_frame
+        self.presented: list[tuple[int, float]] = []  # (gen, present_t)
+
+    def present(self, n_frames: int, timeout: float = 300.0) -> int:
+        """Consume up to ``n_frames`` final frames of the group; returns
+        how many were presented (fewer if cancelled/timeout)."""
+        deadline = time.monotonic() + timeout
+        next_present = time.monotonic()
+        n = 0
+        while n < n_frames and time.monotonic() < deadline:
+            frame = self.pool.next_frame(
+                timeout=max(0.05, deadline - time.monotonic()))
+            if frame is None:
+                with self.pool._lock:
+                    if self.group in self.pool._cancelled_groups:
+                        break
+                continue
+            if frame.group != self.group or not frame.final:
+                continue
+            now = time.monotonic()
+            if now < next_present:
+                time.sleep(next_present - now)
+            next_present = time.monotonic() + self.interval_s
+            self.presented.append((frame.generation, time.monotonic()))
+            if self.on_frame is not None:
+                self.on_frame(frame)
+            n += 1
+        return n
