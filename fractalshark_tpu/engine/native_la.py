@@ -100,6 +100,31 @@ def _load():
             _I, _I,
             _D, _I, _I,
         ]
+        lib.fs_la_begin_rc.restype = ctypes.c_void_p
+        lib.fs_la_begin_rc.argtypes = [
+            _D, _D, _I, ctypes.c_int64, ctypes.c_int64,  # anchors, n_orbit
+            ctypes.c_double, ctypes.c_double,            # cx/cy low
+            ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_int,
+            ctypes.c_int64,                              # low_bound
+        ]
+        lib.fs_la_result_n.restype = ctypes.c_int64
+        lib.fs_la_result_n.argtypes = [ctypes.c_void_p]
+        lib.fs_la_result_stages.restype = ctypes.c_int64
+        lib.fs_la_result_stages.argtypes = [ctypes.c_void_p]
+        lib.fs_la_collect.restype = ctypes.c_int64
+        lib.fs_la_collect.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_double, ctypes.c_int64,             # radius
+            ctypes.c_int,                                # sub_is_f32
+            _D, _I, _D, _I, _D, _I, _D, _I, _D, _I,
+            _I, _I,
+            _I, _I,
+            _D, _I, _I,
+        ]
+        lib.fs_la_free.restype = None
+        lib.fs_la_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -372,3 +397,59 @@ def generate_native_rc(compressed, radius_hd: HD,
         p.period_divisor, p.low_bound, 1 if sub_is_f32 else 0,
         cap, *_out_ptrs(b))
     return _collect(cnt, b, p)
+
+
+def generate_native_rc_streamed(compressed, radius_hd: HD,
+                                params: LAParameters | None = None,
+                                sub_is_f32: bool = True):
+    """Two-call-protocol variant of :func:`generate_native_rc`: the
+    native builder runs to completion first, reports the EXACT node
+    count, and only then are output buffers allocated (sized to fit by
+    construction) and marshalled into.  This removes the cap-guessing
+    failure mode of the one-call API, which cost two wasted hour-long
+    full-orbit passes at View #27 scale (period 28.3e9) when the real
+    table outgrew the guessed preallocation.
+
+    Set ``FS_LA_PROGRESS=<path>`` to stream one JSON line per ~2^28
+    consumed orbit entries (live node-density monitoring for
+    hour-scale builds).
+
+    Returns ``(la, info)``: ``la`` is the :class:`LAReferenceArrays`
+    (or None on failure) and ``info`` always carries the diagnostic
+    facts (``n_nodes`` is -2 when stage-0 detection found no valid
+    table — growing memory cannot help; ``error`` names the failure).
+    """
+    lib = _load()
+    if lib is None:
+        return None, {"error": "native library unavailable"}
+    p = params or LAParameters(period_divisor=8)
+    ax = np.ascontiguousarray(compressed.anchors_x, np.float64)
+    ay = np.ascontiguousarray(compressed.anchors_y, np.float64)
+    ai = np.ascontiguousarray(compressed.anchor_index, np.int64)
+    n_orbit = int(compressed.total_count)
+    h = lib.fs_la_begin_rc(
+        _dp(ax), _dp(ay), _ip(ai), len(ax), n_orbit,
+        float(compressed.cx_low), float(compressed.cy_low),
+        p.detection_method, p.la_threshold_scale, p.la_threshold_c_scale,
+        p.stage0_period_detection_threshold2,
+        p.period_detection_threshold2,
+        p.stage0_period_detection_threshold, p.period_detection_threshold,
+        p.period_divisor, p.low_bound)
+    try:
+        n = int(lib.fs_la_result_n(h))
+        stages = int(lib.fs_la_result_stages(h))
+        info = {"n_nodes": n, "n_stage_entries": stages}
+        if n < 0:
+            info["error"] = "no valid LA table (stage-0 detection failed)"
+            return None, info
+        if stages > 1025:
+            info["error"] = "stage table overflow (>1025 entries)"
+            return None, info
+        b = _out_bufs(max(n, 1))
+        rad = radius_hd.reduce()
+        cnt = lib.fs_la_collect(h, float(rad.m), int(rad.e),
+                                1 if sub_is_f32 else 0, *_out_ptrs(b))
+        info["cnt"] = int(cnt)
+        return _collect(cnt, b, p), info
+    finally:
+        lib.fs_la_free(h)

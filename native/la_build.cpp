@@ -20,6 +20,7 @@
 #include <bit>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <thread>
@@ -315,6 +316,21 @@ struct Builder {
     std::vector<int64_t> stage_macro_it_count;
     int64_t stage_count = 0;
 
+    // Hour-scale builds (View #27: 28.3e9 orbit entries on 1 CPU) are
+    // opaque without this: FS_LA_PROGRESS=<path> appends one JSON line
+    // per ~2^28 consumed orbit entries so node density is observable
+    // minutes into the run instead of after it fails.
+    FILE *prog = nullptr;
+    int64_t prog_next = 0;
+    void progress(int64_t i) {
+        if (prog && i >= prog_next) {
+            fprintf(prog, "{\"i\": %lld, \"nodes\": %lld}\n",
+                    (long long)i, (long long)las.size());
+            fflush(prog);
+            prog_next = i + (int64_t{1} << 28);
+        }
+    }
+
     HDC gc(int64_t i) const {
         if (ox) {
             HDC c = hdc_from_complex(ox[i], oy[i]);
@@ -377,6 +393,7 @@ struct Builder {
         int64_t i = 2;
         bool broke = false;
         for (; i < max_ref;) {
+            progress(i);
             bool period_detected;
             LANode new_la = step(p, la, gc(i), &period_detected);
             if (!period_detected) {
@@ -445,6 +462,7 @@ struct Builder {
         }
 
         for (; i < max_ref;) {
+            progress(i);
             bool period_detected;
             LANode new_la = step(p, la, gc(i), &period_detected);
             if (!period_detected && i < period_end) {
@@ -617,6 +635,7 @@ struct Builder {
         int64_t i = 2;
         bool broke = false;
         for (; i < max_ref;) {
+            progress(i);
             bool period_detected;
             LANode new_la = step(p, la, gc(i), &period_detected);
             if (!period_detected) {
@@ -891,10 +910,42 @@ struct Builder {
 
 namespace {
 
-// Shared tail of both entry points: stage-0 build (MT), stage
-// composition, AT creation, output marshalling.
-int64_t la_generate_common(
-    Builder &b, int64_t n_orbit,
+// Stage-0 build (MT) + stage composition.  Returns false when the
+// orbit yields no valid table (is_valid False in the Python builder).
+bool la_build_run(Builder &b)
+{
+    if (b.max_ref <= 0) return false;
+    const char *prog_env = std::getenv("FS_LA_PROGRESS");
+    if (prog_env && !b.prog) b.prog = fopen(prog_env, "w");
+
+    // MT threshold mirrors the reference's 50k-iterations-per-thread
+    // scaling (LAReference.cpp:239); FS_LA_MT forces a count (tests)
+    int64_t n_threads = b.max_ref / 50000;
+    int64_t hw = (int64_t)std::thread::hardware_concurrency();
+    if (n_threads > hw) n_threads = hw;
+    if (n_threads < 1) n_threads = 1;
+    const char *mt_env = std::getenv("FS_LA_MT");
+    if (mt_env) n_threads = std::max<int64_t>(1, std::atoll(mt_env));
+    bool detected = b.create_la_from_orbit_mt(n_threads);
+    if (detected) {
+        while (b.create_new_la_stage()) {
+        }
+    }
+    if (b.prog) {
+        fprintf(b.prog,
+                "{\"done\": true, \"detected\": %d, \"nodes\": %lld, "
+                "\"stages\": %lld}\n",
+                detected ? 1 : 0, (long long)b.las.size(),
+                (long long)b.stage_count);
+        fclose(b.prog);
+        b.prog = nullptr;
+    }
+    return detected;
+}
+
+// AT creation + output marshalling for a finished build.
+int64_t la_marshal(
+    Builder &b,
     double radius_m, int64_t radius_e, int sub_is_f32, int64_t cap,
     double *ref_m, int64_t *ref_e, double *zc_m, int64_t *zc_e,
     double *cc_m, int64_t *cc_e, double *thr_m, int64_t *thr_e,
@@ -907,24 +958,6 @@ int64_t la_generate_common(
     flags[1] = 0;
     flags[2] = 0;
     flags[3] = 0;
-    if (b.max_ref <= 0) return 0;
-    b.las.reserve((size_t)std::min<int64_t>(2 * n_orbit + 16, cap));
-
-    // MT threshold mirrors the reference's 50k-iterations-per-thread
-    // scaling (LAReference.cpp:239); FS_LA_MT forces a count (tests)
-    int64_t n_threads = b.max_ref / 50000;
-    int64_t hw = (int64_t)std::thread::hardware_concurrency();
-    if (n_threads > hw) n_threads = hw;
-    if (n_threads < 1) n_threads = 1;
-    const char *mt_env = std::getenv("FS_LA_MT");
-    if (mt_env) n_threads = std::max<int64_t>(1, std::atoll(mt_env));
-    bool detected = b.create_la_from_orbit_mt(n_threads);
-    if (!detected) {
-        // mirror python: invalid table (is_valid False), nodes dropped
-        return 0;
-    }
-    while (b.create_new_la_stage()) {
-    }
 
     // CreateATFromLA (LAReference.cpp:1052-1074)
     HD sqr_radius = hd_reduce(hd_mul({radius_m, radius_e},
@@ -1017,6 +1050,45 @@ int64_t la_generate_common(
     return n;
 }
 
+// Shared tail of the one-call entry points: build + marshal against a
+// caller-preallocated table of `cap` rows.
+int64_t la_generate_common(
+    Builder &b, int64_t n_orbit,
+    double radius_m, int64_t radius_e, int sub_is_f32, int64_t cap,
+    double *ref_m, int64_t *ref_e, double *zc_m, int64_t *zc_e,
+    double *cc_m, int64_t *cc_e, double *thr_m, int64_t *thr_e,
+    double *thrc_m, int64_t *thrc_e,
+    int64_t *step_length, int64_t *next_stage_la_index,
+    int64_t *stage_la_index_out, int64_t *stage_macro_out,
+    double *at_m, int64_t *at_e, int64_t *flags)
+{
+    flags[0] = 0;
+    flags[1] = 0;
+    flags[2] = 0;
+    flags[3] = 0;
+    if (b.max_ref <= 0) return 0;
+    b.las.reserve((size_t)std::min<int64_t>(2 * n_orbit + 16, cap));
+    if (!la_build_run(b)) {
+        // mirror python: invalid table (is_valid False), nodes dropped
+        return 0;
+    }
+    return la_marshal(
+        b, radius_m, radius_e, sub_is_f32, cap,
+        ref_m, ref_e, zc_m, zc_e, cc_m, cc_e, thr_m, thr_e,
+        thrc_m, thrc_e, step_length, next_stage_la_index,
+        stage_la_index_out, stage_macro_out, at_m, at_e, flags);
+}
+
+// Two-call protocol state: the finished Builder outlives the build
+// call so the caller can size its output buffers to the EXACT node
+// count instead of guessing a cap up front (the one-call API forced a
+// preallocation guess that cost two wasted hour-long passes at View
+// #27 scale before this existed).
+struct LAHandle {
+    Builder b;
+    bool detected = false;
+};
+
 }  // namespace
 
 extern "C" {
@@ -1096,6 +1168,82 @@ int64_t fs_la_generate_rc(
         ref_m, ref_e, zc_m, zc_e, cc_m, cc_e, thr_m, thr_e,
         thrc_m, thrc_e, step_length, next_stage_la_index,
         stage_la_index_out, stage_macro_out, at_m, at_e, flags);
+}
+
+// ---- two-call protocol -------------------------------------------------
+// fs_la_begin_rc runs the FULL build (stage 0 + composition) from a
+// compressed orbit and keeps the node table alive behind the returned
+// handle; fs_la_result_n reports the exact node count (-2: no valid
+// table), so the caller allocates output buffers of exactly that size
+// and fs_la_collect marshals into them — no preallocation guessing.
+// The anchor arrays only need to stay alive through fs_la_begin_rc.
+
+void *fs_la_begin_rc(
+    const double *anchors_x, const double *anchors_y,
+    const int64_t *anchor_index, int64_t n_anchors, int64_t n_orbit,
+    double cx_low, double cy_low,
+    int detection_method, double la_threshold_scale,
+    double la_threshold_c_scale, double stage0_pdt2, double pdt2,
+    double stage0_pdt, double pdt, int period_divisor, int64_t low_bound)
+{
+    auto *h = new LAHandle;
+    h->b.p = {detection_method, la_threshold_scale, la_threshold_c_scale,
+              stage0_pdt2, pdt2, stage0_pdt, pdt, period_divisor,
+              low_bound};
+    h->b.ax = anchors_x;
+    h->b.ay = anchors_y;
+    h->b.ai = anchor_index;
+    h->b.n_anchors = n_anchors;
+    h->b.rc_cx = cx_low;
+    h->b.rc_cy = cy_low;
+    h->b.max_ref = n_orbit - 1;
+    if (n_anchors <= 0 || h->b.max_ref <= 0) return h;
+    h->b.las.reserve((size_t)std::min<int64_t>(2 * n_orbit + 16,
+                                               int64_t{1} << 24));
+    h->detected = la_build_run(h->b);
+    return h;
+}
+
+int64_t fs_la_result_n(void *vh)
+{
+    auto *h = (LAHandle *)vh;
+    return h->detected ? (int64_t)h->b.las.size() : -2;
+}
+
+int64_t fs_la_result_stages(void *vh)
+{
+    auto *h = (LAHandle *)vh;
+    return (int64_t)h->b.stage_la_index.size();
+}
+
+int64_t fs_la_collect(
+    void *vh, double radius_m, int64_t radius_e, int sub_is_f32,
+    double *ref_m, int64_t *ref_e, double *zc_m, int64_t *zc_e,
+    double *cc_m, int64_t *cc_e, double *thr_m, int64_t *thr_e,
+    double *thrc_m, int64_t *thrc_e,
+    int64_t *step_length, int64_t *next_stage_la_index,
+    int64_t *stage_la_index_out, int64_t *stage_macro_out,
+    double *at_m, int64_t *at_e, int64_t *flags)
+{
+    auto *h = (LAHandle *)vh;
+    if (!h->detected) {
+        flags[0] = 0;
+        flags[1] = 0;
+        flags[2] = 0;
+        flags[3] = 0;
+        return 0;
+    }
+    return la_marshal(
+        h->b, radius_m, radius_e, sub_is_f32,
+        (int64_t)h->b.las.size(),
+        ref_m, ref_e, zc_m, zc_e, cc_m, cc_e, thr_m, thr_e,
+        thrc_m, thrc_e, step_length, next_stage_la_index,
+        stage_la_index_out, stage_macro_out, at_m, at_e, flags);
+}
+
+void fs_la_free(void *vh)
+{
+    delete (LAHandle *)vh;
 }
 
 }  // extern "C"

@@ -97,3 +97,18 @@ def test_rc_build_renders_like_decompressed(deep_orbit):
     out = np.asarray(la_kernel.la_perturb_render(
         res_rc, rc, ptz, 16, 16, 20_000, sub_dtype=np.float64))
     assert out.min() > 0
+
+
+def test_streamed_two_call_matches_one_call(deep_orbit):
+    """The two-call protocol (fs_la_begin_rc → exact-n fs_la_collect)
+    must be bit-identical to the one-call fs_la_generate_rc — same
+    builder, only the output-buffer sizing differs (the two-call path
+    removes the cap-guessing failure mode at View #27 scale)."""
+    ptz, res = deep_orbit
+    comp = CompressedOrbit.from_uncompressed(res, error_exp=20)
+    rad = HD.from_hp(res.max_radius)
+    one = NL.generate_native_rc(comp, rad)
+    two, info = NL.generate_native_rc_streamed(comp, rad)
+    _assert_tables_equal(one, two)
+    assert info["n_nodes"] == len(two.las) == info["cnt"]
+    assert info["n_stage_entries"] >= two.stage_count

@@ -71,18 +71,17 @@ rad = HD.from_hp(ptz.radius)
 # ~35,700 per-pixel orbit wraps of a 10^15 budget costs ONE macro step
 from fractalshark_tpu.engine.la_reference import LAParameters  # noqa: E402
 params = LAParameters(period_divisor=8, low_bound=1)
-cap = 1 << 26
-la = None
-while la is None and cap <= (1 << 29):
-    t0 = time.perf_counter()
-    la = NL.generate_native_rc(comp, rad, params=params, cap=cap)
-    state[f"attempt_cap_{cap}"] = round(time.perf_counter() - t0, 1)
-    save()
-    if la is None:
-        cap <<= 2
+# two-call protocol: builds first, sizes buffers to the exact node
+# count — no cap guessing.  FS_LA_PROGRESS (set by the launcher) gives
+# a live node-density stream for this hour-scale 28.3e9-entry pass.
+t0 = time.perf_counter()
+la, la_info = NL.generate_native_rc_streamed(comp, rad, params=params)
+state["build_s"] = round(time.perf_counter() - t0, 1)
+state["la_info"] = la_info
+save()
 
 if la is None:
-    state["phase"] = "failed_cap"
+    state["phase"] = "failed"
     save()
     raise SystemExit(json.dumps(state))
 
@@ -90,8 +89,7 @@ state.update(phase="save", la_valid=bool(la.is_valid),
              n_nodes=len(la.las), stages=int(la.stage_count),
              stage_la_index=[int(x) for x in la.stage_la_index],
              stage_macro=[int(x) for x in la.stage_macro_it_count],
-             use_at=bool(la.use_at),
-             build_s=state[f"attempt_cap_{cap}"])
+             use_at=bool(la.use_at))
 save()
 la.save_npz(NPZ)
 state["phase"] = "done"
