@@ -397,6 +397,27 @@ def _view30_record(extra):
     extra["view30_iter_sum"] = rec["iter_sum"]
 
 
+def _view32_record(extra):
+    """Recorded View #32 end-to-end result (data/records.json): the
+    reference's deepest demonstrated render (zoom 1.6e244240,
+    Notes/FractalShark-07-GpuArithmetic.tex:33-40) computed fully on
+    one v5e — 811,541-bit device orbit to its period 22,680,805, LA
+    build, 256² two-phase frame (artifacts/view32.png)."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "data", "records.json")
+    with open(path) as f:
+        rec = json.load(f).get("view32_e2e")
+    if not rec:
+        return
+    extra["view32_e2e_recorded_s"] = rec["total_s"]
+    extra["view32_orbit_s"] = rec["orbit_s"]
+    extra["view32_render_s"] = rec["render_s"]
+    extra["view32_period"] = rec["period"]
+    extra["view32_prec_bits"] = rec["prec_bits"]
+    extra["view32_iter_sum"] = rec["iter_sum"]
+
+
 def _view30_projection(extra):
     """Live-session View #30 e2e projection: today's measured
     production-loop rate x the known period, plus the recorded LA/render
@@ -554,7 +575,8 @@ def main() -> int:
     # deep_la run unconditionally.  Optional parts are gated on the
     # remaining budget and ordered cheapest-first so ntt32768 (longest,
     # least reliable remote compile) is always the first to drop.
-    core = [("view30_record", _view30_record), ("native", _native),
+    core = [("view30_record", _view30_record),
+            ("view32_record", _view32_record), ("native", _native),
             ("ntt", _ntt), ("orbit_session", _orbit_session),
             ("deep_la", _deep_la)]
     optional = [("perturb/la", _perturb_and_la),
