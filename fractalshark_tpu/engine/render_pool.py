@@ -73,6 +73,7 @@ class RenderThreadPool:
         self._completed: set[int] = set()
         self._next_group = 1
         self._cancelled_groups: set[int] = set()
+        self._group_gens: dict[int, list[int]] = {}
         self.last_presented_view: dict | None = None
         self.abort_flag = threading.Event()
         self._shutdown = False
@@ -114,6 +115,8 @@ class RenderThreadPool:
             gen = self._gen
             if supersedable:
                 self._latest_supersedable = gen
+            if group:
+                self._group_gens.setdefault(group, []).append(gen)
         self._queue.put(RenderWorkItem(gen, supersedable, {}, mutation=fn,
                                        group=group, final_only=final_only))
         return gen
@@ -126,7 +129,17 @@ class RenderThreadPool:
         with self._lock:
             g = self._next_group
             self._next_group += 1
+            self._group_gens[g] = []
         return g
+
+    def group_generation(self, group: int, index: int) -> int | None:
+        """Generation of the ``index``-th job enqueued in ``group``, or
+        None if not yet enqueued.  Lets a paced consumer present the
+        group's frames in enqueue order even when two workers finish
+        adjacent steps out of order."""
+        with self._lock:
+            gens = self._group_gens.get(group, ())
+            return gens[index] if index < len(gens) else None
 
     def cancel_paced_animation(self, group: int) -> None:
         """Drop the group's not-yet-presented frames
@@ -223,10 +236,15 @@ class RenderThreadPool:
             if (frame.generation < self._latest_supersedable and
                     not frame.final):
                 continue  # superseded progressive frame: drop
-            if frame.final and frame.generation <= self._delivered_final:
-                continue  # stale duplicate
+            if (frame.final and not frame.group
+                    and frame.generation <= self._delivered_final):
+                continue  # stale duplicate (latest-wins interactive path)
             if frame.final:
-                self._delivered_final = frame.generation
+                # grouped finals are exempt from latest-wins dropping:
+                # a paced animation presents EVERY step, and two workers
+                # can finish adjacent steps out of enqueue order
+                self._delivered_final = max(self._delivered_final,
+                                            frame.generation)
                 if frame.view is not None:
                     self.last_presented_view = frame.view
             return frame
@@ -264,20 +282,44 @@ class PacedPresenter:
 
     def present(self, n_frames: int, timeout: float = 300.0) -> int:
         """Consume up to ``n_frames`` final frames of the group; returns
-        how many were presented (fewer if cancelled/timeout)."""
+        how many were presented (fewer if cancelled/timeout).  Frames
+        are presented in ENQUEUE order: two pool workers can finish
+        adjacent animation steps out of order, so arrivals are buffered
+        until the next expected generation lands."""
         deadline = time.monotonic() + timeout
         next_present = time.monotonic()
+        pending: dict[int, object] = {}  # generation -> out-of-order frame
         n = 0
         while n < n_frames and time.monotonic() < deadline:
-            frame = self.pool.next_frame(
-                timeout=max(0.05, deadline - time.monotonic()))
+            expected = self.pool.group_generation(self.group, n)
+            frame = pending.pop(expected, None) if expected is not None \
+                else None
             if frame is None:
-                with self.pool._lock:
-                    if self.group in self.pool._cancelled_groups:
-                        break
-                continue
-            if frame.group != self.group or not frame.final:
-                continue
+                # short poll, NOT the full deadline: after a
+                # cancel_paced_animation no more group frames arrive, and
+                # the cancellation check below is the only exit — a
+                # deadline-length get() would strand the consumer thread
+                # for the caller's whole timeout
+                frame = self.pool.next_frame(
+                    timeout=min(0.25, max(0.05,
+                                          deadline - time.monotonic())))
+                if frame is None:
+                    with self.pool._lock:
+                        if self.group in self.pool._cancelled_groups:
+                            break
+                    continue
+                if frame.group != self.group or not frame.final:
+                    continue
+                # re-fetch: enqueue registers the generation under the
+                # pool lock BEFORE the worker can produce the frame, so
+                # once any frame of index >= n exists, gens[n] is
+                # defined — a pre-pop None must not present blindly (an
+                # out-of-order arrival would strand the true n-th frame
+                # in `pending` forever)
+                expected = self.pool.group_generation(self.group, n)
+                if frame.generation != expected:
+                    pending[frame.generation] = frame
+                    continue
             now = time.monotonic()
             if now < next_present:
                 time.sleep(next_present - now)
