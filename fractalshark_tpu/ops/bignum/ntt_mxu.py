@@ -397,30 +397,41 @@ def _apply_ker(get_m, x8, p, pi, get_w, lane_contract: bool):
     fits int32 (B_k = terms·K·128², exact for balanced int8 chunks).
     The merge is exact integer arithmetic, so the canonical result is
     bit-identical."""
+    return _apply_ker_multi(((get_m, x8),), p, pi, get_w,
+                            lane_contract)
+
+
+def _apply_ker_multi(streams, p, pi, get_w, lane_contract: bool):
+    """_apply_ker over several (get_m, x8) pairs summing into SHARED
+    diagonals before one recombination — the paired-digit phases
+    contract even/odd coefficient halves against column-split
+    matrices but pay the Shoup recombination once.  Diagonal bounds
+    stay exact: each stream adds K_s·128² per contributing term."""
     from fractalshark_tpu.ops.bignum.ntt_pallas import _madd, _smul
-    nx = len(x8)
-    nd = _CHUNKS + nx - 1
-    K = x8[0].shape[1] if lane_contract else x8[0].shape[0]
+    nd = _CHUNKS + max(len(x8) for _, x8 in streams) - 1
     diags = []
     bounds = []
     for k in range(nd):
         t = None
-        terms = 0
-        for d in range(_CHUNKS):
-            c = k - d
-            if 0 <= c < nx:
-                terms += 1
-                if lane_contract:
-                    s = jax.lax.dot_general(
-                        x8[c], get_m(d), (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32)
-                else:
-                    s = jax.lax.dot_general(
-                        get_m(d), x8[c], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32)
-                t = s if t is None else t + s
+        bound = 0
+        for get_m, x8 in streams:
+            nx = len(x8)
+            K = x8[0].shape[1] if lane_contract else x8[0].shape[0]
+            for d in range(_CHUNKS):
+                c = k - d
+                if 0 <= c < nx:
+                    bound += K * 128 * 128
+                    if lane_contract:
+                        s = jax.lax.dot_general(
+                            x8[c], get_m(d), (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+                    else:
+                        s = jax.lax.dot_general(
+                            get_m(d), x8[c], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+                    t = s if t is None else t + s
         diags.append(t)
-        bounds.append(terms * K * 128 * 128)
+        bounds.append(bound)
     # greedy exact-bound pairing (static: bounds are trace-time ints)
     units = []                         # (base_k, t_plane, bound)
     k = 0
@@ -671,6 +682,230 @@ def mxu_iter_products(vx, vy, *, n: int, interpret: bool = False,
     )(xg, jnp.asarray(mf1), jnp.asarray(mf2t), jnp.asarray(mi2t),
       jnp.asarray(mi1), jnp.asarray(t1s), miscb)
     return out.reshape(4, n)
+
+
+# ---------------------------------------------------------------------------
+# Paired-digit product kernels: the even/odd coefficient deinterleave
+# the base-2^32 tail needs, absorbed into the phase MATRICES (host-side
+# column/row splits — free), so inputs are PACKED u32 digit pairs and
+# outputs are (even-half ‖ odd-half) coefficient rows.  The MXU work is
+# unchanged (two half-width dots replace each full dot); only the
+# in-kernel unpack (2 VPU ops) is new.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _iter_tables_paired(n: int):
+    """_iter_tables plus the even/odd splits: forward phase-2 rows
+    (input-coefficient parity), inverse phase-2 columns and both T1
+    twiddle lane sets (output-coefficient parity)."""
+    mf1, mf2t, mi2t, mi1, t1s, misc = _iter_tables(n)
+
+    def c(a):
+        return np.ascontiguousarray(a)
+
+    return (mf1, c(mf2t[:, :, 0::2, :]), c(mf2t[:, :, 1::2, :]),
+            c(mi2t[:, :, :, 0::2]), c(mi2t[:, :, :, 1::2]), mi1,
+            c(t1s[:, :, :, 0::2]), c(t1s[:, :, :, 1::2]), misc)
+
+
+def paired_kernel_supported(n: int, in_digits: int) -> bool:
+    """The paired kernels need the four-step lane width n2 to split
+    into two register-aligned halves (n2 % 256) and whole pair rows in
+    the tail planes (n % 256) — true for nfft ≥ 32768, i.e. the
+    deep-zoom operand sizes where the tail dominates."""
+    if not iter_kernel_supported(n):
+        return False
+    n1, n2 = N._split_n(n)
+    return (n2 % 256 == 0 and n % 256 == 0 and in_digits % 2 == 0
+            and in_digits % n2 == 0)
+
+
+def _freq_products_paired(g, xg_ref, mf1_ref, mf2te_ref, mf2to_ref,
+                          mi2te_ref, mi2to_ref, mi1_ref, t1e_ref,
+                          t1o_ref, misc_ref, nvals: int,
+                          sgn_ref=None):
+    """_freq_products/_freq_products_nr on PACKED pair planes: xg_ref
+    [nvals, n1h, n2/2] u32 packed digit pairs; returns the product
+    coefficient planes as (even, odd) pairs of [n1, n2/2].  Identical
+    spectrum values (the even/odd split is exact in the matrices), so
+    the products are bit-identical to the unpaired kernels up to the
+    free output deinterleave."""
+    from fractalshark_tpu.ops.bignum.ntt_pallas import (_madd, _mont,
+                                                        _msub, _smul)
+    p = misc_ref[g, 0:1, :]
+    pi = p.astype(jnp.int32)
+    pp = misc_ref[g, 13:14, :]
+    n2h = xg_ref.shape[-1]
+    ph = p[:, :n2h]
+    pih = pi[:, :n2h]
+    sch = misc_ref[g, 14:15, :n2h]
+    scph = misc_ref[g, 15:16, :n2h]
+
+    def get_w(k):
+        return misc_ref[g, k:k + 1, :], misc_ref[g, 6 + k:7 + k, :]
+
+    def get_wh(k):
+        return (misc_ref[g, k:k + 1, :n2h],
+                misc_ref[g, 6 + k:7 + k, :n2h])
+
+    def mats(ref):
+        return lambda d: ref[g, d]
+
+    f = []
+    for v in range(nvals):
+        pk = xg_ref[v]
+        for half, tcol in ((pk & jnp.uint32(0xFFFF), 0), (pk >> 16, 1)):
+            x8 = _chunk8_ker(half, _IN_CHUNKS)
+            b = _apply_ker(mats(mf1_ref), x8, ph, pih, get_wh, False)
+            tref = (t1e_ref, t1o_ref)[tcol]
+            if tcol == 0:
+                be = _smul(b, tref[g, 0], tref[g, 1], ph)
+            else:
+                bo = _smul(b, tref[g, 0], tref[g, 1], ph)
+        fv = _apply_ker_multi(
+            ((mats(mf2te_ref), _chunk8_ker(be)),
+             (mats(mf2to_ref), _chunk8_ker(bo))), p, pi, get_w, True)
+        if sgn_ref is not None:
+            neg = jnp.where(fv == jnp.uint32(0), fv, p - fv)
+            fv = jnp.where(sgn_ref[v] < 0, neg, fv)
+        f.append(fv)
+
+    def mm(a, b):
+        return _mont(a, b, p, pp)
+
+    if nvals == 2:
+        fx, fy = f
+        prods = (_msub(mm(fx, fx), mm(fy, fy), p), mm(fx, fy))
+    else:
+        fx, fy, fdx, fdy = f
+        prods = (_msub(mm(fx, fx), mm(fy, fy), p), mm(fx, fy),
+                 _msub(mm(fx, fdx), mm(fy, fdy), p),
+                 _madd(mm(fx, fdy), mm(fy, fdx), p))
+    outs = []
+    for prod in prods:
+        c8 = _chunk8_ker(prod)
+        eo = []
+        for mref, tc in ((mi2te_ref, 0), (mi2to_ref, 1)):
+            u = _apply_ker(mats(mref), c8, ph, pih, get_wh, True)
+            tref = (t1e_ref, t1o_ref)[tc]
+            u = _smul(u, tref[g, 2], tref[g, 3], ph)
+            a = _apply_ker(mats(mi1_ref), _chunk8_ker(u), ph, pih,
+                           get_wh, False)
+            eo.append(_smul(a, sch, scph, ph))
+        outs.append(tuple(eo))
+    return outs
+
+
+def _iter_paired_kernel(xg_ref, mf1_ref, mf2te_ref, mf2to_ref,
+                        mi2te_ref, mi2to_ref, mi1_ref, t1e_ref,
+                        t1o_ref, misc_ref, o_ref):
+    outs = _freq_products_paired(0, xg_ref, mf1_ref, mf2te_ref,
+                                 mf2to_ref, mi2te_ref, mi2to_ref,
+                                 mi1_ref, t1e_ref, t1o_ref, misc_ref,
+                                 2)
+    for i, (ae, ao) in enumerate(outs):
+        o_ref[i, 0, 0] = ae
+        o_ref[i, 0, 1] = ao
+
+
+def _nr_paired_kernel(xg_ref, sgn_ref, mf1_ref, mf2te_ref, mf2to_ref,
+                      mi2te_ref, mi2to_ref, mi1_ref, t1e_ref,
+                      t1o_ref, misc_ref, o_ref):
+    outs = _freq_products_paired(0, xg_ref, mf1_ref, mf2te_ref,
+                                 mf2to_ref, mi2te_ref, mi2to_ref,
+                                 mi1_ref, t1e_ref, t1o_ref, misc_ref,
+                                 4, sgn_ref=sgn_ref)
+    for i, (ae, ao) in enumerate(outs):
+        o_ref[i, 0, 0] = ae
+        o_ref[i, 0, 1] = ao
+
+
+def _paired_call(kernel, xg, nvals, n, n1h, interpret, signs=None):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n1, n2 = N._split_n(n)
+    n2h = n2 // 2
+    (mf1, mf2te, mf2to, mi2te, mi2to, mi1, t1e, t1o,
+     misc) = _iter_tables_paired(n)
+    mf1 = mf1[:, :, :, :n1h]
+    miscb = jnp.broadcast_to(jnp.asarray(misc), (2, 16, n2))
+    K = 2 if nvals == 2 else 4  # product rows per prime
+    specs = [pl.BlockSpec((nvals, n1h, n2h),
+                          lambda g: (_Z0, _Z0, _Z0))]
+    args = [xg]
+    if signs is not None:
+        specs.append(pl.BlockSpec((4,), lambda g: (_Z0,),
+                                  memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(signs, jnp.int32))
+    specs += [
+        pl.BlockSpec((1, _CHUNKS, n1, n1h),
+                     lambda g: (g, _Z0, _Z0, _Z0)),
+        pl.BlockSpec((1, _CHUNKS, n2h, n2),
+                     lambda g: (g, _Z0, _Z0, _Z0)),
+        pl.BlockSpec((1, _CHUNKS, n2h, n2),
+                     lambda g: (g, _Z0, _Z0, _Z0)),
+        pl.BlockSpec((1, _CHUNKS, n2, n2h),
+                     lambda g: (g, _Z0, _Z0, _Z0)),
+        pl.BlockSpec((1, _CHUNKS, n2, n2h),
+                     lambda g: (g, _Z0, _Z0, _Z0)),
+        pl.BlockSpec((1, _CHUNKS, n1, n1),
+                     lambda g: (g, _Z0, _Z0, _Z0)),
+        pl.BlockSpec((1, 4, n1, n2h), lambda g: (g, _Z0, _Z0, _Z0)),
+        pl.BlockSpec((1, 4, n1, n2h), lambda g: (g, _Z0, _Z0, _Z0)),
+        pl.BlockSpec((1, 16, n2), lambda g: (g, _Z0, _Z0)),
+    ]
+    args += [jnp.asarray(mf1), jnp.asarray(mf2te), jnp.asarray(mf2to),
+             jnp.asarray(mi2te), jnp.asarray(mi2to), jnp.asarray(mi1),
+             jnp.asarray(t1e), jnp.asarray(t1o), miscb]
+    cp = pltpu.CompilerParams(vmem_limit_bytes=110 << 20)
+    out = pl.pallas_call(
+        kernel,
+        grid=(2,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((K, 1, 2, n1, n2h),
+                               lambda g: (_Z0, g, _Z0, _Z0, _Z0)),
+        out_shape=jax.ShapeDtypeStruct((K, 2, 2, n1, n2h),
+                                       jnp.uint32),
+        compiler_params=cp,
+        interpret=interpret,
+    )(*args)
+    return out.reshape(2 * K, n)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret",
+                                             "in_digits"))
+def mxu_iter_products_paired(xp, yp, *, n: int,
+                             interpret: bool = False,
+                             in_digits: int | None = None):
+    """[4, n] u32 rows (d_p1, d_p2, xy_p1, xy_p2) with each row laid
+    out as even-coefficient half ‖ odd-coefficient half — the same
+    values as mxu_iter_products up to that (matrix-absorbed)
+    deinterleave.  xp/yp are PACKED base-2^32 digit-pair vectors
+    [in_digits/2] (fixedpoint.pack_pairs layout)."""
+    assert in_digits is not None and \
+        paired_kernel_supported(n, in_digits)
+    n1, n2 = N._split_n(n)
+    n1h = in_digits // n2
+    xg = jnp.stack([xp, yp]).reshape(2, n1h, n2 // 2)
+    return _paired_call(_iter_paired_kernel, xg, 2, n, n1h, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret",
+                                             "in_digits"))
+def mxu_nr_products_paired(xp, yp, dxp, dyp, signs, *, n: int,
+                           interpret: bool = False,
+                           in_digits: int | None = None):
+    """Paired-digit mxu_nr_products: [8, n] u32 rows (d, xy, u, v per
+    prime) in even-half ‖ odd-half layout; inputs packed pairs."""
+    assert in_digits is not None and \
+        paired_kernel_supported(n, in_digits)
+    n1, n2 = N._split_n(n)
+    n1h = in_digits // n2
+    xg = jnp.stack([xp, yp, dxp, dyp]).reshape(4, n1h, n2 // 2)
+    return _paired_call(_nr_paired_kernel, xg, 4, n, n1h, interpret,
+                        signs=signs)
 
 
 # ---------------------------------------------------------------------------

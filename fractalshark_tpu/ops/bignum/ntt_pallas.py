@@ -1394,6 +1394,218 @@ def fused_tail(inv, cadd, rnd, sgs, *, n: int, nr: bool = False,
 
 
 # ---------------------------------------------------------------------------
+# Paired-digit (base-2^32) fused tail
+# ---------------------------------------------------------------------------
+#
+# The carry machinery above is DATA-SIZE-bound on the VPU (measured
+# 11.4/27.6/49.7 µs device at nfft 16384/32768/65536), so the whole
+# tail is re-run here on HALF-width planes: two 16-bit digits pack
+# into one u32 "pair" (base-2^32 positional digit), the digit planes
+# shrink [n/128, 128] → [n/256, 128], and every prefix pass, shift and
+# select pays half.  Accumulators that no longer fit u32 carry an i32
+# overflow-count side plane (carry-save), converted to single-bit
+# generate/propagate by one add before the Kogge-Stone.
+#
+# The even/odd coefficient deinterleave this needs is FREE: the MXU
+# product kernel's phase transforms are matmuls, so column-split
+# matrices emit the even and odd coefficient halves as separate
+# planes (ntt_mxu.mxu_iter_products_paired) — no shuffle ever runs on
+# device.  Reference analogue: the grid-parallel carry pass
+# (HpSharkFloatLib/MultiplyNTT.cu:47-153) — redesigned rather than
+# translated (VERDICT r3 #5).
+
+
+def _ovf_add(a, cnt, b):
+    """u32 wrapping add with the overflow folded into an i32 count
+    plane (a + b wrapping past 2^32 carries weight 2^32 = +1 count)."""
+    s = a + b
+    return s, cnt + jnp.where(s < b, jnp.int32(1), jnp.int32(0))
+
+
+def _tail_stream_pairs(r1e, r2e, r1o, r2o, n1p, dbl, gswap):
+    """(acc_p, cnt_p, acc_n, cnt_n) base-2^32 pair accumulators of one
+    CRT'd product row pair, from residue planes split by coefficient
+    parity (even coeff k=2m lands whole at pair m; odd coeff k=2m+1 is
+    offset 16 bits: three shifted parts).  Same uniform runtime config
+    as _tail_stream_cfg: doubling is a traced flag, a global sign
+    swaps the streams."""
+    z = jnp.uint32(0)
+    d = dbl > 0
+    parts = []
+    for (r1, r2) in ((r1e, r2e), (r1o, r2o)):
+        hi, lo = _k_crt_rec(r1, r2)
+        neg = (hi > _C_HALF_HI) | ((hi == _C_HALF_HI) & (lo > _C_HALF_LO))
+        nlo = jnp.uint32(_C_P1P2_LO) - lo
+        bb = jnp.where(_C_P1P2_LO < lo, jnp.uint32(1), z)
+        nhi = jnp.uint32(_C_P1P2_HI) - hi - bb
+        hi2 = jnp.where(d, (hi << 1) | (lo >> 31), hi)
+        lo2 = jnp.where(d, lo << 1, lo)
+        nhi2 = jnp.where(d, (nhi << 1) | (nlo >> 31), nhi)
+        nlo2 = jnp.where(d, nlo << 1, nlo)
+        parts.append((neg, hi2, lo2, nhi2, nlo2))
+    (neg_e, hie, loe, nhie, nloe), (neg_o, hio, loo, nhio, nloo) = parts
+
+    def stream(he, le, ho, lo_):
+        cnt = jnp.zeros(he.shape, jnp.int32)
+        a, cnt = _ovf_add(le, cnt, lo_ << 16)
+        bcnt = jnp.zeros(he.shape, jnp.int32)
+        b, bcnt = _ovf_add(he, bcnt, (lo_ >> 16) | (ho << 16))
+        a, cnt = _ovf_add(a, cnt, _flat_shift(b, 1, n1p))
+        cnt = cnt + _flat_shift(bcnt, 1, n1p)
+        a, cnt = _ovf_add(a, cnt, _flat_shift(ho >> 16, 2, n1p))
+        return a, cnt
+
+    acc_p, cnt_p = stream(jnp.where(neg_e, z, hie),
+                          jnp.where(neg_e, z, loe),
+                          jnp.where(neg_o, z, hio),
+                          jnp.where(neg_o, z, loo))
+    acc_n, cnt_n = stream(jnp.where(neg_e, nhie, z),
+                          jnp.where(neg_e, nloe, z),
+                          jnp.where(neg_o, nhio, z),
+                          jnp.where(neg_o, nloo, z))
+    swap = gswap < 0
+    return (jnp.where(swap, acc_n, acc_p), jnp.where(swap, cnt_n, cnt_p),
+            jnp.where(swap, acc_p, acc_n), jnp.where(swap, cnt_p, cnt_n))
+
+
+def _pair_carry(lo, cnt, n1p):
+    """Canonicalize base-2^32 digit pairs: value = Σ (lo_i + 2^32·cnt_i)
+    · 2^32i with cnt small and non-negative.  Returns (pairs u32,
+    carry_out i32 full-shape) — the total carry out of the global top
+    pair (top count plus lookahead carry; the biased finish reads
+    multi-bit carry-outs), the exact analogue of _flat_carry."""
+    cin = _flat_shift(cnt, 1, n1p)
+    # cnt is small non-negative → value-preserving vector bitcast
+    cinu = jax.lax.bitcast_convert_type(cin, jnp.uint32)
+    s = lo + cinu
+    g = jnp.where(s < cinu, jnp.int32(1), jnp.int32(0))
+    p = jnp.where(s == jnp.uint32(0xFFFFFFFF), jnp.int32(1),
+                  jnp.int32(0))
+    G = _flat_ks(g, p, n1p)
+    Gu = jnp.where(G > 0, jnp.uint32(1), jnp.uint32(0))
+    out = s + _flat_shift(Gu, 1, n1p)
+    cout = _masked_corner(cnt + G, n1p)
+    return out, cout
+
+
+def _twos_complement_pairs(u, n1p):
+    """(2^(32·N) − u) mod 2^(32·N) of a canonical pair plane: per-pair
+    complement plus increment, the increment's carry a p-only prefix
+    (_twos_complement on half-width planes)."""
+    pz = jnp.where(u == jnp.uint32(0), jnp.int32(1), jnp.int32(0))
+    cin = _flat_shift(_flat_prefix_and(pz, n1p), 1, n1p)
+    at0 = (_sub_iota(u.ndim, n1p) == 0) & (_lane_iota(u.ndim) == 0)
+    cin = jnp.where(at0, jnp.int32(1), cin)
+    cu = jnp.where(cin > 0, jnp.uint32(1), jnp.uint32(0))
+    return jnp.uint32(0xFFFFFFFF) - u + cu
+
+
+def _signed_finish_pairs(acc_p, cnt_p, acc_n, cnt_n, n1p):
+    """_signed_finish on base-2^32 pairs in carry-save form.  The bias
+    moves to the COUNT plane: D_i = p_i − n_i + 16·2^32 − 16·[i>0]
+    telescopes exactly like the 16-bit form (the top pair's +16·2^32
+    count is 16·M ≡ 0 mod M), so one canonicalization yields
+    u = (pos − neg) mod M with carry-out 16 ⟺ pos ≥ neg.  Counts stay
+    in [7, 23] ⊂ [0, 2^31) by construction (stream counts ≤ 5, two
+    borrows)."""
+    lane = _lane_iota(acc_p.ndim)
+    sub = _sub_iota(acc_p.ndim, n1p)
+    not0 = (sub > 0) | (lane > 0)
+    t = acc_p - acc_n
+    b1 = jnp.where(acc_p < acc_n, jnp.int32(1), jnp.int32(0))
+    adj = jnp.where(not0, jnp.uint32(16), jnp.uint32(0))
+    d_lo = t - adj
+    b2 = jnp.where(t < adj, jnp.int32(1), jnp.int32(0))
+    d_cnt = cnt_p - cnt_n - b1 - b2 + jnp.int32(16)
+    u, cout = _pair_carry(d_lo, d_cnt, n1p)
+    v = _twos_complement_pairs(u, n1p)
+    pos = cout >= 16
+    mag = jnp.where(pos, u, v)
+    nzi = jnp.where(mag != jnp.uint32(0), jnp.int32(1), jnp.int32(0))
+    nonzero = _red2_full(nzi, jnp.max) > 0
+    sign = jnp.where(pos | ~nonzero, jnp.int32(1), jnp.int32(-1))
+    return sign, mag
+
+
+def _tail_paired_kernel(n: int):
+    """One grid step = one component's full paired tail.  Inputs are
+    the CRT residue rows with each row laid out as even-coefficient
+    half ‖ odd-coefficient half (rows 0..n1p-1 / n1p..2n1p-1 after the
+    [2, 2·n1p, 128] reshape); addend/round planes arrive PACKED."""
+    n1p = n // (2 * LANES)
+
+    def kernel(inv_ref, cadd_ref, rnd_ref, cfg_ref, dig_o, sgn_o):
+        k = pl.program_id(0)
+        dbl = cfg_ref[4 * k]
+        gswap = cfg_ref[4 * k + 1]
+        csign = cfg_ref[4 * k + 2]
+        inv = inv_ref[...]                 # [1, 2, 2*n1p, LANES]
+        r1e = inv[0, 0, :n1p]
+        r1o = inv[0, 0, n1p:]
+        r2e = inv[0, 1, :n1p]
+        r2o = inv[0, 1, n1p:]
+        acc_p, cnt_p, acc_n, cnt_n = _tail_stream_pairs(
+            r1e, r2e, r1o, r2o, n1p, dbl, gswap)
+        c = cadd_ref[0]
+        z = jnp.zeros_like(c)
+        cs = csign > 0
+        acc_p, cnt_p = _ovf_add(acc_p, cnt_p, jnp.where(cs, c, z))
+        acc_n, cnt_n = _ovf_add(acc_n, cnt_n, jnp.where(cs, z, c))
+        acc_p, cnt_p = _ovf_add(acc_p, cnt_p, rnd_ref[...])
+        sign, mag = _signed_finish_pairs(acc_p, cnt_p, acc_n, cnt_n,
+                                         n1p)
+        dig_o[...] = mag[None]
+        sgn_o[...] = sign[0:8, :].reshape(1, 8, LANES)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n", "nr", "interpret"))
+def fused_tail_paired(inv, caddp, rndp, sgs, *, n: int,
+                      nr: bool = False, interpret: bool = False):
+    """Paired-digit fused tail: inv [K, 2, n] residue rows, each row
+    = even-coefficient half [n/2] ‖ odd-coefficient half (the layout
+    ntt_mxu.mxu_iter_products_paired emits); caddp [K, n/2] PACKED
+    addend pairs (zeros where none); rndp [n/2] packed round plane;
+    sgs as fused_tail.  Returns (pairs [K, n/2] u32, signs i32[K])
+    with fixedpoint.unpack_pairs(pairs) bit-identical to fused_tail's
+    digits."""
+    n1p = n // (2 * LANES)
+    K = inv.shape[0]
+    one = jnp.int32(1)
+    zero = jnp.int32(0)
+    if nr:
+        cfg = jnp.stack([zero, one, sgs[0], zero,
+                         one, one, sgs[1], zero,
+                         one, one, one, zero,
+                         one, one, one, zero])
+    else:
+        cfg = jnp.stack([zero, one, sgs[0], zero,
+                         one, sgs[2], sgs[1], zero])
+    dig, sgn = pl.pallas_call(
+        _tail_paired_kernel(n),
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec((1, 2, 2 * n1p, LANES),
+                         lambda k: (k, _Z0, _Z0, _Z0)),
+            pl.BlockSpec((1, n1p, LANES), lambda k: (k, _Z0, _Z0)),
+            pl.BlockSpec((n1p, LANES), lambda k: (_Z0, _Z0)),
+            pl.BlockSpec((4 * K,), lambda k: (_Z0,),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, n1p, LANES),
+                                lambda k: (k, _Z0, _Z0)),
+                   pl.BlockSpec((1, 8, LANES),
+                                lambda k: (k, _Z0, _Z0))),
+        out_shape=(jax.ShapeDtypeStruct((K, n1p, LANES), jnp.uint32),
+                   jax.ShapeDtypeStruct((K, 8, LANES), jnp.int32)),
+        interpret=interpret,
+    )(inv.reshape(K, 2, 2 * n1p, LANES), caddp.reshape(K, n1p, LANES),
+      rndp.reshape(n1p, LANES), cfg)
+    return dig.reshape(K, n // 2), sgn[:, 0, 0]
+
+
+# ---------------------------------------------------------------------------
 # Per-phase sublane transforms (for four-step sizes beyond MAX_NFFT)
 # ---------------------------------------------------------------------------
 #

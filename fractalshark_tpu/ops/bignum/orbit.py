@@ -156,6 +156,58 @@ def orbit_chunk(sx, x, sy, y, dzdc_x, dzdc_y, dzdc_e,
         # (the recurrence lives on host); state is the 4-digit tuple.
         D = spec.digits
 
+        if SPLIT_XLA_SHADOW and reuse_digits == 0 and \
+                FP.use_paired(spec):
+            # Paired-digit scan: the state rides as PACKED u32 digit
+            # pairs (half the carry-plane width in the fused tail —
+            # the tail was 34.7 of the 89.8 µs iteration); pack/unpack
+            # only at the chunk boundary, shadow rows extracted from
+            # the packed planes (identical [5] values to row0).
+            def row0p(sign, xp_):
+                Dp = xp_.shape[0]
+                hi = xp_ >> 16
+                pidx = jnp.where(xp_ != 0,
+                                 jnp.arange(Dp, dtype=jnp.int32),
+                                 -1).max()
+                pj = jnp.maximum(pidx, 0)
+                top_hi = (jax.lax.dynamic_index_in_dim(
+                    hi, pj, keepdims=False) != 0)
+                idx = jnp.where(pidx < 0, jnp.int32(-1),
+                                2 * pidx + top_hi.astype(jnp.int32))
+                base = jnp.clip(idx - (WINDOW - 1), 0, D - WINDOW)
+                # 3 packed pairs always cover digits [base, base+4);
+                # clamp the pair start so the slice never runs off the
+                # top (offset then lands in {0, 1, 2})
+                bp = jnp.minimum(base // 2, Dp - 3)
+                pr = jax.lax.dynamic_slice(xp_, (bp,), (3,))
+                dig6 = jnp.stack([pr[0] & 0xFFFF, pr[0] >> 16,
+                                  pr[1] & 0xFFFF, pr[1] >> 16,
+                                  pr[2] & 0xFFFF, pr[2] >> 16])
+                win = jax.lax.dynamic_slice(dig6, (base - 2 * bp,),
+                                            (WINDOW,))
+                return jnp.concatenate(
+                    [win.astype(jnp.int32),
+                     base.astype(jnp.int32).reshape(1)])
+
+            cxp = FP.pack_pairs(cx)
+            cyp = FP.pack_pairs(cy)
+
+            def body1p(state, _):
+                sx_, xp_, sy_, yp_ = state
+                row = jnp.concatenate(
+                    [row0p(sx_, xp_), row0p(sy_, yp_),
+                     jnp.stack([sx_, sy_]).astype(jnp.int32)])
+                nsx, nxp, nsy, nyp = FP.iterate_z_paired(
+                    sx_, xp_, sy_, yp_, scx, cxp, scy, cyp, spec)
+                return (nsx, nxp, nsy, nyp), (row,)
+
+            init1p = (sx, FP.pack_pairs(x), sy, FP.pack_pairs(y))
+            state1, out1 = jax.lax.scan(body1p, init1p, None,
+                                        length=steps)
+            nsx, nxp, nsy, nyp = state1
+            return ((nsx, FP.unpack_pairs(nxp, D), nsy,
+                     FP.unpack_pairs(nyp, D)), out1[0].T)
+
         if SPLIT_XLA_SHADOW:
             def body1(state, _):
                 sx_, x_, sy_, y_ = state

@@ -47,6 +47,8 @@ elif cfg == "bksplit":
     _O2.SPLIT_BOOKKEEPING = True
 elif cfg == "btail":
     NP.BATCHED_TAIL = True
+elif cfg == "nopair":
+    FP.PAIRED_ITER = False
 elif cfg == "xlashadow":
     from fractalshark_tpu.ops.bignum import orbit as _O3
     _O3.SPLIT_XLA_SHADOW = True
