@@ -151,13 +151,20 @@ class LAReferenceArrays(LAReferenceHost):
         self.las = _NodeView(arrays)
 
     def device_arrays(self, dtype=np.float32) -> dict:
+        # exponents normalized to i32 at the upload boundary: the
+        # in-place/memmap collect path stores them i64 (the native ABI
+        # width); copy=False keeps already-i32 tables alias-free
         a = self._arrays
+
+        def e32(k):
+            return a[k].astype(np.int32, copy=False)
+
         return {
-            "ref_m": a["ref_m"].astype(dtype), "ref_e": a["ref_e"],
-            "zc_m": a["zc_m"].astype(dtype), "zc_e": a["zc_e"],
-            "cc_m": a["cc_m"].astype(dtype), "cc_e": a["cc_e"],
-            "thr_m": a["thr_m"].astype(dtype), "thr_e": a["thr_e"],
-            "thrc_m": a["thrc_m"].astype(dtype), "thrc_e": a["thrc_e"],
+            "ref_m": a["ref_m"].astype(dtype), "ref_e": e32("ref_e"),
+            "zc_m": a["zc_m"].astype(dtype), "zc_e": e32("zc_e"),
+            "cc_m": a["cc_m"].astype(dtype), "cc_e": e32("cc_e"),
+            "thr_m": a["thr_m"].astype(dtype), "thr_e": e32("thr_e"),
+            "thrc_m": a["thrc_m"].astype(dtype), "thrc_e": e32("thrc_e"),
             "step_length": a["step_length"],
             # int64: stage-0 next indices are orbit positions (up to
             # the period — beyond int32 at View #27 class)
@@ -168,13 +175,52 @@ class LAReferenceArrays(LAReferenceHost):
             "stage_count": self.stage_count,
         }
 
+    def stage_window(self, min_stage: int) -> "LAReferenceArrays":
+        """A table holding only stages ``>= min_stage`` — the
+        HBM-fitting device table for period-billions views.  View #27's
+        full table is 426.6M nodes (~37 GB as device arrays, vs 16 GB
+        HBM); its stage 0 is ~85% of the nodes, and dropping it only
+        moves each pixel's one-time tail handoff earlier by at most one
+        stage-1 macro step (~stage-1 step_length extra streamed tail
+        iterations per pixel — noise against a 5e13 budget).
+
+        The dropped stage's role in the handoff is preserved exactly:
+        the machine hands ``NextStageLAIndex`` of the last unusable
+        lowest-stage node to the tail as an ORBIT POSITION, so the new
+        lowest stage's next-indices (offsets into the dropped stage,
+        ``native/la_build.cpp`` create_new_la_stage) are remapped
+        through the dropped stage's step-length prefix sum to the orbit
+        positions those offsets denote."""
+        if not 0 < min_stage < self.stage_count:
+            if min_stage == 0:
+                return self
+            raise ValueError(f"min_stage {min_stage} out of range "
+                             f"(stage_count {self.stage_count})")
+        a = self._arrays
+        idx = list(self.stage_la_index) + [len(self.las)]
+        base = int(idx[min_stage])
+        new = {k: np.asarray(a[k][base:]) for k in a}
+        # orbit position of stage (min_stage-1) offset j = exclusive
+        # prefix sum of that stage's step lengths
+        lo, hi = int(idx[min_stage - 1]), base
+        steps = np.asarray(a["step_length"][lo:hi], np.int64)
+        pos = np.concatenate([np.zeros(1, np.int64), np.cumsum(steps)])
+        end0 = int(idx[min_stage + 1]) - base
+        nsi = new["next_stage_la_index"].astype(np.int64, copy=True)
+        low = np.clip(nsi[:end0], 0, len(steps))
+        nsi[:end0] = pos[low]
+        new["next_stage_la_index"] = nsi
+        return LAReferenceArrays(
+            new, [int(x) - base for x in self.stage_la_index[min_stage:]],
+            self.stage_macro_it_count[min_stage:],
+            self.stage_count - min_stage, self.at, self.params)
+
 
     # ------------------------------------------------------ persistence
 
-    def save_npz(self, path: str) -> None:
-        """Persist the full node table + stages + AT (the View #27
-        class builds take ~20 min over 28e9 reconstructed orbit points
-        — the render driver must not pay that twice)."""
+    def _meta_kwargs(self) -> dict:
+        """The non-node-array savez payload (stages, params, AT) shared
+        by the single-npz and directory persistence formats."""
         at = self.at
         at_m = np.zeros(10, np.float64)
         at_e = np.zeros(6, np.int64)
@@ -189,35 +235,58 @@ class LAReferenceArrays(LAReferenceHost):
             at_e[:] = [at.threshold_c.e, at.sqr_escape_radius.e,
                        at.ref_c.e, at.zcoeff.e, at.ccoeff.e,
                        at.inv_zcoeff.e]
-        np.savez(path, **self._arrays,
-                 stage_la_index=np.asarray(self.stage_la_index, np.int64),
-                 stage_macro=np.asarray(self.stage_macro_it_count,
-                                        np.int64),
-                 meta=np.asarray([self.stage_count,
-                                  1 if at is not None else 0, at_step,
-                                  self.params.period_divisor,
-                                  self.params.low_bound], np.int64),
-                 at_m=at_m, at_e=at_e)
+        return dict(
+            stage_la_index=np.asarray(self.stage_la_index, np.int64),
+            stage_macro=np.asarray(self.stage_macro_it_count, np.int64),
+            meta=np.asarray([self.stage_count,
+                             1 if at is not None else 0, at_step,
+                             self.params.period_divisor,
+                             self.params.low_bound], np.int64),
+            at_m=at_m, at_e=at_e)
+
+    def save_npz(self, path: str) -> None:
+        """Persist the full node table + stages + AT (the View #27
+        class builds take ~20 min over 28e9 reconstructed orbit points
+        — the render driver must not pay that twice)."""
+        np.savez(path, **self._arrays, **self._meta_kwargs())
 
     @staticmethod
     def load_npz(path: str) -> "LAReferenceArrays":
         z = np.load(path)
         meta = z["meta"]
-        at = None
-        if int(meta[1]):
-            at_m, at_e = z["at_m"], z["at_e"]
-            at = ATInfo(
-                step_length=int(meta[2]),
-                threshold_c=HD(float(at_m[0]), int(at_e[0])),
-                sqr_escape_radius=HD(float(at_m[1]), int(at_e[1])),
-                ref_c=HDC(complex(at_m[2], at_m[3]), int(at_e[2])),
-                zcoeff=HDC(complex(at_m[4], at_m[5]), int(at_e[3])),
-                ccoeff=HDC(complex(at_m[6], at_m[7]), int(at_e[4])),
-                inv_zcoeff=HDC(complex(at_m[8], at_m[9]), int(at_e[5])))
+        at = _at_from(int(meta[1]), int(meta[2]), z["at_m"], z["at_e"])
         arrays = {k: z[k] for k in (
             "ref_m", "ref_e", "zc_m", "zc_e", "cc_m", "cc_e",
             "thr_m", "thr_e", "thrc_m", "thrc_e",
             "step_length", "next_stage_la_index")}
+        p = LAParameters(period_divisor=int(meta[3]),
+                         low_bound=int(meta[4]))
+        return LAReferenceArrays(arrays, z["stage_la_index"],
+                                 z["stage_macro"], int(meta[0]), at, p)
+
+    def save_meta_npz(self, dir_path: str) -> None:
+        """Directory-format persistence, part 2: the node arrays are
+        already on disk as ``la_<key>.npy`` memmaps (written by
+        ``generate_native_rc_streamed(memmap_dir=...)``); this stores
+        the small remainder (stages, params, AT) as ``la_meta.npz``.
+        ``save_npz`` at View #27 scale would write a second 51 GB copy
+        of data that is already persistent."""
+        np.savez(os.path.join(dir_path, "la_meta.npz"),
+                 **self._meta_kwargs())
+
+    @staticmethod
+    def load_dir(dir_path: str) -> "LAReferenceArrays":
+        """Open a directory-format table (``la_<key>.npy`` node arrays
+        + ``la_meta.npz``) with the node arrays READ-ONLY MEMMAPPED —
+        a 51 GB View #27 table opens in milliseconds and only the
+        pages a consumer touches (e.g. ``stage_window`` slices) are
+        ever read."""
+        z = np.load(os.path.join(dir_path, "la_meta.npz"))
+        meta = z["meta"]
+        at = _at_from(int(meta[1]), int(meta[2]), z["at_m"], z["at_e"])
+        arrays = {stem: np.load(os.path.join(dir_path, f"la_{stem}.npy"),
+                                mmap_mode="r")
+                  for stem, _, _ in _NODE_BUFS.values()}
         p = LAParameters(period_divisor=int(meta[3]),
                          low_bound=int(meta[4]))
         return LAReferenceArrays(arrays, z["stage_la_index"],
@@ -251,6 +320,21 @@ class _NodeView:
             next_stage_la_index=int(a["next_stage_la_index"][k]))
 
 
+def _at_from(present: int, step_length: int, at_m, at_e):
+    """Rebuild the ATInfo from its flat (mantissa, exponent) payload —
+    the persistence formats and the native collect all share it."""
+    if not present:
+        return None
+    return ATInfo(
+        step_length=step_length,
+        threshold_c=HD(float(at_m[0]), int(at_e[0])),
+        sqr_escape_radius=HD(float(at_m[1]), int(at_e[1])),
+        ref_c=HDC(complex(at_m[2], at_m[3]), int(at_e[2])),
+        zcoeff=HDC(complex(at_m[4], at_m[5]), int(at_e[3])),
+        ccoeff=HDC(complex(at_m[6], at_m[7]), int(at_e[4])),
+        inv_zcoeff=HDC(complex(at_m[8], at_m[9]), int(at_e[5])))
+
+
 def _dp(a):
     return a.ctypes.data_as(_D)
 
@@ -259,19 +343,47 @@ def _ip(a):
     return a.ctypes.data_as(_I)
 
 
-def _out_bufs(cap: int) -> dict:
-    return dict(
-        ref_m=np.empty((cap, 2), np.float64), ref_e=np.empty(cap, np.int64),
-        zc_m=np.empty((cap, 2), np.float64), zc_e=np.empty(cap, np.int64),
-        cc_m=np.empty((cap, 2), np.float64), cc_e=np.empty(cap, np.int64),
-        thr_m=np.empty(cap, np.float64), thr_e=np.empty(cap, np.int64),
-        thrc_m=np.empty(cap, np.float64), thrc_e=np.empty(cap, np.int64),
-        step_length=np.empty(cap, np.int64),
-        next_idx=np.empty(cap, np.int64),
+# per-node output arrays: buffer key -> (LAReferenceArrays key, dtype,
+# is 2-wide).  The buffer keys match la_marshal's pointer order; the
+# arrays key names the persisted .npy file stem.
+_NODE_BUFS = {
+    "ref_m": ("ref_m", np.float64, True),
+    "ref_e": ("ref_e", np.int64, False),
+    "zc_m": ("zc_m", np.float64, True),
+    "zc_e": ("zc_e", np.int64, False),
+    "cc_m": ("cc_m", np.float64, True),
+    "cc_e": ("cc_e", np.int64, False),
+    "thr_m": ("thr_m", np.float64, False),
+    "thr_e": ("thr_e", np.int64, False),
+    "thrc_m": ("thrc_m", np.float64, False),
+    "thrc_e": ("thrc_e", np.int64, False),
+    "step_length": ("step_length", np.int64, False),
+    "next_idx": ("next_stage_la_index", np.int64, False),
+}
+
+
+def _out_bufs(cap: int, memmap_dir: str | None = None) -> dict:
+    """Marshalling buffers for the native collect call.  With
+    ``memmap_dir`` the twelve per-node arrays are disk-backed
+    ``.npy`` memmaps (named after their LAReferenceArrays keys) —
+    at View #27 scale they total ~51 GB, which alongside the native
+    builder's own ~58 GB table OOM-killed the in-RAM variant."""
+    def alloc(stem, dtype, wide):
+        shape = (cap, 2) if wide else (cap,)
+        if memmap_dir is None:
+            return np.empty(shape, dtype)
+        return np.lib.format.open_memmap(
+            os.path.join(memmap_dir, f"la_{stem}.npy"),
+            mode="w+", dtype=dtype, shape=shape)
+
+    b = {key: alloc(stem, dtype, wide)
+         for key, (stem, dtype, wide) in _NODE_BUFS.items()}
+    b.update(
         stage_idx=np.zeros(1025, np.int64),
         stage_macro=np.zeros(1025, np.int64),
         at_m=np.zeros(10, np.float64), at_e=np.zeros(6, np.int64),
         flags=np.zeros(4, np.int64))
+    return b
 
 
 def _out_ptrs(b: dict) -> tuple:
@@ -283,36 +395,37 @@ def _out_ptrs(b: dict) -> tuple:
             _dp(b["at_m"]), _ip(b["at_e"]), _ip(b["flags"]))
 
 
-def _collect(cnt: int, b: dict, p: LAParameters):
+def _collect(cnt: int, b: dict, p: LAParameters, in_place: bool = False):
+    """``in_place`` keeps the marshalling buffers as the table's arrays
+    (sliced views, i64 exponents) instead of compacting copies — the
+    memmap path at View #27 scale cannot afford a second 51 GB set.
+    Every consumer (``_pack_nodes``, ``_NodeView``, ``device_arrays``)
+    converts exponents with ``astype(int32)`` at use, so the wider
+    dtype is interface-neutral."""
     flags = b["flags"]
     if cnt <= 0 or flags[0] == 0:
         return None
     at_m, at_e = b["at_m"], b["at_e"]
     stage_count = int(flags[3])
-    at = None
-    if flags[1]:
-        at = ATInfo(
-            step_length=int(flags[2]),
-            threshold_c=HD(float(at_m[0]), int(at_e[0])),
-            sqr_escape_radius=HD(float(at_m[1]), int(at_e[1])),
-            ref_c=HDC(complex(at_m[2], at_m[3]), int(at_e[2])),
-            zcoeff=HDC(complex(at_m[4], at_m[5]), int(at_e[3])),
-            ccoeff=HDC(complex(at_m[6], at_m[7]), int(at_e[4])),
-            inv_zcoeff=HDC(complex(at_m[8], at_m[9]), int(at_e[5])))
-    arrays = {
-        "ref_m": b["ref_m"][:cnt].copy(),
-        "ref_e": b["ref_e"][:cnt].astype(np.int32),
-        "zc_m": b["zc_m"][:cnt].copy(),
-        "zc_e": b["zc_e"][:cnt].astype(np.int32),
-        "cc_m": b["cc_m"][:cnt].copy(),
-        "cc_e": b["cc_e"][:cnt].astype(np.int32),
-        "thr_m": b["thr_m"][:cnt].copy(),
-        "thr_e": b["thr_e"][:cnt].astype(np.int32),
-        "thrc_m": b["thrc_m"][:cnt].copy(),
-        "thrc_e": b["thrc_e"][:cnt].astype(np.int32),
-        "step_length": b["step_length"][:cnt].copy(),
-        "next_stage_la_index": b["next_idx"][:cnt].copy(),
-    }
+    at = _at_from(int(flags[1]), int(flags[2]), at_m, at_e)
+    if in_place:
+        arrays = {stem: b[key][:cnt]
+                  for key, (stem, _, _) in _NODE_BUFS.items()}
+    else:
+        arrays = {
+            "ref_m": b["ref_m"][:cnt].copy(),
+            "ref_e": b["ref_e"][:cnt].astype(np.int32),
+            "zc_m": b["zc_m"][:cnt].copy(),
+            "zc_e": b["zc_e"][:cnt].astype(np.int32),
+            "cc_m": b["cc_m"][:cnt].copy(),
+            "cc_e": b["cc_e"][:cnt].astype(np.int32),
+            "thr_m": b["thr_m"][:cnt].copy(),
+            "thr_e": b["thr_e"][:cnt].astype(np.int32),
+            "thrc_m": b["thrc_m"][:cnt].copy(),
+            "thrc_e": b["thrc_e"][:cnt].astype(np.int32),
+            "step_length": b["step_length"][:cnt].copy(),
+            "next_stage_la_index": b["next_idx"][:cnt].copy(),
+        }
     return LAReferenceArrays(arrays, b["stage_idx"][:stage_count],
                              b["stage_macro"][:stage_count], stage_count,
                              at, p)
@@ -401,7 +514,8 @@ def generate_native_rc(compressed, radius_hd: HD,
 
 def generate_native_rc_streamed(compressed, radius_hd: HD,
                                 params: LAParameters | None = None,
-                                sub_is_f32: bool = True):
+                                sub_is_f32: bool = True,
+                                memmap_dir: str | None = None):
     """Two-call-protocol variant of :func:`generate_native_rc`: the
     native builder runs to completion first, reports the EXACT node
     count, and only then are output buffers allocated (sized to fit by
@@ -412,7 +526,15 @@ def generate_native_rc_streamed(compressed, radius_hd: HD,
 
     Set ``FS_LA_PROGRESS=<path>`` to stream one JSON line per ~2^28
     consumed orbit entries (live node-density monitoring for
-    hour-scale builds).
+    hour-scale builds).  Set ``FS_LA_RESERVE=<count>`` (node count,
+    known from a prior counting run) to pre-size the native vector.
+
+    With ``memmap_dir`` the node arrays are marshalled straight into
+    disk-backed ``la_<key>.npy`` memmaps in that directory (and the
+    returned table's arrays ARE those memmaps): persistence happens as
+    a side effect of collection, with no second in-RAM copy — pair
+    with :meth:`LAReferenceArrays.save_meta_npz` +
+    :meth:`LAReferenceArrays.load_dir`.
 
     Returns ``(la, info)``: ``la`` is the :class:`LAReferenceArrays`
     (or None on failure) and ``info`` always carries the diagnostic
@@ -445,11 +567,15 @@ def generate_native_rc_streamed(compressed, radius_hd: HD,
         if stages > 1025:
             info["error"] = "stage table overflow (>1025 entries)"
             return None, info
-        b = _out_bufs(max(n, 1))
+        b = _out_bufs(max(n, 1), memmap_dir)
         rad = radius_hd.reduce()
         cnt = lib.fs_la_collect(h, float(rad.m), int(rad.e),
                                 1 if sub_is_f32 else 0, *_out_ptrs(b))
         info["cnt"] = int(cnt)
-        return _collect(cnt, b, p), info
+        la = _collect(cnt, b, p, in_place=memmap_dir is not None)
+        if memmap_dir is not None:
+            for key in _NODE_BUFS:
+                b[key].flush()
+        return la, info
     finally:
         lib.fs_la_free(h)

@@ -918,6 +918,16 @@ bool la_build_run(Builder &b)
     const char *prog_env = std::getenv("FS_LA_PROGRESS");
     if (prog_env && !b.prog) b.prog = fopen(prog_env, "w");
 
+    // FS_LA_RESERVE: expected node count — pre-sizes the node vector so
+    // push_back never doubles.  At View #27 scale (426.6M nodes x 136 B
+    // = 58 GB) an unreserved growth spike transiently holds 1.5x the
+    // table and OOM-killed a finished build on a 125 GB box.
+    const char *rs_env = std::getenv("FS_LA_RESERVE");
+    if (rs_env) {
+        int64_t rs = std::atoll(rs_env);
+        if (rs > 0) b.las.reserve((size_t)rs);
+    }
+
     // MT threshold mirrors the reference's 50k-iterations-per-thread
     // scaling (LAReference.cpp:239); FS_LA_MT forces a count (tests)
     int64_t n_threads = b.max_ref / 50000;

@@ -101,3 +101,87 @@ def test_mini_view27_pipeline(mini):
     np.testing.assert_array_equal(two, full)
     o = two.astype(np.int64)
     assert o.max() >= 2 * ORBIT_LEN  # budget really wrapped the orbit
+
+
+def test_memmap_dir_build_and_stage_window(mini):
+    """The View #27-scale build path: marshalling into disk-backed
+    memmaps (generate_native_rc_streamed(memmap_dir=...)) must be
+    value-identical to the in-RAM build; the directory format must
+    round-trip; and a stage_window(1) table (the HBM-fitting device
+    table — the full 426M-node View #27 table is ~37 GB vs 16 GB HBM)
+    must produce the same two-phase render as the full table."""
+    from fractalshark_tpu.engine.native_la import LAReferenceArrays
+    from fractalshark_tpu.engine.renderers import two_phase_render
+
+    ptz, res_t, comp, tmp = mini
+    params = LAParameters(period_divisor=8, low_bound=1)
+    rad = HD.from_hp(res_t.max_radius)
+    ram = NL.generate_native_rc(comp, rad, params=params)
+
+    d = tmp / "la_dir"
+    d.mkdir()
+    mm, info = NL.generate_native_rc_streamed(comp, rad, params=params,
+                                              memmap_dir=str(d))
+    assert mm is not None and info["cnt"] == len(ram.las)
+    for k, v in ram._arrays.items():
+        np.testing.assert_array_equal(v, mm._arrays[k], err_msg=k)
+    assert isinstance(mm._arrays["ref_m"].base, np.memmap)
+
+    # directory round trip (view27_la -> view27_render handoff, dir form)
+    mm.save_meta_npz(str(d))
+    ld = LAReferenceArrays.load_dir(str(d))
+    for k, v in ram._arrays.items():
+        np.testing.assert_array_equal(v, ld._arrays[k], err_msg=k)
+    assert ld.stage_la_index == ram.stage_la_index
+    assert ld.stage_macro_it_count == ram.stage_macro_it_count
+    assert ld.stage_count == ram.stage_count
+    assert ld.use_at == ram.use_at
+    if ram.use_at:
+        assert ld.at.step_length == ram.at.step_length
+
+    assert ram.stage_count >= 2  # the window test needs a stage to drop
+    win = ld.stage_window(1)
+    assert win.stage_count == ram.stage_count - 1
+    assert len(win.las) == len(ram.las) - ram.stage_la_index[1]
+
+    # EXACT remap property: a stage-0 node's own next_stage_la_index
+    # IS its orbit start position (la_build.cpp stage-0 walk records
+    # the previous detection point at each push), and each stage tiles
+    # its period contiguously from 0 — so the step-length prefix sum
+    # the remap uses must reproduce those recorded positions for every
+    # LIVE node (terminal marker nodes are never stepped)
+    s0 = np.asarray(ram._arrays["step_length"][:ram.stage_la_index[1]],
+                    np.int64)
+    pos = np.concatenate([np.zeros(1, np.int64), np.cumsum(s0)])
+    nsi_orig = np.asarray(
+        ram._arrays["next_stage_la_index"][:ram.stage_la_index[1]])
+    live0 = ram.stage_macro_it_count[0]
+    np.testing.assert_array_equal(pos[:live0], nsi_orig[:live0])
+    # and the windowed lowest stage's remapped next-indices are exactly
+    # the dropped stage's node positions at the recorded offsets
+    end0 = (win.stage_la_index[1] if win.stage_count > 1
+            else len(win.las))
+    nsi_old = np.asarray(
+        ram._arrays["next_stage_la_index"][ram.stage_la_index[1]:
+                                           ram.stage_la_index[1] + end0],
+        np.int64)
+    nsi_new = np.asarray(win._arrays["next_stage_la_index"][:end0])
+    np.testing.assert_array_equal(nsi_new, pos[nsi_old])
+
+    # render comparison: the window moves each pixel's one-time tail
+    # handoff earlier (micro-steps where the full table macro-stepped),
+    # so the f32 rounding PATH differs — chaotic boundary pixels may
+    # legitimately land on different dwell counts (the same inherent
+    # sensitivity as LA-vs-direct; reference renders accept it too).
+    # Interior/most pixels must agree exactly.
+    virt = VirtualResults.from_compressed(comp, res_t.center_x,
+                                          res_t.center_y)
+    full = np.asarray(two_phase_render(virt, ld, ptz, SIZE, SIZE,
+                                       BUDGET, comp=comp, interpret=True))
+    wout = np.asarray(two_phase_render(virt, win, ptz, SIZE, SIZE,
+                                       BUDGET, comp=comp, interpret=True))
+    same = wout == full
+    assert same.mean() > 0.7, f"only {same.mean():.0%} pixels identical"
+    assert np.median(np.abs(wout.astype(np.int64)
+                            - full.astype(np.int64))) == 0
+    assert wout.min() > 0

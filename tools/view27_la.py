@@ -7,14 +7,20 @@ table THROUGH the native streaming reconstructing accessor
 The reference's hardest-render class needs exactly this step for
 full-frame LAv2 (Notes/FractalShark-06-RefOrbit.tex:740-747).
 
-Env overrides (all four should point under a persistent dir, e.g.
+Env overrides (all of them should point under a persistent dir, e.g.
 <repo>/.v27cache/ — /tmp does not survive machine re-provisioning):
   V27_CK      orbit checkpoint store prefix (default /tmp/view27_orbit)
   V27_OUT     progress json INPUT from run_view27.py
               (default /tmp/view27_progress.json)
   V27_LA_OUT  this tool's status-json output (default /tmp/view27_la.json)
-  V27_LA_NPZ  the LA table, persisted as ONE npz via save_npz
-              (default /tmp/view27_la.npz)
+  V27_LA_DIR  the LA table output DIRECTORY: node arrays marshalled
+              straight into la_<key>.npy memmaps + la_meta.npz
+              (default /tmp/view27_la_dir).  The full table is ~51 GB /
+              426.6M nodes; the directory format writes it exactly once
+              and the render memmaps it back — an in-RAM marshal + npz
+              copy OOM-killed a finished build on a 125 GB box.
+  FS_LA_RESERVE is set to the known node count (+slack) below so the
+  native node vector never pays a growth spike.
 """
 
 import json
@@ -26,7 +32,10 @@ import numpy as np
 OUT = os.environ.get("V27_LA_OUT", "/tmp/view27_la.json")
 CK = os.environ.get("V27_CK", "/tmp/view27_orbit")
 PROG = os.environ.get("V27_OUT", "/tmp/view27_progress.json")
-NPZ = os.environ.get("V27_LA_NPZ", "/tmp/view27_la.npz")
+LA_DIR = os.environ.get("V27_LA_DIR", "/tmp/view27_la_dir")
+# counted by the 2026-08-20 full pass (la_progress.txt: 426,635,659
+# nodes); the build is deterministic, slack covers only param drift
+os.environ.setdefault("FS_LA_RESERVE", "440000000")
 
 from fractalshark_tpu.core.hdr_host import HD                  # noqa: E402
 from fractalshark_tpu.core.precision import precision_from_view  # noqa: E402
@@ -74,8 +83,11 @@ params = LAParameters(period_divisor=8, low_bound=1)
 # two-call protocol: builds first, sizes buffers to the exact node
 # count — no cap guessing.  FS_LA_PROGRESS (set by the launcher) gives
 # a live node-density stream for this hour-scale 28.3e9-entry pass.
+# Marshalling lands directly in V27_LA_DIR's disk-backed memmaps.
+os.makedirs(LA_DIR, exist_ok=True)
 t0 = time.perf_counter()
-la, la_info = NL.generate_native_rc_streamed(comp, rad, params=params)
+la, la_info = NL.generate_native_rc_streamed(comp, rad, params=params,
+                                             memmap_dir=LA_DIR)
 state["build_s"] = round(time.perf_counter() - t0, 1)
 state["la_info"] = la_info
 save()
@@ -91,7 +103,7 @@ state.update(phase="save", la_valid=bool(la.is_valid),
              stage_macro=[int(x) for x in la.stage_macro_it_count],
              use_at=bool(la.use_at))
 save()
-la.save_npz(NPZ)
+la.save_meta_npz(LA_DIR)
 state["phase"] = "done"
 save()
 print(json.dumps(state))
