@@ -260,13 +260,20 @@ def _handoff_init(ref_iter, it, n):
 def two_phase_render(results, la, ptz, w, h, n, *, comp=None,
                      abort_monitor=None, interpret=False,
                      pad_orbit_to=None, pad_nodes_to=None,
-                     pad_stages_to=None, pad_anchors_to=None):
+                     pad_stages_to=None, pad_anchors_to=None,
+                     release_la_tables=False):
     """Fractal-independent two-phase LAv2 deep render: the XLA LA
     machine to tail entry, per-pixel jwait handoff, then the RC
     streaming tail.  The `pad_*` buckets make every compiled
     executable's identity independent of the live orbit/LA sizes so the
     whole render can be pre-compiled before the orbit exists
-    (engine/prewarm.py) and reused across same-bucket views."""
+    (engine/prewarm.py) and reused across same-bucket views.
+
+    ``release_la_tables`` drops the LA table's generation-keyed device
+    cache between the phases: at View #27 scale the stage-windowed node
+    tables (~5-6 GB) and the anchor store (~8.7 GB) cannot coexist in
+    16 GB HBM alongside render state — and a one-shot endurance frame
+    has no warm next frame to keep the cache for."""
     import jax.numpy as jnp
 
     from fractalshark_tpu.engine.perturbation_results import \
@@ -292,6 +299,13 @@ def two_phase_render(results, la, ptz, w, h, n, *, comp=None,
     it64, jwait, done = _handoff_init(ref_iter, it, np.int64(n))
     init = {"dzr": dzr, "dzi": dzi, "dze": dze, "it": it64,
             "jwait": jwait, "done": done}
+    if release_la_tables:
+        # the handoff tensors above are the only live phase-1 outputs;
+        # block on them, then free the node/orbit device tables
+        jax.block_until_ready(it64)
+        cache = getattr(la, "_packed_cache", None)
+        if cache is not None:
+            cache.clear()
     return perturb_render_stream_rc(
         comp, results.center_x, results.center_y, ptz, w, h,
         n, init_state=init, abort_monitor=abort_monitor,

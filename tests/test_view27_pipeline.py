@@ -178,8 +178,12 @@ def test_memmap_dir_build_and_stage_window(mini):
                                           res_t.center_y)
     full = np.asarray(two_phase_render(virt, ld, ptz, SIZE, SIZE,
                                        BUDGET, comp=comp, interpret=True))
+    # release_la_tables: the real View #27 drop-tables-between-phases
+    # path (node tables + anchors can't coexist in HBM at full scale)
     wout = np.asarray(two_phase_render(virt, win, ptz, SIZE, SIZE,
-                                       BUDGET, comp=comp, interpret=True))
+                                       BUDGET, comp=comp, interpret=True,
+                                       release_la_tables=True))
+    assert not getattr(win, "_packed_cache", {})  # tables were dropped
     same = wout == full
     assert same.mean() > 0.7, f"only {same.mean():.0%} pixels identical"
     assert np.median(np.abs(wout.astype(np.int64)
