@@ -129,12 +129,12 @@ def prewarm_two_phase(ptz, width: int, height: int, max_iter: int,
             jnp.int32(res.max_ref_iteration()), jnp.int32(0),
             jnp.int32(0))
     ladder1 = lk.chunk_ladder(lk.default_chunk_steps(width, height))
-    state, _ = lk._lav2_impl(*args, max_iter=int(max_iter),
-                             la_only=True, chunk_steps=ladder1[0])
+    state, _, _ = lk._lav2_impl(*args, max_iter=int(max_iter),
+                                la_only=True, chunk_steps=ladder1[0])
     for rung in ladder1[1:]:
-        state, _ = lk._lav2_impl(*args, max_iter=int(max_iter),
-                                 la_only=True, chunk_steps=rung,
-                                 resume_state=state)
+        state, _, _ = lk._lav2_impl(*args, max_iter=int(max_iter),
+                                    la_only=True, chunk_steps=rung,
+                                    resume_state=state)
     say(f"phase-1 rungs {ladder1}")
 
     # ---- phase-2 ladder rungs 1..: handcrafted resume states ---------

@@ -346,9 +346,15 @@ def _lav2_impl(orbit_packed, dc_re, dc_im, dc_e,
         k, inner = st
         return k + 1, body_inner(inner)
 
-    _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), init_state))
+    k_fin, out = jax.lax.while_loop(cond, body,
+                                    (jnp.int32(0), init_state))
     all_done = jnp.min(out[-1].astype(jnp.int32)) > 0
-    return out, all_done
+    return out, all_done, k_fin
+
+
+# written by la_perturb_render after every render (module-level on
+# purpose: the hot-path return signature stays state-only)
+last_run_stats: dict = {}
 
 
 def default_chunk_steps(width: int, height: int) -> int:
@@ -474,11 +480,17 @@ def la_perturb_render(results, la, ptz: PointZoomBBConverter,
     # through the tunnel) stop dominating the frame.
     ladder = chunk_ladder(chunk_steps)
     rung = 0
+    dispatches = 1
+    full_steps = 0
     t0 = time.perf_counter()
-    state, all_done = _lav2_impl(*args, **kw)
+    state, all_done, k_fin = _lav2_impl(*args, **kw)
     while not bool(all_done):
         if abort_monitor is not None and abort_monitor.aborted():
             break
+        # a non-final dispatch ran its FULL chunk budget (cond stops at
+        # k == chunk_steps), so steps are known host-side — only the
+        # final partial count needs its k_fin readback (below, once)
+        full_steps += int(kw["chunk_steps"])
         dt = time.perf_counter() - t0
         if dt < 0.8 and rung < len(ladder) - 1:
             rung += 1
@@ -486,7 +498,14 @@ def la_perturb_render(results, la, ptz: PointZoomBBConverter,
             rung -= 1
         kw["chunk_steps"] = int(ladder[rung])
         t0 = time.perf_counter()
-        state, all_done = _lav2_impl(*args, **kw, resume_state=state)
+        state, all_done, k_fin = _lav2_impl(*args, **kw,
+                                            resume_state=state)
+        dispatches += 1
+    # perf forensics for drivers/benches: lockstep body steps are the
+    # whole phase-1 cost model (one packed gather each), so the step
+    # count IS the workload (DESIGN ch.17)
+    last_run_stats["body_steps"] = full_steps + int(k_fin)
+    last_run_stats["dispatches"] = dispatches
     if return_state:
         return state
     iters = state[6]
