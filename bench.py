@@ -90,6 +90,32 @@ def _headline(extra):
         dt1 = (time.perf_counter() - t0) / n_rep
         extra["single_frame_wall_s"] = round(dt1, 4)
         extra["single_frame_mpix_s"] = round(size * size / dt1 / 1e6, 2)
+        # poster-resolution single frame: at 4096² the fixed ~29 ms
+        # tunnel round trip alone caps wall throughput at ~580 Mpix/s
+        # regardless of chip speed; a 12288² frame (151 Mpix, 576 MB
+        # iter grid) amortizes the dispatch so ONE frame's wall-clock
+        # shows the real ≥1 Gpix/s shallow-view rate (BASELINE.md)
+        try:
+            size_p = 12288
+            pp = escape.PlainParams.from_view(
+                v.ptz.square_aspect_ratio(size_p, size_p), size_p, size_p)
+
+            def run_poster():
+                out = escape.escape_pallas(pp, size_p, size_p, max_iter,
+                                           dtype=jnp.float32,
+                                           tile_h=64, tile_w=256)
+                return int(np.asarray(out[-1, -1]))
+            run_poster()
+            t0 = time.perf_counter()
+            for _ in range(n_rep):
+                run_poster()
+            dtp = (time.perf_counter() - t0) / n_rep
+            extra["single_frame_poster_size"] = size_p
+            extra["single_frame_poster_wall_s"] = round(dtp, 4)
+            extra["single_frame_poster_mpix_s"] = round(
+                size_p * size_p / dtp / 1e6, 2)
+        except Exception as e:  # noqa: BLE001
+            extra["single_frame_poster_error"] = repr(e)[:160]
     return {
         "metric": (f"escape_f32_view0_zoomseq{n_frames}_"
                    f"{size}x{size}_{max_iter}it"),
@@ -240,6 +266,19 @@ def _deep_la(extra, size=None, prefix="deep"):
     extra[f"{prefix}_la_render_s"] = round(dt, 3)
     extra[f"{prefix}_la_mpix_s"] = round(size * size / dt / 1e6, 3)
     extra[f"{prefix}_iter_sum"] = int(o.astype(np.int64).sum())
+
+    if prefix == "deep" and on_tpu and hasattr(la, "stage_window") \
+            and la.stage_count > 2:
+        # the device_stage_window=2 perf preset (engine/la_reference
+        # LAParameters): phase-1 table windowed, stragglers finish in
+        # the tail — measured 3.61 → 2.39 s phase-1 at 512² (ab_la_depth)
+        la = la.stage_window(2)
+        o2 = run()
+        t0 = time.perf_counter()
+        o2 = run()
+        dt = time.perf_counter() - t0
+        extra["deep_la_win2_render_s"] = round(dt, 3)
+        extra["deep_la_win2_iter_sum"] = int(o2.astype(np.int64).sum())
 
 
 def _ntt(extra):
@@ -418,6 +457,32 @@ def _view32_record(extra):
     extra["view32_iter_sum"] = rec["iter_sum"]
 
 
+def _view27_record(extra):
+    """Recorded View #27 endurance result (data/records.json): the
+    reference's hardest known render class — period ~28.3e9 orbit with
+    on-the-fly compression, 426M-node deep LA table built through
+    streaming reconstruction, full frame at the preset's deep budget
+    via the gather RC tail (reference: ~6 h on 4090+5950X,
+    Notes/FractalShark-06-RefOrbit.tex:740-747)."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "data", "records.json")
+    with open(path) as f:
+        rec = json.load(f).get("view27_e2e")
+    if not rec:
+        return
+    extra["view27_e2e_recorded_s"] = rec["total_s"]
+    extra["view27_orbit_s"] = rec["orbit_s"]
+    extra["view27_la_build_s"] = rec["la_build_s"]
+    extra["view27_render_s"] = rec["render_s"]
+    extra["view27_period"] = rec["period"]
+    extra["view27_n_anchors"] = rec["n_anchors"]
+    extra["view27_la_nodes"] = rec["la_nodes"]
+    extra["view27_iter_sum"] = rec["iter_sum"]
+    extra["view27_size"] = rec["size"]
+    extra["view27_budget"] = rec["budget"]
+
+
 def _view30_projection(extra):
     """Live-session View #30 e2e projection: today's measured
     production-loop rate x the known period, plus the recorded LA/render
@@ -576,7 +641,8 @@ def main() -> int:
     # remaining budget and ordered cheapest-first so ntt32768 (longest,
     # least reliable remote compile) is always the first to drop.
     core = [("view30_record", _view30_record),
-            ("view32_record", _view32_record), ("native", _native),
+            ("view32_record", _view32_record),
+            ("view27_record", _view27_record), ("native", _native),
             ("ntt", _ntt), ("orbit_session", _orbit_session),
             ("deep_la", _deep_la)]
     optional = [("perturb/la", _perturb_and_la),

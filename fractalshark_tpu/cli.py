@@ -47,6 +47,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Basic|Default|Patriotic|Summer|Random")
     p.add_argument("--palette-depth", type=int, default=8)
     p.add_argument("--compression-error-exp-low", type=int, default=None)
+    p.add_argument("--la-preset", default=None,
+                   choices=["max-accuracy", "max-perf", "min-memory"],
+                   help="LA table tuning preset (LAParameters.h:11)")
+    p.add_argument("--la-stage-window", type=int, default=None,
+                   metavar="K",
+                   help="drop the K finest LA stages from the device "
+                        "table; straggler pixels finish in the "
+                        "streaming tail (deep-render perf lever)")
     p.add_argument("--perturbation-alg", default="Auto",
                    choices=["Auto", "ST", "MT", "Native", "GPU", "TPU"],
                    help="reference-orbit backend (reference flag parity: "
@@ -196,6 +204,15 @@ def main(argv=None, orbit_calc=None) -> int:
                 compression_error_exp=(
                     args.compression_error_exp_low
                     if args.compression_error_exp_low is not None else 20))
+    if args.la_preset is not None or args.la_stage_window is not None:
+        from fractalshark_tpu.engine.la_reference import LAParameters
+        base = {"max-accuracy": LAParameters.max_accuracy,
+                "max-perf": LAParameters.max_perf,
+                "min-memory": LAParameters.min_memory}[
+                    args.la_preset or "max-accuracy"]()
+        if args.la_stage_window is not None:
+            base.device_stage_window = args.la_stage_window
+        f.la_parameters = base
     if orbit_calc is not None:
         # server mode: all requests share one RefOrbitCalc so a repeat
         # view is an orbit-cache hit, not a recompute
@@ -322,6 +339,13 @@ def main(argv=None, orbit_calc=None) -> int:
             description="fractalshark-tpu")
         with open(args.save_location, "a") as fh:
             fh.write(serialize(loc) + "\n")
+
+    # a daemon prewarm thread killed mid-remote-compile at interpreter
+    # exit aborts from inside the runtime's C++; wait for any in-flight
+    # compile (only blocks when the render used a different executable
+    # bucket than the prewarm, e.g. --la-stage-window)
+    from fractalshark_tpu.engine import prewarm
+    prewarm.join_all()
     return 0
 
 

@@ -57,6 +57,7 @@ class Fractal:
         # optional AbortMonitor: chunked kernels poll it between
         # bounded dispatches (AbortMonitor.h:7-35 semantics)
         self.abort_monitor = None
+        self.la_parameters = None  # None = LAParameters defaults
         self.palette = FractalPalette()
         self.backend = backend or jax.default_backend()
         self.algorithm_name = algorithm

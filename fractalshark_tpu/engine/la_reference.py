@@ -54,6 +54,19 @@ class LAParameters:
     # (10^15-iteration budgets = tens of thousands of wraps/pixel) needs
     # low_bound=1; see tools/view27_la.py and docs/DESIGN.md.
     low_bound: int = LOW_BOUND
+    # TPU-native perf lever with no reference analogue: drop the k
+    # finest LA stages from the DEVICE table (LAReferenceHost
+    # .stage_window — the same mechanism that caps the View #27 table
+    # to HBM).  Pixels that would have descended into the dropped
+    # stages take their micro-iterations in the streaming RC tail,
+    # which amortizes lockstep steps across all pixels instead of
+    # paying one packed HBM gather per pixel per step.  Measured on the
+    # View #6 512² deep render (tools/ab_la_depth.py, warm,
+    # alternating reps): phase-1 3.61 s → 2.39 s at k=2 with the tail
+    # flat; iteration counts shift by ~1.6e-7 relative (same class of
+    # change as the reference's MaxPerf threshold rescale,
+    # LAParameters.cpp:266-272).  0 = off.
+    device_stage_window: int = 0
 
     @staticmethod
     def max_accuracy() -> "LAParameters":
@@ -579,13 +592,28 @@ class LAReferenceHost:
 
 def get_or_build_la(fractal, results) -> LAReferenceHost | None:
     """Cache the LA table on the PerturbationResults it belongs to
-    (the reference stores m_LaReference inside PerturbationResults)."""
+    (the reference stores m_LaReference inside PerturbationResults).
+
+    ``fractal.la_parameters`` (None = defaults) selects the build
+    params; ``device_stage_window`` additionally windows the cached
+    full table for the device (windowed table cached separately so
+    repeated frames don't re-remap)."""
+    params = getattr(fractal, "la_parameters", None) or LAParameters()
     la = results.extra.get("la_reference")
     if la is None:
-        params = LAParameters()
         la = LAReferenceHost.generate_auto(
             results.orbit_x, results.orbit_y,
             HD.from_hp(results.max_radius), params=params,
             orbit_e=results.orbit_e)
         results.extra["la_reference"] = la
-    return la if la.is_valid else None
+    if not la.is_valid:
+        return None
+    k = int(params.device_stage_window or 0)
+    if k > 0 and la.stage_count > k and hasattr(la, "stage_window"):
+        key = ("la_reference_win", k)
+        win = results.extra.get(key)
+        if win is None:
+            win = la.stage_window(k)
+            results.extra[key] = win
+        return win
+    return la

@@ -28,6 +28,7 @@ differs — so each warm call costs one compile + one ~ms launch.
 from __future__ import annotations
 
 import threading
+import time
 
 import numpy as np
 
@@ -201,6 +202,23 @@ class _DummyLA:
 
 _PREWARMED: set = set()
 _PREWARM_LOCK = threading.Lock()
+_LIVE_THREADS: list = []
+
+
+def join_all(timeout: float | None = None) -> bool:
+    """Join in-flight prewarm threads (True = all finished).  Call
+    before process exit: a daemon thread killed mid-remote-compile
+    aborts the interpreter from inside the runtime's C++ ("FATAL:
+    exception not rethrown") — observed when a render used a different
+    executable bucket than the one prewarm was still compiling."""
+    deadline = None if timeout is None else time.monotonic() + timeout
+    with _PREWARM_LOCK:
+        threads = [t for t in _LIVE_THREADS if t.is_alive()]
+        _LIVE_THREADS[:] = threads
+    for t in threads:
+        t.join(None if deadline is None
+               else max(0.0, deadline - time.monotonic()))
+    return not any(t.is_alive() for t in threads)
 
 
 def prewarm_once(ptz, width: int, height: int, max_iter: int,
@@ -236,5 +254,7 @@ def start_prewarm_thread(ptz, width: int, height: int, max_iter: int,
                 log(f"prewarm: FAILED {e!r}")
 
     t = threading.Thread(target=run, name="fs-prewarm", daemon=True)
+    with _PREWARM_LOCK:
+        _LIVE_THREADS.append(t)
     t.start()
     return t

@@ -257,17 +257,33 @@ def _handoff_init(ref_iter, it, n):
             (it64 >= n).astype(jnp.int32))
 
 
+# a sweep-tail pass costs O(total_count) lockstep steps (the serial
+# reconstruction cursor visits every orbit position); beyond this
+# length the gather tail (O(per-pixel work), ops/rc_tail.py) wins even
+# though each of its steps pays an HBM anchor gather.  View #30's
+# period 669,773 stays comfortably on the sweep side; View #27's
+# 28.3e9 (hours per sweep pass) routes to the gather.
+_GATHER_TAIL_MIN_ORBIT = 64_000_000
+
+
 def two_phase_render(results, la, ptz, w, h, n, *, comp=None,
                      abort_monitor=None, interpret=False,
                      pad_orbit_to=None, pad_nodes_to=None,
                      pad_stages_to=None, pad_anchors_to=None,
-                     release_la_tables=False):
+                     release_la_tables=False, tail="auto"):
     """Fractal-independent two-phase LAv2 deep render: the XLA LA
     machine to tail entry, per-pixel jwait handoff, then the RC
     streaming tail.  The `pad_*` buckets make every compiled
     executable's identity independent of the live orbit/LA sizes so the
     whole render can be pre-compiled before the orbit exists
     (engine/prewarm.py) and reused across same-bucket views.
+
+    ``tail`` selects the phase-2 kernel: "sweep" = the lockstep
+    streaming RC kernel (ops/perturb_stream.py), "gather" = the
+    per-pixel gather state machine (ops/rc_tail.py), "auto" = gather
+    once the orbit length makes a sweep pass intractable
+    (>= _GATHER_TAIL_MIN_ORBIT positions; env override
+    FRACTALSHARK_RC_TAIL).
 
     ``release_la_tables`` drops the LA table's generation-keyed device
     cache between the phases: at View #27 scale the stage-windowed node
@@ -306,6 +322,17 @@ def two_phase_render(results, la, ptz, w, h, n, *, comp=None,
         cache = getattr(la, "_packed_cache", None)
         if cache is not None:
             cache.clear()
+    import os
+    tail = os.environ.get("FRACTALSHARK_RC_TAIL", tail)
+    if tail == "auto":
+        tail = ("gather"
+                if int(comp.total_count) >= _GATHER_TAIL_MIN_ORBIT
+                and not interpret else "sweep")
+    if tail == "gather":
+        from fractalshark_tpu.ops.rc_tail import rc_tail_gather
+        return rc_tail_gather(
+            comp, results.center_x, results.center_y, ptz, w, h, n,
+            init_state=init, abort_monitor=abort_monitor)
     return perturb_render_stream_rc(
         comp, results.center_x, results.center_y, ptz, w, h,
         n, init_state=init, abort_monitor=abort_monitor,

@@ -361,3 +361,36 @@ def test_la_wide_path_bit_identical(deep_view):
         res, la, ptz, 32, 32, 3000, sub_dtype=np.float32,
         force_wide=True))
     np.testing.assert_array_equal(a.astype(np.int64), b.astype(np.int64))
+
+
+def test_device_stage_window_parameter():
+    """fractal.la_parameters.device_stage_window windows the device
+    table through get_or_build_la (the TPU-native MaxPerf lever) and
+    caches full + windowed tables separately."""
+    from fractalshark_tpu.engine import native_la
+    from fractalshark_tpu.engine.la_reference import get_or_build_la
+    if not native_la.available():
+        pytest.skip("native builder required for stage_window")
+
+    ptz = PointZoomBBConverter(
+        pt_x="-0.743643887037158704752191506114774",
+        pt_y="0.131825904205311970493132056385139",
+        zoom_factor="1e13", prec=512).square_aspect_ratio(16, 16)
+    calc = RefOrbitCalc()
+    res = calc.get_and_create_useful_results(ptz, 60_000)
+
+    class _F:
+        la_parameters = None
+    full = get_or_build_la(_F(), res)
+    assert full is not None and full.stage_count > 1
+
+    class _FW:
+        la_parameters = LAParameters(device_stage_window=1)
+    win = get_or_build_la(_FW(), res)
+    ref = full.stage_window(1)
+    assert win.stage_count == ref.stage_count == full.stage_count - 1
+    assert len(win.las) == len(ref.las) < len(full.las)
+    np.testing.assert_array_equal(win.las, ref.las)
+    # cached: second call returns the same object, full table untouched
+    assert get_or_build_la(_FW(), res) is win
+    assert get_or_build_la(_F(), res) is full

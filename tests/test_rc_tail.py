@@ -108,6 +108,21 @@ def test_gather_tail_matches_sweep_on_identity_anchors(mini):
     np.testing.assert_array_equal(out, sweep)
 
 
+def test_two_phase_render_gather_tail_plumbing(mini):
+    """two_phase_render(tail="gather") routes phase 2 through
+    rc_tail_gather and matches the one-kernel machine — the exact
+    composition tools/view27_render.py runs at period-28B scale."""
+    from fractalshark_tpu.engine.renderers import two_phase_render
+
+    ptz, res_t, comp, la = mini
+    res_rc = _rc_results(res_t, comp)
+    full = np.asarray(la_kernel.la_perturb_render(
+        res_rc, la, ptz, SIZE, SIZE, BUDGET, sub_dtype=np.float32))
+    out = np.asarray(two_phase_render(
+        res_rc, la, ptz, SIZE, SIZE, BUDGET, comp=comp, tail="gather"))
+    np.testing.assert_array_equal(out, full)
+
+
 def test_gather_tail_budget_exhaustion(mini):
     """Pixels that exhaust the budget mid-tail report exactly max_iter
     (the capped-pixel convention shared with the sweep path)."""
