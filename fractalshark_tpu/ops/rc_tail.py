@@ -109,8 +109,9 @@ def _tail_impl(packed, dcr, dci, dce, state, cx64, cy64, a0x, a0y,
     dc = HDRComplex(dcr, dci, dce)
 
     def cond(c):
+        # carry layout: (k, dzr, dzi, dze, rem, pos, done, aptr, ...)
         k = c[0]
-        done = c[7]
+        done = c[6]
         not_done = jnp.min(done) < 1
         if chunk_steps:
             return jnp.logical_and(k < chunk_steps, not_done)
