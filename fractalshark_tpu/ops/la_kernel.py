@@ -453,7 +453,10 @@ def la_perturb_render(results, la, ptz: PointZoomBBConverter,
     # table (the packed columns wrap at 2^31; ADVICE r2 #2 — and
     # stage-0 next indices are orbit positions up to the period)
     side64_dev = None
-    wide = int(max_iter) >= (1 << 31) or force_wide
+    # wide also when the ORBIT is long (ref positions exceed i32 even
+    # under a small per-pixel budget — View #27-class probes)
+    wide = (int(max_iter) >= (1 << 31) or int(max_ref) >= (1 << 31)
+            or force_wide)
     if wide:
         k64 = ("side64", pad_nodes_to)
         if k64 not in cache:

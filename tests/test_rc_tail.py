@@ -123,6 +123,42 @@ def test_two_phase_render_gather_tail_plumbing(mini):
     np.testing.assert_array_equal(out, full)
 
 
+def test_df32_tail_matches_sweep_on_real_compression(mini):
+    """The df32 gather tail (TPU mode: native f32/i32 program, split
+    anchors, i32 position pairs) reconstructs with the SAME double-float
+    formula as the sweep kernel — on the real compressed orbit the two
+    tails must produce bit-identical grids."""
+    from fractalshark_tpu.ops.perturb_stream import \
+        perturb_render_stream_rc
+
+    ptz, res_t, comp, la = mini
+    init = _handoff(res_t, la, ptz, comp)
+    sweep = np.asarray(perturb_render_stream_rc(
+        comp, res_t.center_x, res_t.center_y, ptz, SIZE, SIZE, BUDGET,
+        init_state={k: v.copy() if hasattr(v, "copy") else v
+                    for k, v in init.items()}, interpret=True))
+    out = np.asarray(rc_tail_gather(
+        comp, res_t.center_x, res_t.center_y, ptz, SIZE, SIZE, BUDGET,
+        init_state=init, mode="df32"))
+    np.testing.assert_array_equal(out, sweep)
+
+
+def test_df32_tail_matches_f64_on_identity_anchors(mini):
+    """ratio-1 anchors: every position stored, both modes read exact
+    values — identical grids."""
+    ptz, res_t, comp, la = mini
+    ident = CompressedOrbit.identity(res_t)
+    init = _handoff(res_t, la, ptz, comp)
+    f64 = np.asarray(rc_tail_gather(
+        ident, res_t.center_x, res_t.center_y, ptz, SIZE, SIZE, BUDGET,
+        init_state={k: v.copy() if hasattr(v, "copy") else v
+                    for k, v in init.items()}, mode="f64"))
+    df32 = np.asarray(rc_tail_gather(
+        ident, res_t.center_x, res_t.center_y, ptz, SIZE, SIZE, BUDGET,
+        init_state=init, mode="df32"))
+    np.testing.assert_array_equal(df32, f64)
+
+
 def test_gather_tail_budget_exhaustion(mini):
     """Pixels that exhaust the budget mid-tail report exactly max_iter
     (the capped-pixel convention shared with the sweep path)."""
